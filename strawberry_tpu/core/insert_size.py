@@ -1,0 +1,58 @@
+"""Empirical insert-size (fragment-length) distribution.
+
+Mirrors InsertSize (ref: include/read.hpp:176-192, src/read.cpp:228-297):
+truncated empirical pdf over [min,max] observed fragment lengths with a
+normal-pdf fallback wherever the empirical mass is zero.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+INV_SQRT_2PI = 0.3989422804014327
+
+
+def normal_pdf(x: float, m: float, s: float) -> float:
+    a = (x - m) / s
+    return INV_SQRT_2PI / s * math.exp(-0.5 * a * a)
+
+
+class InsertSize:
+    def __init__(self, mean: float = 0.0, sd: float = 0.0,
+                 frag_lens: Optional[Sequence[int]] = None):
+        if frag_lens is not None:
+            self.use_emp = True
+            self.total_reads = len(frag_lens)
+            if self.total_reads < 1:
+                raise RuntimeError("Not enough reads for insert-size model")
+            s = float(sum(frag_lens))
+            self.mean = s / len(frag_lens)
+            sq = float(sum(v * v for v in frag_lens))
+            self.sd = math.sqrt(sq / len(frag_lens) - self.mean * self.mean)
+            self.start_offset = min(frag_lens)
+            self.end_offset = max(frag_lens)
+            self.emp_dist = [0.0] * (self.end_offset - self.start_offset + 1)
+            for v in frag_lens:
+                self.emp_dist[v - self.start_offset] += 1
+        else:
+            self.use_emp = False
+            self.total_reads = 0
+            self.mean = mean
+            self.sd = sd
+            self.start_offset = 0
+            self.end_offset = 0
+            self.emp_dist: List[float] = []
+
+    def emp_dist_pdf(self, insert_size: int) -> float:
+        """read.cpp:274-297."""
+        if self.use_emp:
+            ret = 0.0
+            if self.start_offset <= insert_size <= self.end_offset:
+                ret = self.emp_dist[insert_size - self.start_offset] \
+                    / self.total_reads
+            if ret == 0.0:
+                p = normal_pdf(float(insert_size), self.mean, self.sd)
+                return p if p > 0 else 0.0
+            return ret
+        p = normal_pdf(float(insert_size), self.mean, self.sd)
+        return p if p > 0 else 0.0

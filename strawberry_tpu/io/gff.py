@@ -1,0 +1,299 @@
+"""GTF/GFF3 annotation reader.
+
+Mirrors GffReader (ref: src/gff.cpp, include/gff.h) including its quirks:
+  * chromosome names are lowercased (gff.cpp:118)
+  * a line whose score column is numeric (not '.') is DROPPED — the early
+    `return` at gff.cpp:143-148 fires for any non-'.' score, so such lines
+    never get a feature type (deliberately reproduced)
+  * feature type classified by substring on the lowercased type column
+  * GTF exon lines auto-create their gene/transcript (gff.cpp:517-556)
+  * per chromosome, transcripts are emitted forward-strand first, then
+    reverse, then unstranded (alignments.cpp:902-912)
+  * minus-strand transcripts with descending exon order are reversed
+    (gff.cpp:572-582)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from ..core.features import (Contig, S_INTRON, S_MATCH, STRAND_MINUS,
+                             STRAND_PLUS, STRAND_UNKNOWN)
+
+FEAT_OTHERS, FEAT_UTR, FEAT_EXON, FEAT_STOP, FEAT_START, FEAT_CDS, \
+    FEAT_MRNA, FEAT_GENE = range(8)
+
+
+def _extract_attr(info: str, attr: str) -> Tuple[str, str]:
+    """Reference GffLine::extractAttr (gff.cpp:13-79): find `attr` outside
+    quotes at a word boundary, return (value, info_with_attr_removed)."""
+    attrlen = len(attr)
+    cend = attr[-1]
+    pos = 0
+    prevch = ""
+    in_str = False
+    n = len(info)
+    found = -1
+    while pos < n:
+        ch = info[pos]
+        if ch == '"':
+            in_str = not in_str
+            pos += 1
+            prevch = ch
+            continue
+        if (not in_str and (prevch == "" or prevch == " " or prevch == ";")
+                and info[pos:pos + attrlen].lower() == attr.lower()):
+            epos = pos + attrlen
+            if cend in ("=", " ") or epos >= n or info[epos] == " ":
+                found = pos
+                break
+            pos = epos
+            prevch = info[pos - 1]
+            continue
+        prevch = ch
+        pos += 1
+    if found < 0:
+        return "", info
+    vp = found + attrlen
+    while vp < n and info[vp] == " ":
+        vp += 1
+    dq = False
+    if vp < n and info[vp] == '"':
+        dq = True
+        vp += 1
+    vend = vp
+    if dq:
+        while vend < n and info[vend] not in ('"', ';'):
+            vend += 1
+    else:
+        while vend < n and info[vend] != ';':
+            vend += 1
+    val = info[vp:vend]
+    while vend < n and info[vend] in ('"', ';', ' '):
+        vend += 1
+    new_info = info[:found] + info[vend:]
+    return val, new_info
+
+
+@dataclass
+class GffExonRec:
+    left: int
+    right: int
+    strand: int
+
+
+@dataclass
+class GffTranscript:
+    transcript_id: str
+    gene_id: str
+    strand: int
+    exons: List[GffExonRec] = field(default_factory=list)
+    gene_name: str = ""
+
+
+@dataclass
+class GffGene:
+    gene_id: str
+    gene_name: str = ""
+    transcripts: List[str] = field(default_factory=list)
+
+
+class GffChrom:
+    def __init__(self, name: str):
+        self.name = name
+        self.genes: List[GffGene] = []
+        self._gene_by_id: Dict[str, GffGene] = {}
+        self.forward: List[GffTranscript] = []
+        self.reverse: List[GffTranscript] = []
+        self.unstranded: List[GffTranscript] = []
+        self._rna_by_key: Dict[Tuple[str, int], GffTranscript] = {}
+
+    def find_gene(self, gid: str) -> Optional[GffGene]:
+        return self._gene_by_id.get(gid)
+
+    def add_gene(self, g: GffGene):
+        self.genes.append(g)
+        self._gene_by_id[g.gene_id] = g
+
+    def add_rna(self, t: GffTranscript):
+        if t.strand == STRAND_PLUS:
+            self.forward.append(t)
+        elif t.strand == STRAND_MINUS:
+            self.reverse.append(t)
+        else:
+            self.unstranded.append(t)
+        self._rna_by_key[(t.transcript_id, t.strand)] = t
+
+    def find_rna(self, tid: str, strand: int) -> Optional[GffTranscript]:
+        return self._rna_by_key.get((tid, strand))
+
+
+class GffReader:
+    def __init__(self, path: str):
+        self.path = path
+        self.chroms: List[GffChrom] = []
+        self._chrom_by_name: Dict[str, GffChrom] = {}
+
+    def read_all(self):
+        cur: Optional[GffChrom] = None
+        prev_chrom = None
+        with open(self.path) as fh:
+            for raw in fh:
+                line = raw.rstrip("\n\r")
+                s = line.lstrip()
+                if not s or s.startswith("#") or len(line) < 10:
+                    continue
+                parsed = self._parse_line(line)
+                if parsed is None:
+                    continue
+                chrom, feat_type, start, end, strand, attrs = parsed
+                if chrom != prev_chrom:
+                    prev_chrom = chrom
+                    # reference creates a NEW GffTree on every chrom change,
+                    # even if seen before (gff.cpp:476-480); mirror that.
+                    cur = GffChrom(chrom)
+                    self.chroms.append(cur)
+                if feat_type == FEAT_GENE:
+                    g = GffGene(gene_id=attrs["ID"], gene_name=attrs["name"])
+                    cur.add_gene(g)
+                elif feat_type == FEAT_MRNA:
+                    gene = cur.find_gene(attrs["parent"])
+                    if gene is None:
+                        continue
+                    t = GffTranscript(transcript_id=attrs["ID"],
+                                      gene_id=gene.gene_id,
+                                      gene_name=gene.gene_name,
+                                      strand=strand)
+                    cur.add_rna(t)
+                elif feat_type == FEAT_EXON:
+                    parent = attrs["parent"] or attrs["transcript_id"]
+                    if not parent:
+                        continue
+                    mrna = cur.find_rna(parent, strand)
+                    if mrna is None:
+                        gid = attrs["gene_id"]
+                        gene = cur.find_gene(gid)
+                        if gene is None:
+                            # GffLoci(id) sets gene_name = id (gff.h:261)
+                            gene = GffGene(gene_id=gid, gene_name=gid)
+                            cur.add_gene(gene)
+                        mrna = GffTranscript(transcript_id=parent,
+                                             gene_id=gene.gene_id,
+                                             gene_name=gene.gene_name,
+                                             strand=strand)
+                        cur.add_rna(mrna)
+                    mrna.exons.append(GffExonRec(start, end, strand))
+        self.sort_exons_in_minus_strand()
+
+    def _parse_line(self, line: str):
+        t = line.split("\t")
+        if len(t) < 9:
+            # reference requires 8 tab splits (9 fields); with exactly 8
+            # fields t[8] would be garbage — treat as malformed and skip
+            return None
+        chrom = t[0].lower()
+        start = int(t[3]) if t[3].lstrip("-").isdigit() else 0
+        end = int(t[4]) if t[4].lstrip("-").isdigit() else 0
+        if start == 0 or end == 0:
+            return None
+        if end < start:
+            start, end = end, start
+        # score-column quirk: any non-'.' score drops the line (gff.cpp:143-148)
+        if not (t[5] == "."):
+            return None
+        strand = {"+": STRAND_PLUS, "-": STRAND_MINUS}.get(t[6], STRAND_UNKNOWN)
+        ft = t[2].lower()
+        if "utr" in ft:
+            feat_type = FEAT_UTR
+        elif "exon" in ft:
+            feat_type = FEAT_EXON
+        elif "stop" in ft and ("codon" in ft or "cds" in ft):
+            feat_type = FEAT_STOP
+        elif "start" in ft and ("codon" in ft or "cds" in ft):
+            feat_type = FEAT_START
+        elif ft == "cds":
+            feat_type = FEAT_CDS
+        elif "rna" in ft or "transcript" in ft:
+            feat_type = FEAT_MRNA
+        elif "gene" in ft:
+            feat_type = FEAT_GENE
+        else:
+            return None  # OTHERS -> skipped
+
+        info = t[8]
+        ID, info = _extract_attr(info, "id=")
+        parent, info = _extract_attr(info, "parent=")
+        is_gff3 = bool(ID or parent)
+        name = ""
+        gene_id = gene_name = transcript_id = ""
+        if is_gff3:
+            if ID:
+                if "transcript" in ID:
+                    feat_type = FEAT_MRNA
+                elif "gene" in ID:
+                    feat_type = FEAT_GENE
+                name, info = _extract_attr(info, "name=")
+                if not name:
+                    name, info = _extract_attr(info, "gene_name=")
+                if not name:
+                    name, info = _extract_attr(info, "genename=")
+                if not name:
+                    name, info = _extract_attr(info, "gene_sym=")
+                if not name:
+                    name, info = _extract_attr(info, "gene=")
+            if parent:
+                parent = parent.split(",")[0]
+        else:
+            gene_id, info = _extract_attr(info, "gene_id")
+            gene_name, info = _extract_attr(info, "gene_name")
+            transcript_id, info = _extract_attr(info, "transcript_id")
+            if feat_type == FEAT_GENE:
+                ID = gene_id
+                name = gene_name
+            else:
+                ID = transcript_id
+        attrs = dict(ID=ID, name=name, parent=parent, gene_id=gene_id,
+                     gene_name=gene_name, transcript_id=transcript_id)
+        return chrom, feat_type, start, end, strand, attrs
+
+    def sort_exons_in_minus_strand(self):
+        for c in self.chroms:
+            for t in c.reverse:
+                if len(t.exons) > 1:
+                    e0, e1 = t.exons[0], t.exons[1]
+                    if (e0.left, e0.right) > (e1.left, e1.right):
+                        t.exons.reverse()
+
+
+def load_ref_mrnas(reader: GffReader, ref_name2id: Dict[str, int]) -> List[Contig]:
+    """Sample::loadRefmRNAs (alignments.cpp:837-955): GffTrees -> sorted
+    flat list of reference transcript Contigs, ordered by BAM ref id."""
+    chroms = list(reader.chroms)
+    if ref_name2id:
+        missing = sum(1 for c in chroms if c.name not in ref_name2id)
+        if missing == len(chroms) and chroms:
+            raise RuntimeError(
+                "gff/gtf and bam have entirely different chromosome naming")
+        chroms.sort(key=lambda c: ref_name2id.get(c.name, -1))
+    result: List[Contig] = []
+    for c in chroms:
+        ref_id = ref_name2id.get(c.name, -1)
+        per_chrom: List[Contig] = []
+        for t in c.forward + c.reverse + c.unstranded:
+            if not t.exons:
+                continue
+            feats = []
+            for e, ex in enumerate(t.exons):
+                feats.append((S_MATCH, ex.left, ex.right - ex.left + 1))
+                if e + 1 < len(t.exons):
+                    nxt = t.exons[e + 1]
+                    feats.append((S_INTRON, ex.right + 1,
+                                  nxt.left - 1 - ex.right))
+            ct = Contig(ref_id=ref_id, strand=t.strand, feats=feats,
+                        mass=1.0, is_ref=True, contig_id=0,
+                        trans_id=t.transcript_id, parent_id=t.gene_id,
+                        ref_gene_id=t.gene_id, ref_gene_name=t.gene_name)
+            per_chrom.append(ct)
+        per_chrom.sort(key=lambda x: x.sort_key())
+        result.extend(per_chrom)
+    return result

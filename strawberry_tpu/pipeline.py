@@ -1,0 +1,330 @@
+"""Two-pass pipeline driver: assembly pass + quantification pass.
+
+Host orchestration replacing Sample::{assembleSample,preProcess,procSample}
+and driver() (ref: src/alignments.cpp:1189-1835, src/Strawberry.cpp:237-371).
+Pass 1 clusters reads, assembles transcripts per locus, and learns the
+fragment-length distribution; pass 2 re-clusters against the assembled (or
+annotated) models and runs the LCM EM. Per-locus work is independent — the
+TPU path batches loci into padded tensors (see quant/device.py,
+assembly/device.py) while this module remains the exact host oracle.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional, TextIO, Tuple
+
+import numpy as np
+
+from .config import Config
+from .core.cluster import (ClusterFactory, HitCluster, Segment,
+                           finalize_cluster)
+from .core.features import (Contig, S_MATCH, STRAND_UNKNOWN, is_compatible,
+                            exonic_overlaps_len)
+from .core.insert_size import InsertSize
+from .io.bamreader import HitTable, load_bam
+from .io.gff import GffReader, load_ref_mrnas
+from .io.gtfwriter import print2gtf
+from .quant.locus import Isoform, LocusContext, c_str
+from .assembly.coverage import IntronMap, compute_doc, filter_intron
+from .assembly.flow import FlowNetwork, assemble_2_contigs
+from .assembly.splice_graph import splicing_graph
+
+
+class _NullLog:
+    def write(self, *_a, **_k):
+        pass
+
+
+class Sample:
+    def __init__(self, table: HitTable, cfg: Config, bam_path: str = "sample"):
+        self.table = table
+        self.cfg = cfg
+        self.bam_path = bam_path
+        self.factory = ClusterFactory(table, cfg)
+        self.assembly: List[Contig] = []
+        self.frag_dist: List[int] = []
+        self.total_mapped_reads = 0
+        self.num_cluster = 0
+        self.insert_dist: Optional[InsertSize] = None
+        self.long_read_sample = False
+        self.read_len = table.read_len_mode()
+
+    # ------------------------------------------------------------------
+    @property
+    def sample_name(self) -> str:
+        return os.path.basename(self.bam_path).split(".")[0]
+
+    def load_ref_gtf(self, gtf_path: str):
+        reader = GffReader(gtf_path)
+        reader.read_all()
+        name2id = {n: i for i, n in enumerate(self.table.ref_names)}
+        self.factory.set_ref_mrnas(load_ref_mrnas(reader, name2id))
+
+    # ------------------------------------------------------------------
+    def frag_len_dist(self, transcripts: List[Contig], cluster: HitCluster,
+                      log: TextIO):
+        """Sample::fragLenDist (alignments.cpp:1363-1427)."""
+        if not transcripts:
+            return
+        self.total_mapped_reads += int(cluster.weighted_mass)
+        hits = cluster.uniq_hit_contigs()
+        for h in hits:
+            counter = 0
+            mark = 0
+            for t_i, t in enumerate(transcripts):
+                if is_compatible(h, t):
+                    counter += 1
+                    mark = t_i
+            if counter == 1:
+                fl = exonic_overlaps_len(transcripts[mark], h.left, h.right)
+                self.frag_dist.append(fl)
+        ref_name = self.table.ref_real_names[cluster.ref_id] \
+            if cluster.ref_id >= 0 else "?"
+        log.write(f"Finish inspecting locus: {ref_name}:"
+                  f"{cluster.leftmost}-{cluster.rightmost}\n")
+        log.write(f"Found {len(cluster.ref_mrnas)} of ref mRNAs "
+                  f"from the reference gtf file.\n")
+        log.write(f"Number of total unique hits: {len(cluster.uniq_hits)}\n\n")
+
+    # ------------------------------------------------------------------
+    def assemble_contig(self, l: int, r: int, strand: int,
+                        hits: List[Contig]) -> List[Contig]:
+        """Sample::assembleContig (alignments.cpp:64-117)."""
+        cfg = self.cfg
+        if not hits:
+            return []
+        ref_id = hits[0].ref_id
+        exon_doc = np.zeros(r - l + 1, dtype=np.float32)
+        intron_counter: IntronMap = {}
+        avg_dep = compute_doc(l, r, hits, exon_doc, intron_counter,
+                              cfg.min_anchor)
+        if avg_dep < cfg.min_depth_4_locus:
+            return []
+        filter_intron(cfg, l, self.read_len, exon_doc, intron_counter)
+
+        exons = splicing_graph(cfg, l, exon_doc, intron_counter)
+        if exons is None:
+            return []
+        return self.run_flow_algorithm(strand, hits, intron_counter, exons,
+                                       ref_id)
+
+    def run_flow_algorithm(self, strand: int, hits: List[Contig],
+                           intron_counter: IntronMap, exons,
+                           ref_id: int) -> List[Contig]:
+        """Sample::runFlowAlgorithm (alignments.cpp:119-144)."""
+        fn = FlowNetwork(self.cfg)
+        node2exon = {}
+        cost_map = {}
+        min_flow_map = {}
+        path_cstrs: List[List[int]] = []
+        ok = fn.create_network(hits, exons, intron_counter, node2exon,
+                               cost_map, min_flow_map, path_cstrs)
+        if not ok:
+            return []
+        transcripts = fn.solve_network(node2exon, exons, path_cstrs,
+                                       cost_map, min_flow_map)
+        if transcripts is None:
+            return []
+        return assemble_2_contigs(transcripts, exons, ref_id, strand,
+                                  self.cfg)
+
+    # ------------------------------------------------------------------
+    def assemble_cluster(self, cluster: HitCluster, log: TextIO
+                         ) -> List[Contig]:
+        """Sample::assembleCluster (alignments.cpp:1429-1507)."""
+        cfg = self.cfg
+        result: List[Contig] = []
+        if len(cluster.uniq_hits) < cfg.min_read_for_assemb:
+            return result
+        if cluster.ref_mrnas and cfg.utilize_ref_models:
+            cluster_left = min(r.left for r in cluster.ref_mrnas)
+            cluster_right = max(r.right for r in cluster.ref_mrnas)
+            hits: List[Contig] = []
+            for r in cluster.ref_mrnas:
+                rc = Contig(ref_id=r.ref_id, strand=r.strand, feats=r.feats,
+                            mass=r.mass, is_ref=True, contig_id=0,
+                            trans_id=r.trans_id, parent_id=r.parent_id,
+                            ref_gene_id=r.ref_gene_id,
+                            ref_gene_name=r.ref_gene_name)
+                hits.append(rc)
+            for h in cluster.uniq_hit_contigs():
+                if (h.strand == STRAND_UNKNOWN
+                        or h.strand == cluster.ref_strand()):
+                    hits.append(h)
+            assembled = self.assemble_contig(cluster_left, cluster_right,
+                                             cluster.ref_strand(), hits)
+            self.num_cluster += 1
+            cluster.id = self.num_cluster
+            for tid, asmb in enumerate(assembled, start=1):
+                asmb.parent_id = f"{self.sample_name}.{cluster.id}"
+                asmb.ref_gene_id = cluster.ref_mrnas[0].ref_gene_id
+                asmb.ref_gene_name = cluster.ref_mrnas[0].ref_gene_name
+                asmb.trans_id = f"{asmb.parent_id}.{tid}"
+            self.frag_len_dist(assembled, cluster, log)
+            return assembled
+
+        cluster.refine_cluster()
+        uniq_contigs = [cluster.pair_to_contig(ph) for ph in cluster.uniq_hits]
+        for seg in cluster.segs:
+            hits = []
+            for r in range(seg.left_read_idx,
+                           min(seg.right_read_idx, len(cluster.uniq_hits))):
+                h = uniq_contigs[r]
+                if h is None:
+                    continue
+                if h.strand == STRAND_UNKNOWN or h.strand == seg.strand:
+                    hits.append(h)
+            assembled = self.assemble_contig(seg.left, seg.right,
+                                             seg.strand, hits)
+            self.num_cluster += 1
+            cluster.id = self.num_cluster
+            for tid, asmb in enumerate(assembled, start=1):
+                asmb.parent_id = f"{self.sample_name}.{cluster.id}"
+                asmb.trans_id = f"{asmb.parent_id}.{tid}"
+            result.extend(assembled)
+        self.frag_len_dist(result, cluster, log)
+        return result
+
+    # ------------------------------------------------------------------
+    def assemble_sample(self, log: TextIO):
+        """Pass 1 (alignments.cpp:1658-1729)."""
+        self.num_cluster = 0
+        while True:
+            cluster = HitCluster(self.cfg)
+            if self.factory.next_cluster_refguide(cluster) == -1:
+                break
+            if cluster.ref_id == -1:
+                continue
+            finalize_cluster(cluster, True)
+            asmb = self.assemble_cluster(cluster, log)
+            self.assembly.extend(asmb)
+            ref_name = self.table.ref_real_names[cluster.ref_id]
+            log.write(f"Inspect gene: {ref_name}:{cluster.leftmost}-"
+                      f"{cluster.rightmost}\n")
+            log.write(f"Has inspected {self.total_mapped_reads} reads\n")
+
+    def pre_process(self, log: TextIO):
+        """Pass 1 for --no-assembly (alignments.cpp:1189-1233)."""
+        self.num_cluster = 0
+        while True:
+            cluster = HitCluster(self.cfg)
+            if self.factory.next_cluster_ref_demand(cluster) == -1:
+                break
+            if cluster.ref_id == -1:
+                continue
+            self.num_cluster += 1
+            cluster.id = self.num_cluster
+            finalize_cluster(cluster, True)
+            self.frag_len_dist(cluster.ref_mrnas, cluster, log)
+
+    # ------------------------------------------------------------------
+    def select_insert_size(self, verbose: bool = False):
+        """driver() insert-size selection (Strawberry.cpp:329-356)."""
+        cfg = self.cfg
+        mean, sd = cfg.insert_size_mean, cfg.insert_size_sd
+        if not self.table.paired_end:
+            mean, sd = cfg.single_end_default_insert
+        if self.long_read_sample:
+            return
+        if mean != 0 and sd != 0:
+            self.insert_dist = InsertSize(mean, sd)
+        else:
+            self.insert_dist = InsertSize(frag_lens=self.frag_dist)
+
+    # ------------------------------------------------------------------
+    def quantify_cluster(self, cluster: HitCluster,
+                         transcripts: List[Contig], log: TextIO
+                         ) -> Tuple[List[Isoform], Optional[LocusContext]]:
+        """Sample::quantifyCluster (alignments.cpp:1510-1546)."""
+        hits = []
+        for ph in cluster.uniq_hits:
+            c = cluster.pair_to_contig(ph)
+            if c is not None:
+                hits.append(c)
+            else:
+                log.write("paired reads are not compatible\n")
+        est = LocusContext(self.cfg, self.read_len, self.insert_dist,
+                           hits, transcripts,
+                           long_read_sample=self.long_read_sample)
+        success = est.estimate_abundances(self.total_mapped_reads, log)
+        if success:
+            return est.transcripts, est
+        return [], None
+
+    def proc_sample(self, out: TextIO, log: TextIO,
+                    fragfile: Optional[TextIO] = None):
+        """Pass 2 (alignments.cpp:1736-1835)."""
+        self.factory.reset_cursor()
+        # reset_refmRNAs (alignments.cpp:1091-1101)
+        if not self.cfg.no_assembly:
+            refs = sorted(self.assembly, key=lambda c: c.sort_key())
+            self.assembly = []
+            self.factory.set_ref_mrnas(refs)
+        else:
+            self.factory.refmrna_offset = 0
+            self.factory.has_load_all_refs = False
+
+        isoforms: List[Isoform] = []
+        while True:
+            cluster = HitCluster(self.cfg)
+            if self.factory.next_cluster_ref_demand(cluster) == -1:
+                break
+            if cluster.ref_id == -1:
+                continue
+            finalize_cluster(cluster, True)
+            iso, est = self.quantify_cluster(cluster, cluster.ref_mrnas, log)
+            if fragfile is not None and est is not None:
+                from .quant.fragcontext import print_context
+                print_context(self, est, cluster, fragfile)
+            isoforms.extend(iso)
+
+        total_fpkm = 0.0
+        for iso in isoforms:
+            total_fpkm += iso.fpkm
+        for iso in isoforms:
+            iso.tpm = 1e6 * iso.fpkm / total_fpkm if total_fpkm != 0 \
+                else float("nan")
+            iso.tpm_s = c_str(iso.tpm)
+        for iso in isoforms:
+            ref_name = self.table.ref_real_names[iso.contig.ref_id] \
+                if iso.contig.ref_id >= 0 else "?"
+            print2gtf(out, iso.contig, ref_name, iso.fpkm_s, iso.frac_s,
+                      iso.tpm_s, iso.gene_str, iso.isoform_str,
+                      iso.ref_gene_id, iso.ref_gene_name)
+        return isoforms
+
+
+def run_driver(bam_path: str, cfg: Config, out: TextIO,
+               log: Optional[TextIO] = None,
+               fragfile: Optional[TextIO] = None,
+               cmdline: str = "") -> Sample:
+    """driver() (Strawberry.cpp:237-371)."""
+    log = log or _NullLog()
+    table = load_bam(bam_path, cfg)
+    sample = Sample(table, cfg, bam_path)
+    if cfg.ref_gtf_filename:
+        sample.load_ref_gtf(cfg.ref_gtf_filename)
+    sample.long_read_sample = table.is_long_read_sample(cfg.long_read_len) \
+        or cfg.long_read_sample
+
+    if cfg.no_assembly:
+        sample.pre_process(log)
+    else:
+        sample.assemble_sample(log)
+
+    if cfg.no_quant:
+        for iso in sample.assembly:
+            ref_name = table.ref_real_names[iso.ref_id] \
+                if iso.ref_id >= 0 else "?"
+            print2gtf(out, iso, ref_name, "", "", "", iso.parent_id,
+                      iso.trans_id, iso.ref_gene_id, iso.ref_gene_name)
+        return sample
+
+    sample.select_insert_size()
+    if fragfile is not None:
+        from .quant.fragcontext import FRAG_HEADER
+        fragfile.write("\t".join(FRAG_HEADER) + "\n")
+    sample.proc_sample(out, log, fragfile)
+    return sample

@@ -1,0 +1,202 @@
+"""Per-locus quantification context: bins -> weights -> EM -> FPKM.
+
+Host oracle for LocusContext + estimate_abundances (ref:
+include/estimate.hpp:61-224, src/estimate.cpp:135-364).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..core.features import (Contig, Feature, S_MATCH, exonic_overlaps_len,
+                             is_compatible, is_compatible_feat)
+from ..core.insert_size import InsertSize
+from .bins import (Coords, ExonBin, bin_under_iso, disjoint_exon_segs,
+                   effective_len, overlap_exons)
+from .em import em_init, em_run
+
+
+@dataclass
+class Isoform:
+    contig: Contig
+    length: int
+    gene_str: str
+    isoform_str: str
+    ref_gene_id: str
+    ref_gene_name: str
+    exon_segs: List[Feature] = field(default_factory=list)
+    frac: float = 0.0
+    fpkm: float = 0.0
+    tpm: float = 0.0
+    frac_s: str = "nan"
+    fpkm_s: str = "nan"
+    tpm_s: str = "nan"
+    id: int = -1
+
+
+def c_str(x: float) -> str:
+    """std::to_string(double): 6 fixed decimals."""
+    return f"{x:.6f}"
+
+
+class LocusContext:
+    def __init__(self, cfg: Config, read_len: int,
+                 insert_dist: Optional[InsertSize],
+                 hits: List[Contig], transcripts: List[Contig],
+                 long_read_sample: bool = False):
+        assert transcripts
+        self.cfg = cfg
+        self.read_len = read_len
+        self.insert_dist = insert_dist
+
+        # disjoint exon segments from all transcript exons
+        exons: List[Feature] = []
+        for t in transcripts:
+            for f in t.feats:
+                if f[0] == S_MATCH:
+                    exons.append(f)
+        exons = sorted(set(exons), key=lambda f: (f[1], f[2]))
+        self.exon_segs: List[Feature] = disjoint_exon_segs(exons)
+
+        self.transcripts: List[Isoform] = []
+        for t in transcripts:
+            iso_segs = [s for s in self.exon_segs
+                        if is_compatible_feat(t, s)]
+            iso = Isoform(contig=t, length=t.exonic_length(),
+                          gene_str=t.parent_id, isoform_str=t.trans_id,
+                          ref_gene_id=t.ref_gene_id,
+                          ref_gene_name=t.ref_gene_name,
+                          exon_segs=iso_segs)
+            iso.id = len(self.transcripts)
+            self.transcripts.append(iso)
+
+        self.exon_bins: List[ExonBin] = []
+        self._bin_index: Dict[Coords, int] = {}
+        self.iso_2_bins_map: Dict[int, List[int]] = {}
+
+        self._assign_exon_bin(hits)
+        if long_read_sample:
+            self._set_bin_weight_without_frag_dist()
+        else:
+            self._set_theory_bin_weight()
+
+    # ------------------------------------------------------------------
+    def _set_maps(self, iso_id: int, fg_len: int, mass: float,
+                  read: Contig, coords: Coords):
+        if not coords:
+            return
+        ebid = self._bin_index.get(coords)
+        if ebid is None:
+            ebid = len(self.exon_bins)
+            eb = ExonBin(coords)
+            eb.id = ebid
+            self.exon_bins.append(eb)
+            self._bin_index[coords] = ebid
+        eb = self.exon_bins[ebid]
+        eb.add_frag(read)
+        eb.add_frag_len(iso_id, fg_len, mass)
+        bins = self.iso_2_bins_map.setdefault(iso_id, [])
+        if ebid not in bins:
+            bins.append(ebid)
+
+    def _assign_exon_bin(self, hits: List[Contig]):
+        """assign_exon_bin (estimate.cpp:135-198)."""
+        for mp in hits:
+            for iso in self.transcripts:
+                if is_compatible(mp, iso.contig):
+                    coords = overlap_exons(self.exon_segs, mp)
+                    frag_len = exonic_overlaps_len(iso.contig, mp.left,
+                                                   mp.right)
+                    self._set_maps(iso.id, frag_len, mp.mass, mp, coords)
+
+    # ------------------------------------------------------------------
+    def _set_theory_bin_weight(self):
+        """set_theory_bin_weight (estimate.cpp:201-234)."""
+        dist = self.insert_dist
+        for iso_id in sorted(self.iso_2_bins_map.keys()):
+            iso = self.transcripts[iso_id]
+            iso_seg_feats = iso.exon_segs
+            for bin_idx in sorted(self.iso_2_bins_map[iso_id]):
+                eb = self.exon_bins[bin_idx]
+                implicit_idx, exon_coords = bin_under_iso(eb.coords,
+                                                          iso_seg_feats)
+                seg_lens = [c[1] - c[0] + 1 for c in exon_coords]
+                lmax = sum(seg_lens)
+                if dist.use_emp:
+                    lmin = dist.start_offset
+                else:
+                    lmin = self.read_len
+                if len(seg_lens) > 2:
+                    lmin = max(lmin, sum(seg_lens[1:-1]))
+                weight = 0.0
+                for fl in range(lmin, lmax + 1):
+                    le_eff = effective_len(seg_lens, implicit_idx, fl,
+                                           self.read_len)
+                    weight += (dist.emp_dist_pdf(fl) * le_eff
+                               / (iso.length - fl + 1))
+                eb.bin_weight_map[iso_id] = weight
+
+    def _set_bin_weight_without_frag_dist(self):
+        """Long-read path: weight = 1/L (estimate.cpp:236-247)."""
+        for iso_id in sorted(self.iso_2_bins_map.keys()):
+            for bin_idx in sorted(self.iso_2_bins_map[iso_id]):
+                self.exon_bins[bin_idx].bin_weight_map[iso_id] = \
+                    1.0 / self.transcripts[iso_id].length
+
+    # ------------------------------------------------------------------
+    def estimate_abundances(self, total_mapped_reads: int,
+                            log=None) -> bool:
+        """estimate_abundances (estimate.cpp:279-364)."""
+        cfg = self.cfg
+        nrow = len(self.exon_bins)
+        niso = len(self.transcripts)
+        # counts are truncated to int (vector<int> n, estimate.cpp:284-288)
+        n = [int(eb.read_count()) for eb in self.exon_bins]
+        alpha = np.zeros((nrow, niso), dtype=np.float64)
+        for i, eb in enumerate(self.exon_bins):
+            for j in range(niso):
+                alpha[i, j] = eb.bin_weight_map.get(j, 0.0)
+
+        init = em_init(niso, n, alpha)
+        if init is None:
+            return False
+        theta = em_run(*init)
+        if theta is None:
+            # reference: run() returning false still counts as success for
+            # output purposes only when init succeeded — em.run's false path
+            # (zero denominator) leaves _theta at theta0; replicate
+            theta = init[2]
+        if log is not None:
+            for i in range(niso):
+                log.write(f"isoform {i+1} has {theta[i]:f} raw read count.\n")
+        sum_fpkm = 0.0
+        for i, iso in enumerate(self.transcripts):
+            if cfg.effective_len_norm:
+                kb = iso.length - self.insert_dist.mean
+                if kb < 0:
+                    iso.fpkm_s = "NA"
+                    continue
+                kb = 1e3 / kb
+            else:
+                kb = 1e3 / iso.length
+            rpm = 1e6 / total_mapped_reads
+            fpkm = theta[i] * rpm * kb
+            iso.fpkm = fpkm
+            sum_fpkm += fpkm
+            iso.fpkm_s = c_str(fpkm)
+        for iso in self.transcripts:
+            if iso.fpkm_s == "NA":
+                iso.frac_s = "NA"
+                continue
+            frac = iso.fpkm / sum_fpkm if sum_fpkm != 0 else float("nan")
+            iso.frac = frac
+            iso.frac_s = c_str(frac)
+        if cfg.filter_by_expression:
+            self.transcripts = [
+                iso for iso in self.transcripts
+                if not (iso.frac < cfg.min_isoform_frac)
+            ]
+        return True

@@ -1,0 +1,249 @@
+"""Synthetic RNA-seq data simulator.
+
+Generates genomes, gene models (GTF), and position-sorted BAMs of simulated
+paired/single-end reads. Used by the test-suite to produce inputs for both
+this framework and the reference binary (the reference's toy BAM is not
+shipped), and by bench.py to generate load at scale.
+"""
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .io.bamwriter import BamRecord, BamWriter
+
+
+@dataclass
+class SimTranscript:
+    chrom: str
+    gene_id: str
+    tx_id: str
+    strand: str                      # '+', '-'
+    exons: List[Tuple[int, int]]     # 1-based inclusive, ascending
+
+    @property
+    def length(self) -> int:
+        return sum(r - l + 1 for l, r in self.exons)
+
+    def tx2genome(self, tpos: int) -> int:
+        """0-based transcript offset -> 1-based genome coordinate."""
+        off = tpos
+        for l, r in self.exons:
+            ln = r - l + 1
+            if off < ln:
+                return l + off
+            off -= ln
+        raise ValueError("tpos out of range")
+
+    def cigar_for(self, tstart: int, length: int) -> Tuple[int, List[Tuple[int, str]]]:
+        """Map transcript interval [tstart, tstart+length) to genomic
+        (pos0, cigar) with M/N ops. Returns 0-based genomic start."""
+        out: List[Tuple[int, str]] = []
+        pos0 = self.tx2genome(tstart) - 1
+        remaining = length
+        off = tstart
+        prev_right = None
+        for l, r in self.exons:
+            ln = r - l + 1
+            if off >= ln:
+                off -= ln
+                continue
+            take = min(ln - off, remaining)
+            g_l = l + off
+            if prev_right is not None:
+                gap = g_l - prev_right - 1
+                if gap > 0:
+                    out.append((gap, "N"))
+            out.append((take, "M"))
+            prev_right = g_l + take - 1
+            remaining -= take
+            off = 0
+            if remaining == 0:
+                break
+        if remaining:
+            raise ValueError("read extends past transcript end")
+        # merge adjacent M (possible when intron length 0 — shouldn't happen)
+        merged: List[Tuple[int, str]] = []
+        for ln, op in out:
+            if merged and merged[-1][1] == op:
+                merged[-1] = (merged[-1][0] + ln, op)
+            else:
+                merged.append((ln, op))
+        return pos0, merged
+
+
+def make_genes(rng: random.Random, chroms: Dict[str, int],
+               n_genes: int, max_isoforms: int = 3,
+               exon_range=(1, 6), exon_len=(80, 400),
+               intron_len=(60, 2000), gene_gap=(5000, 20000)
+               ) -> List[SimTranscript]:
+    """Random non-overlapping genes, each with 1..max_isoforms transcripts
+    sharing a splice-site pool (so isoforms overlap / share exons)."""
+    txs: List[SimTranscript] = []
+    chrom_names = sorted(chroms)
+    gi = 0
+    for chrom in chrom_names:
+        pos = rng.randint(1000, 3000)
+        limit = chroms[chrom] - 5000
+        while pos < limit:
+            gi += 1
+            gene_id = f"gene_{gi:04d}"
+            strand = rng.choice("+-")
+            n_ex = rng.randint(*exon_range)
+            exons: List[Tuple[int, int]] = []
+            p = pos
+            for _ in range(n_ex):
+                ln = rng.randint(*exon_len)
+                exons.append((p, p + ln - 1))
+                p += ln + rng.randint(*intron_len)
+            if exons[-1][1] >= limit:
+                break
+            n_iso = rng.randint(1, max_isoforms)
+            made = set()
+            for t in range(n_iso):
+                if n_ex == 1 or t == 0:
+                    sel = list(range(n_ex))
+                else:
+                    # skip a random subset of internal exons
+                    sel = [0] + [i for i in range(1, n_ex - 1)
+                                 if rng.random() > 0.4] + [n_ex - 1]
+                key = tuple(sel)
+                if key in made:
+                    continue
+                made.add(key)
+                iso_exons = [exons[i] for i in sel]
+                if sum(r - l + 1 for l, r in iso_exons) < 250:
+                    continue
+                txs.append(SimTranscript(
+                    chrom=chrom, gene_id=gene_id,
+                    tx_id=f"{gene_id}.t{t+1}", strand=strand,
+                    exons=iso_exons))
+            pos = exons[-1][1] + rng.randint(*gene_gap)
+    return txs
+
+
+def write_gtf(path: str, txs: Sequence[SimTranscript]):
+    with open(path, "w") as fh:
+        for t in txs:
+            attr = (f'gene_id "{t.gene_id}"; transcript_id "{t.tx_id}";')
+            fh.write(f"{t.chrom}\tsim\ttranscript\t{t.exons[0][0]}\t"
+                     f"{t.exons[-1][1]}\t.\t{t.strand}\t.\t{attr}\n")
+            for (l, r) in t.exons:
+                fh.write(f"{t.chrom}\tsim\texon\t{l}\t{r}\t.\t{t.strand}"
+                         f"\t.\t{attr}\n")
+
+
+def write_genome_fasta(path: str, chroms: Dict[str, int], seed: int = 7):
+    rng = random.Random(seed)
+    with open(path, "w") as fh:
+        for name in sorted(chroms):
+            fh.write(f">{name}\n")
+            n = chroms[name]
+            line = []
+            for i in range(n):
+                line.append("ACGT"[rng.randrange(4)])
+                if len(line) == 70:
+                    fh.write("".join(line) + "\n")
+                    line = []
+            if line:
+                fh.write("".join(line) + "\n")
+
+
+def simulate_reads(rng: random.Random, txs: Sequence[SimTranscript],
+                   abundances: Optional[Sequence[float]],
+                   n_frags: int, read_len: int = 75,
+                   frag_mean: float = 250.0, frag_sd: float = 40.0,
+                   paired: bool = True, with_xs: bool = True
+                   ) -> List[Tuple[str, BamRecord]]:
+    """Sample fragments; returns (chrom, record) pairs, unsorted."""
+    if abundances is None:
+        abundances = [1.0] * len(txs)
+    weights = [a * t.length for a, t in zip(abundances, txs)]
+    total_w = sum(weights)
+    cum = []
+    acc = 0.0
+    for w in weights:
+        acc += w
+        cum.append(acc / total_w)
+    records: List[Tuple[str, BamRecord]] = []
+    for fi in range(n_frags):
+        u = rng.random()
+        ti = 0
+        while ti < len(cum) - 1 and u > cum[ti]:
+            ti += 1
+        t = txs[ti]
+        if paired:
+            fl = int(rng.gauss(frag_mean, frag_sd))
+            fl = max(read_len + 10, min(fl, t.length))
+        else:
+            fl = read_len
+        if t.length < fl:
+            continue
+        s = rng.randrange(0, t.length - fl + 1)
+        qname = f"frag{fi:08d}"
+        tags = [("NH", "i", 1)]
+        if with_xs:
+            tags = tags + [("XS", "A", t.strand)]
+        if not paired:
+            pos0, cig = t.cigar_for(s, read_len)
+            rec = BamRecord(qname=qname, flag=0, ref_id=-1, pos=pos0,
+                            cigar=cig, seq="A" * read_len, tags=list(tags))
+            records.append((t.chrom, rec))
+            continue
+        p1, c1 = t.cigar_for(s, read_len)
+        p2, c2 = t.cigar_for(s + fl - read_len, read_len)
+        span1 = sum(ln for ln, op in c1)
+        span2 = sum(ln for ln, op in c2)
+        if p1 == p2:
+            continue  # equal-start pairs are rejected by both pipelines
+        flag1 = 0x1 | 0x2 | 0x20 | 0x40
+        flag2 = 0x1 | 0x2 | 0x10 | 0x80
+        r1 = BamRecord(qname=qname, flag=flag1, ref_id=-1, pos=p1, cigar=c1,
+                       next_ref_id=-2, next_pos=p2,
+                       tlen=(p2 + span2) - p1,
+                       seq="A" * read_len, tags=list(tags))
+        r2 = BamRecord(qname=qname, flag=flag2, ref_id=-1, pos=p2, cigar=c2,
+                       next_ref_id=-2, next_pos=p1,
+                       tlen=-((p2 + span2) - p1),
+                       seq="A" * read_len, tags=list(tags))
+        records.append((t.chrom, r1))
+        records.append((t.chrom, r2))
+    return records
+
+
+def write_bam(path: str, chroms: Dict[str, int],
+              records: List[Tuple[str, BamRecord]]):
+    names = sorted(chroms)
+    name2id = {n: i for i, n in enumerate(names)}
+    for chrom, rec in records:
+        rec.ref_id = name2id[chrom]
+        if rec.next_ref_id == -2:
+            rec.next_ref_id = rec.ref_id
+    records.sort(key=lambda cr: (cr[1].ref_id, cr[1].pos))
+    with BamWriter(path, names, [chroms[n] for n in names]) as bw:
+        for _, rec in records:
+            bw.write(rec)
+
+
+def make_dataset(outdir: str, seed: int = 42, n_genes_hint: int = 10,
+                 chrom_len: int = 300_000, n_chroms: int = 1,
+                 n_frags: int = 2000, read_len: int = 75,
+                 paired: bool = True, max_isoforms: int = 3,
+                 with_xs: bool = True, abundance_seed: Optional[int] = None):
+    """Convenience: genome + GTF + BAM in outdir. Returns (bam, gtf, txs)."""
+    import os
+    os.makedirs(outdir, exist_ok=True)
+    rng = random.Random(seed)
+    chroms = {f"chr{i+1}": chrom_len for i in range(n_chroms)}
+    txs = make_genes(rng, chroms, n_genes_hint, max_isoforms=max_isoforms)
+    arng = random.Random(abundance_seed if abundance_seed is not None
+                         else seed + 1)
+    abund = [arng.uniform(0.2, 5.0) for _ in txs]
+    recs = simulate_reads(rng, txs, abund, n_frags, read_len=read_len,
+                          paired=paired, with_xs=with_xs)
+    bam = os.path.join(outdir, "sample_01.sorted.bam")
+    gtf = os.path.join(outdir, "annotation.gtf")
+    write_bam(bam, chroms, recs)
+    write_gtf(gtf, txs)
+    return bam, gtf, txs

@@ -1,0 +1,50 @@
+"""Golden tests: quantification-only mode (-g ... -r) vs the reference
+binary, byte-identical GTF bodies (SURVEY.md §4 test strategy, config 3 of
+BASELINE.json)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from strawberry_tpu.sim import make_dataset
+
+
+def run_both(tmp_path, reference_binary, extra_args=(), **dataset_kw):
+    bam, gtf, txs = make_dataset(str(tmp_path), **dataset_kw)
+    outs = {}
+    for tag, cmd in [
+        ("ref", [reference_binary]),
+        ("ours", [sys.executable, "-m", "strawberry_tpu.cli"]),
+    ]:
+        out = str(tmp_path / f"{tag}.gtf")
+        r = subprocess.run(
+            cmd + ["-g", gtf, *extra_args, "-o", out,
+                   "-T", str(tmp_path / f"{tag}.log"), bam],
+            capture_output=True, text=True, timeout=600,
+            cwd="/root/repo")
+        assert r.returncode == 0, (tag, r.stderr[-2000:])
+        outs[tag] = [l for l in open(out) if not l.startswith("#")]
+    return outs
+
+
+@pytest.mark.parametrize("seed,kw", [
+    (1, dict(n_frags=3000)),
+    (9, dict(n_frags=4000, max_isoforms=3)),
+    (13, dict(n_frags=3000, paired=False)),
+    (13, dict(n_frags=3000, with_xs=False)),
+    (27, dict(n_frags=5000, max_isoforms=5, n_chroms=2)),
+])
+def test_quant_only_golden(tmp_path, reference_binary, seed, kw):
+    outs = run_both(tmp_path, reference_binary, extra_args=["-r"],
+                    seed=seed, **kw)
+    assert outs["ref"], "reference produced no transcripts"
+    assert outs["ours"] == outs["ref"]
+
+
+def test_quant_only_user_insert_size(tmp_path, reference_binary):
+    outs = run_both(tmp_path, reference_binary,
+                    extra_args=["-r", "-i", "250/40"], seed=5, n_frags=2500)
+    assert outs["ours"] == outs["ref"]
