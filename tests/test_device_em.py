@@ -1,0 +1,66 @@
+"""Device batched EM vs the host oracle (quant/em.py)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from strawberry_tpu.quant.device import LocusProblem, batched_em
+from strawberry_tpu.quant.em import em_init, em_run
+
+
+def random_problems(rng, n, max_rows=40, max_cols=6):
+    problems = []
+    for _ in range(n):
+        r = rng.integers(1, max_rows)
+        c = rng.integers(1, max_cols)
+        W = rng.random((r, c)) * rng.random((r, c))
+        # sprinkle zeros and tiny values (sub-1e-5 rows get dropped)
+        W[rng.random((r, c)) < 0.4] = 0.0
+        W[rng.random((r, c)) < 0.1] = 1e-6
+        counts = rng.integers(0, 500, size=r).astype(np.float64)
+        problems.append(LocusProblem(counts=counts, weights=W))
+    return problems
+
+
+def host_solve(p: LocusProblem):
+    init = em_init(p.weights.shape[1], p.counts, p.weights)
+    if init is None:
+        return None
+    theta = em_run(*init)
+    if theta is None:
+        theta = init[2]
+    return theta
+
+
+def test_batched_em_matches_host_oracle():
+    rng = np.random.default_rng(0)
+    problems = random_problems(rng, 60)
+    dev = batched_em(problems)
+    for i, p in enumerate(problems):
+        host = host_solve(p)
+        if host is None:
+            assert dev[i] is None
+        else:
+            assert dev[i] is not None
+            np.testing.assert_allclose(dev[i], host, rtol=1e-9, atol=1e-9,
+                                       err_msg=f"problem {i}")
+
+
+def test_batched_em_zero_denominator_failure():
+    # a valid row (weight > 1e-5) whose denominator can be zero only if
+    # theta has zeros — engineer: two isoforms, one bin each, disjoint
+    W = np.array([[0.5, 0.0], [0.0, 0.4]])
+    counts = np.array([10.0, 0.0])
+    p = LocusProblem(counts=counts, weights=W)
+    host = host_solve(p)
+    dev = batched_em([p])[0]
+    np.testing.assert_allclose(dev, host, rtol=1e-9)
+
+
+def test_batched_em_all_rows_dropped():
+    p = LocusProblem(counts=np.array([3.0]), weights=np.array([[1e-6]]))
+    assert host_solve(p) is None
+    assert batched_em([p])[0] is None
