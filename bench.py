@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark: aligned reads/sec through the full assembly+quant pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's published single-thread CPU throughput of
+~83,000 aligned reads/s (README.md:62 — 10M reads in ~2 min).
+
+Generates (and caches) a simulated dataset, then times the end-to-end
+two-pass pipeline (BAM decode -> clustering -> assembly -> EM -> GTF) with
+the EM running on the JAX device.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_READS_PER_SEC = 83000.0
+
+
+def main():
+    n_frags = int(os.environ.get("BENCH_FRAGS", "20000"))
+    cache = f"/tmp/strawberry_bench_{n_frags}"
+    from strawberry_tpu.sim import make_dataset
+    bam = os.path.join(cache, "sample_01.sorted.bam")
+    gtf = os.path.join(cache, "annotation.gtf")
+    if not os.path.exists(bam):
+        make_dataset(cache, seed=77, n_frags=n_frags, n_chroms=4,
+                     chrom_len=2_000_000, max_isoforms=3)
+
+    from strawberry_tpu.config import Config
+    from strawberry_tpu.pipeline import run_driver
+
+    class Sink:
+        def write(self, *_a):
+            pass
+
+    cfg = Config(ref_gtf_filename=gtf, utilize_ref_models=True)
+
+    # warm-up pass populates the JAX compile cache (compile time is not
+    # steady-state throughput)
+    import io
+    run_driver(bam, cfg, io.StringIO(), Sink())
+
+    t0 = time.perf_counter()
+    out = io.StringIO()
+    sample = run_driver(bam, cfg, out, Sink())
+    dt = time.perf_counter() - t0
+
+    n_reads = len(sample.table)
+    rps = n_reads / dt
+    print(json.dumps({
+        "metric": "aligned_reads_per_sec_assembly_quant",
+        "value": round(rps, 1),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+    }))
+    print(f"# {n_reads} reads, {dt:.2f}s end-to-end, "
+          f"{out.getvalue().count(chr(9) + 'transcript' + chr(9))} transcripts",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -234,10 +234,9 @@ class Sample:
             self.insert_dist = InsertSize(frag_lens=self.frag_dist)
 
     # ------------------------------------------------------------------
-    def quantify_cluster(self, cluster: HitCluster,
-                         transcripts: List[Contig], log: TextIO
-                         ) -> Tuple[List[Isoform], Optional[LocusContext]]:
-        """Sample::quantifyCluster (alignments.cpp:1510-1546)."""
+    def build_locus_context(self, cluster: HitCluster,
+                            transcripts: List[Contig],
+                            log: TextIO) -> LocusContext:
         hits = []
         for ph in cluster.uniq_hits:
             c = cluster.pair_to_contig(ph)
@@ -245,13 +244,55 @@ class Sample:
                 hits.append(c)
             else:
                 log.write("paired reads are not compatible\n")
-        est = LocusContext(self.cfg, self.read_len, self.insert_dist,
-                           hits, transcripts,
-                           long_read_sample=self.long_read_sample)
+        return LocusContext(self.cfg, self.read_len, self.insert_dist,
+                            hits, transcripts,
+                            long_read_sample=self.long_read_sample)
+
+    def quantify_cluster(self, cluster: HitCluster,
+                         transcripts: List[Contig], log: TextIO
+                         ) -> Tuple[List[Isoform], Optional[LocusContext]]:
+        """Sample::quantifyCluster (alignments.cpp:1510-1546)."""
+        est = self.build_locus_context(cluster, transcripts, log)
         success = est.estimate_abundances(self.total_mapped_reads, log)
         if success:
             return est.transcripts, est
         return [], None
+
+    def _quantify_batched(self, log: TextIO,
+                          fragfile: Optional[TextIO]) -> List[Isoform]:
+        """Device-batched pass 2: build all locus contexts on host, solve
+        every locus EM as bucketed batched tensor programs on the TPU, then
+        finalize FPKM/filters in cluster order."""
+        from .quant.device import LocusProblem, batched_em
+        from .quant.em import em_init
+
+        pending: List[Tuple[HitCluster, LocusContext]] = []
+        while True:
+            cluster = HitCluster(self.cfg)
+            if self.factory.next_cluster_ref_demand(cluster) == -1:
+                break
+            if cluster.ref_id == -1:
+                continue
+            finalize_cluster(cluster, True)
+            est = self.build_locus_context(cluster, cluster.ref_mrnas, log)
+            pending.append((cluster, est))
+
+        problems = []
+        for _cluster, est in pending:
+            n, alpha = est.build_problem()
+            problems.append(LocusProblem(counts=n, weights=alpha))
+        thetas = batched_em(problems)
+
+        isoforms: List[Isoform] = []
+        for (cluster, est), theta in zip(pending, thetas):
+            if theta is None:
+                continue  # EM init failed: no surviving bins
+            est.finalize_abundances(theta, self.total_mapped_reads, log)
+            isoforms.extend(est.transcripts)
+            if fragfile is not None:
+                from .quant.fragcontext import print_context
+                print_context(self, est, cluster, fragfile)
+        return isoforms
 
     def proc_sample(self, out: TextIO, log: TextIO,
                     fragfile: Optional[TextIO] = None):
@@ -267,23 +308,27 @@ class Sample:
             self.factory.has_load_all_refs = False
 
         isoforms: List[Isoform] = []
-        while True:
-            cluster = HitCluster(self.cfg)
-            if self.factory.next_cluster_ref_demand(cluster) == -1:
-                break
-            if cluster.ref_id == -1:
-                continue
-            finalize_cluster(cluster, True)
-            iso, est = self.quantify_cluster(cluster, cluster.ref_mrnas, log)
-            if fragfile is not None and est is not None:
-                from .quant.fragcontext import print_context
-                print_context(self, est, cluster, fragfile)
-            isoforms.extend(iso)
+        if self.cfg.device_batch:
+            isoforms = self._quantify_batched(log, fragfile)
+        else:
+            while True:
+                cluster = HitCluster(self.cfg)
+                if self.factory.next_cluster_ref_demand(cluster) == -1:
+                    break
+                if cluster.ref_id == -1:
+                    continue
+                finalize_cluster(cluster, True)
+                iso, est = self.quantify_cluster(cluster, cluster.ref_mrnas,
+                                                 log)
+                if fragfile is not None and est is not None:
+                    from .quant.fragcontext import print_context
+                    print_context(self, est, cluster, fragfile)
+                isoforms.extend(iso)
 
         total_fpkm = 0.0
         for iso in isoforms:
             total_fpkm += iso.fpkm
-        for iso in isoforms:
+        for iso in isoforms:  # global (not per-locus) TPM, alignments.cpp:1821
             iso.tpm = 1e6 * iso.fpkm / total_fpkm if total_fpkm != 0 \
                 else float("nan")
             iso.tpm_s = c_str(iso.tpm)

@@ -58,9 +58,7 @@ def _em_bucket(F_raw, u, theta0, valid_row, active, max_iter=MAX_ITER):
     F_norm = jnp.where(colsum != 0, F_raw / jnp.where(colsum == 0, 1, colsum),
                        jnp.zeros_like(F_raw))
 
-    def body(state):
-        it, theta, done, failed = state
-        F = jax.lax.cond(it == 0, lambda: F_raw, lambda: F_norm)
+    def step_once(F, theta, theta_ref, done, failed):
         denom = jnp.einsum("brc,bc->br", F, theta,
                            preferred_element_type=dt)          # (B,R)
         row_fail = (denom == 0.0) & valid_row
@@ -76,9 +74,14 @@ def _em_bucket(F_raw, u, theta0, valid_row, active, max_iter=MAX_ITER):
         # abort leaves the init value, estimate.cpp:449-452,484-487)
         step = ~done & ~converged & ~newly_failed
         theta = jnp.where(step[:, None], next_theta, theta)
-        theta = jnp.where(newly_failed[:, None], theta0, theta)
+        theta = jnp.where(newly_failed[:, None], theta_ref, theta)
         done = done | converged | newly_failed
         failed = failed | newly_failed
+        return theta, done, failed
+
+    def body(state):
+        it, theta, done, failed = state
+        theta, done, failed = step_once(F_norm, theta, theta0, done, failed)
         return it + 1, theta, done, failed
 
     def cond(state):
@@ -86,8 +89,12 @@ def _em_bucket(F_raw, u, theta0, valid_row, active, max_iter=MAX_ITER):
         return (it < max_iter) & ~jnp.all(done)
 
     B = F_raw.shape[0]
-    init = (jnp.asarray(0, jnp.int32), theta0,
-            ~active, jnp.zeros((B,), bool))
+    done0 = ~active
+    failed0 = jnp.zeros((B,), bool)
+    # iteration 1 uses the raw weights (peeled out of the loop); every later
+    # iteration uses the once-normalized F
+    theta1, done1, failed1 = step_once(F_raw, theta0, theta0, done0, failed0)
+    init = (jnp.asarray(1, jnp.int32), theta1, done1, failed1)
     _, theta, _, failed = jax.lax.while_loop(cond, body, init)
     return theta, failed
 
@@ -123,18 +130,21 @@ def batched_em(problems: List[LocusProblem],
         buckets.setdefault((rb, cb), []).append((idx, u, F, total, niso))
 
     for (rb, cb), items in sorted(buckets.items()):
-        B = len(items)
+        # pad the batch dim to a power of two so each (B,R,C) bucket shape
+        # compiles once and is reused via the persistent cache
+        B = max(8, 1 << (len(items) - 1).bit_length())
         F = np.zeros((B, rb, cb), dtype=np.float64)
         u = np.zeros((B, rb), dtype=np.float64)
         theta0 = np.zeros((B, cb), dtype=np.float64)
         valid = np.zeros((B, rb), dtype=bool)
+        active = np.zeros((B,), dtype=bool)
         for b, (idx, uu, FF, total, niso) in enumerate(items):
             r = FF.shape[0]
             F[b, :r, :niso] = FF
             u[b, :r] = uu
             theta0[b, :niso] = total / niso
             valid[b, :r] = True
-        active = np.ones((B,), dtype=bool)
+            active[b] = True
         theta, _failed = _em_bucket(jnp.asarray(F, dtype),
                                     jnp.asarray(u, dtype),
                                     jnp.asarray(theta0, dtype),

@@ -147,20 +147,24 @@ class LocusContext:
                     1.0 / self.transcripts[iso_id].length
 
     # ------------------------------------------------------------------
-    def estimate_abundances(self, total_mapped_reads: int,
-                            log=None) -> bool:
-        """estimate_abundances (estimate.cpp:279-364)."""
-        cfg = self.cfg
+    def build_problem(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Extract the EM inputs: truncated bin counts (vector<int> n,
+        estimate.cpp:284-288) and the raw weight matrix."""
         nrow = len(self.exon_bins)
         niso = len(self.transcripts)
-        # counts are truncated to int (vector<int> n, estimate.cpp:284-288)
-        n = [int(eb.read_count()) for eb in self.exon_bins]
+        n = np.array([int(eb.read_count()) for eb in self.exon_bins],
+                     dtype=np.float64)
         alpha = np.zeros((nrow, niso), dtype=np.float64)
         for i, eb in enumerate(self.exon_bins):
             for j in range(niso):
                 alpha[i, j] = eb.bin_weight_map.get(j, 0.0)
+        return n, alpha
 
-        init = em_init(niso, n, alpha)
+    def estimate_abundances(self, total_mapped_reads: int,
+                            log=None) -> bool:
+        """estimate_abundances (estimate.cpp:279-364)."""
+        n, alpha = self.build_problem()
+        init = em_init(len(self.transcripts), n, alpha)
         if init is None:
             return False
         theta = em_run(*init)
@@ -169,6 +173,13 @@ class LocusContext:
             # output purposes only when init succeeded — em.run's false path
             # (zero denominator) leaves _theta at theta0; replicate
             theta = init[2]
+        return self.finalize_abundances(theta, total_mapped_reads, log)
+
+    def finalize_abundances(self, theta, total_mapped_reads: int,
+                            log=None) -> bool:
+        """FPKM / frac / low-expression filter given solved theta."""
+        cfg = self.cfg
+        niso = len(self.transcripts)
         if log is not None:
             for i in range(niso):
                 log.write(f"isoform {i+1} has {theta[i]:f} raw read count.\n")

@@ -4,9 +4,21 @@ Importing this module enables x64 (the host oracle and the reference's
 Eigen EM are float64; bit-parity tests need f64 on device). Device kernels
 that prefer bf16/f32 for MXU throughput request those dtypes explicitly.
 """
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: bucketed kernel shapes recompile across
+# processes otherwise (first TPU compile is tens of seconds).
+_cache_dir = os.environ.get("STRAWB_JAX_CACHE",
+                            os.path.expanduser("~/.cache/strawberry_tpu_jax"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax without these knobs
+    pass
 
 
 def device_kind() -> str:

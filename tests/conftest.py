@@ -3,11 +3,15 @@ import sys
 
 # Tests run the multi-chip sharding paths on a virtual 8-device CPU mesh
 # (standard JAX trick; real-TPU runs happen via bench.py / the driver).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# NB the ambient environment pins JAX_PLATFORMS=axon (the TPU tunnel), so
+# override hard — setdefault would silently keep the TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
