@@ -1,0 +1,125 @@
+"""ctypes binding to the native host library (libstrawberry_host.so).
+
+Provides load_bam_native() with the identical contract as
+strawberry_tpu.io.bamreader.load_bam (the Python oracle); the test-suite
+asserts array-for-array equality between the two.
+"""
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import Config
+from .bamreader import HitTable
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native", "libstrawberry_host.so")
+_lib = None
+
+
+def _build():
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    subprocess.run([os.path.join(root, "tools", "build_native.sh")],
+                   check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _build()
+    lib = C.CDLL(_LIB_PATH)
+    lib.strawb_bam_load.restype = C.c_void_p
+    lib.strawb_bam_load.argtypes = [C.c_char_p] + [C.c_int32] * 7
+    lib.strawb_bam_error.restype = C.c_char_p
+    lib.strawb_bam_error.argtypes = [C.c_void_p]
+    for name, restype in [
+        ("num_hits", C.c_int64), ("num_feats", C.c_int64),
+        ("paired", C.c_int32), ("num_refs", C.c_int32),
+        ("hist_size", C.c_int32),
+    ]:
+        fn = getattr(lib, f"strawb_bam_{name}")
+        fn.restype = restype
+        fn.argtypes = [C.c_void_p]
+    lib.strawb_bam_ref_names.restype = C.c_char_p
+    lib.strawb_bam_ref_names.argtypes = [C.c_void_p]
+    for name, ct in [
+        ("ref_lens", C.c_int32), ("hist_len", C.c_int32),
+        ("hist_count", C.c_int32), ("ref_id", C.c_int32),
+        ("left", C.c_int64), ("right", C.c_int64), ("strand", C.c_int8),
+        ("flag", C.c_uint16), ("mate_ref", C.c_int32),
+        ("mate_pos", C.c_int64), ("nh", C.c_int32),
+        ("read_id", C.c_uint64), ("cigar_hash", C.c_uint64),
+        ("feat_off", C.c_int64), ("feat_code", C.c_int8),
+        ("feat_left", C.c_int64), ("feat_len", C.c_int32),
+    ]:
+        fn = getattr(lib, f"strawb_bam_{name}")
+        fn.restype = C.POINTER(ct)
+        fn.argtypes = [C.c_void_p]
+    lib.strawb_bam_free.restype = None
+    lib.strawb_bam_free.argtypes = [C.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _arr(ptr, n, dtype):
+    if n == 0:
+        return np.zeros(0, dtype)
+    return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+
+
+def load_bam_native(path: str, config: Optional[Config] = None,
+                    n_threads: int = 0) -> HitTable:
+    cfg = config or Config()
+    lib = get_lib()
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    h = lib.strawb_bam_load(
+        path.encode(), cfg.max_intron_length, cfg.min_intron_length,
+        1 if cfg.use_only_unique_hits else 0,
+        1 if cfg.fr_strand else 0, 1 if cfg.rf_strand else 0,
+        cfg.max_read_num_4_rl, n_threads)
+    if not h:
+        raise IOError(f"cannot open BAM: {path}")
+    try:
+        err = lib.strawb_bam_error(h)
+        if err:
+            raise IOError(f"{path}: {err.decode()}")
+        n = lib.strawb_bam_num_hits(h)
+        nf = lib.strawb_bam_num_feats(h)
+        names = lib.strawb_bam_ref_names(h).decode().split("\n")[:-1]
+        nref = lib.strawb_bam_num_refs(h)
+        hist_n = lib.strawb_bam_hist_size(h)
+        hist = dict(zip(
+            _arr(lib.strawb_bam_hist_len(h), hist_n, np.int32).tolist(),
+            _arr(lib.strawb_bam_hist_count(h), hist_n, np.int32).tolist()))
+        return HitTable(
+            ref_id=_arr(lib.strawb_bam_ref_id(h), n, np.int32),
+            left=_arr(lib.strawb_bam_left(h), n, np.int64),
+            right=_arr(lib.strawb_bam_right(h), n, np.int64),
+            strand=_arr(lib.strawb_bam_strand(h), n, np.int8),
+            flag=_arr(lib.strawb_bam_flag(h), n, np.uint16),
+            mate_ref=_arr(lib.strawb_bam_mate_ref(h), n, np.int32),
+            mate_pos=_arr(lib.strawb_bam_mate_pos(h), n, np.int64),
+            nh=_arr(lib.strawb_bam_nh(h), n, np.int32),
+            read_id=_arr(lib.strawb_bam_read_id(h), n, np.uint64),
+            cigar_hash=_arr(lib.strawb_bam_cigar_hash(h), n, np.uint64),
+            feat_off=_arr(lib.strawb_bam_feat_off(h), n + 1, np.int64),
+            feat_code=_arr(lib.strawb_bam_feat_code(h), nf, np.int8),
+            feat_left=_arr(lib.strawb_bam_feat_left(h), nf, np.int64),
+            feat_len=_arr(lib.strawb_bam_feat_len(h), nf, np.int32),
+            ref_names=[x.lower() for x in names],
+            ref_real_names=names,
+            ref_lens=_arr(lib.strawb_bam_ref_lens(h), nref,
+                          np.int32).tolist(),
+            read_len_hist=hist,
+            paired_end=bool(lib.strawb_bam_paired(h)),
+        )
+    finally:
+        lib.strawb_bam_free(h)

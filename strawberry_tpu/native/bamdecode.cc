@@ -1,0 +1,472 @@
+// Native BAM/BGZF decoder: multithreaded block inflate + record parse into
+// structure-of-arrays buffers consumed zero-copy by numpy (ctypes binding in
+// strawberry_tpu/io/native.py).
+//
+// Replaces the reference's vendored samtools-0.1.19 libbam + the per-record
+// BAMHitFactory::getHitFromBuf loop (ref: src/read.cpp:459-715,
+// external/samtools-0.1.19) with a batch decoder feeding the tensorization
+// pipeline. Filter semantics are identical to the reference (and to the
+// Python oracle in strawberry_tpu/io/bamreader.py, which validates this
+// module):
+//   - unmapped (flag&4 || tid<0) dropped
+//   - zero-length CIGAR op drops the record
+//   - intron (N) length outside [min_intron, max_intron] drops the record
+//   - INS/DEL at cigar index <= 1 or last, or not MATCH-sandwiched, drops
+//   - effective read length (sum of M) <= 1 drops
+//   - NH>1 or secondary flag drops when use_only_unique_hits
+//   - strand from XS tag, else --fr/--rf protocol inference
+//
+// Build: tools/build_native.sh -> strawberry_tpu/native/libstrawberry_host.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+struct BlockRef {
+  size_t comp_off;   // offset of deflate payload within file buffer
+  uint32_t comp_len;
+  uint32_t isize;    // uncompressed size
+  size_t out_off;    // offset within the inflated stream
+};
+
+// ---------------------------------------------------------------- BGZF ----
+// Scan BGZF headers to index all blocks, then inflate in parallel.
+static bool bgzf_index(const uint8_t* data, size_t n,
+                       std::vector<BlockRef>& blocks, size_t& total_out) {
+  size_t pos = 0;
+  total_out = 0;
+  while (pos + 18 <= n) {
+    if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return false;
+    uint16_t xlen;
+    memcpy(&xlen, data + pos + 10, 2);
+    size_t xpos = pos + 12, xend = xpos + xlen;
+    uint32_t bsize = 0;
+    while (xpos + 4 <= xend) {
+      uint8_t si1 = data[xpos], si2 = data[xpos + 1];
+      uint16_t slen;
+      memcpy(&slen, data + xpos + 2, 2);
+      if (si1 == 0x42 && si2 == 0x43 && slen >= 2) {
+        uint16_t v;
+        memcpy(&v, data + xpos + 4, 2);
+        bsize = (uint32_t)v + 1;
+      }
+      xpos += 4 + slen;
+    }
+    if (bsize == 0 || pos + bsize > n) return false;
+    uint32_t isize;
+    memcpy(&isize, data + pos + bsize - 4, 4);
+    if (isize > 0) {
+      BlockRef b;
+      b.comp_off = pos + 12 + xlen;
+      b.comp_len = bsize - 12 - xlen - 8;
+      b.isize = isize;
+      b.out_off = total_out;
+      blocks.push_back(b);
+      total_out += isize;
+    }
+    pos += bsize;
+  }
+  return true;
+}
+
+static bool inflate_block(const uint8_t* src, uint32_t src_len, uint8_t* dst,
+                          uint32_t dst_len) {
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = src_len;
+  zs.next_out = dst;
+  zs.avail_out = dst_len;
+  int ret = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return ret == Z_STREAM_END && zs.total_out == dst_len;
+}
+
+static bool bgzf_inflate_all(const uint8_t* data, size_t n,
+                             std::vector<uint8_t>& out, int n_threads) {
+  std::vector<BlockRef> blocks;
+  size_t total = 0;
+  if (!bgzf_index(data, n, blocks, total)) return false;
+  out.resize(total);
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> pool;
+  std::vector<int> ok(n_threads, 1);
+  size_t nb = blocks.size();
+  for (int t = 0; t < n_threads; ++t) {
+    pool.emplace_back([&, t]() {
+      for (size_t i = t; i < nb; i += n_threads) {
+        const BlockRef& b = blocks[i];
+        if (!inflate_block(data + b.comp_off, b.comp_len,
+                           out.data() + b.out_off, b.isize))
+          ok[t] = 0;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  for (int t = 0; t < n_threads; ++t)
+    if (!ok[t]) return false;
+  return true;
+}
+
+// ---------------------------------------------------------------- FNV ----
+static inline uint64_t fnv1(const char* s) {
+  uint64_t h = 0xcbf29ce484222325ull;
+  for (; *s; ++s) {
+    h *= 1099511628211ull;
+    h ^= (uint8_t)*s;
+  }
+  return h;
+}
+
+// ------------------------------------------------------------- decode ----
+struct Config {
+  int32_t max_intron_length = 300000;
+  int32_t min_intron_length = 20;
+  int32_t use_only_unique_hits = 1;
+  int32_t fr_strand = 0;
+  int32_t rf_strand = 0;
+  int32_t max_read_num_4_rl = 50000;
+};
+
+struct Result {
+  // per accepted hit
+  std::vector<int32_t> ref_id;
+  std::vector<int64_t> left, right;
+  std::vector<int8_t> strand;
+  std::vector<uint16_t> flag;
+  std::vector<int32_t> mate_ref;
+  std::vector<int64_t> mate_pos;
+  std::vector<int32_t> nh;
+  std::vector<uint64_t> read_id, cigar_hash;
+  std::vector<int64_t> feat_off;
+  std::vector<int8_t> feat_code;
+  std::vector<int64_t> feat_left;
+  std::vector<int32_t> feat_len;
+  // header
+  std::string names_blob;  // '\n'-joined reference names
+  std::vector<int32_t> ref_len;
+  // read-length histogram over first max_read_num_4_rl accepted hits
+  std::vector<int32_t> hist_len, hist_count;
+  int32_t paired_end = 0;
+  std::string error;
+};
+
+static int32_t rd_i32(const uint8_t* p) {
+  int32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+static uint32_t rd_u32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+static uint16_t rd_u16(const uint8_t* p) {
+  uint16_t v;
+  memcpy(&v, p, 2);
+  return v;
+}
+
+static bool decode_records(const uint8_t* buf, size_t n, const Config& cfg,
+                           Result& R) {
+  if (getenv("STRAWB_NATIVE_DEBUG"))
+    fprintf(stderr, "[native] inflated %zu bytes\n", n);
+  if (n < 12 || memcmp(buf, "BAM\1", 4) != 0) {
+    R.error = "not a BAM file";
+    return false;
+  }
+  size_t pos = 4;
+  int32_t l_text = rd_i32(buf + pos);
+  pos += 4 + l_text;
+  int32_t n_ref = rd_i32(buf + pos);
+  pos += 4;
+  for (int32_t i = 0; i < n_ref; ++i) {
+    int32_t l_name = rd_i32(buf + pos);
+    pos += 4;
+    R.names_blob.append((const char*)(buf + pos), l_name - 1);
+    R.names_blob.push_back('\n');
+    pos += l_name;
+    R.ref_len.push_back(rd_i32(buf + pos));
+    pos += 4;
+  }
+
+  std::vector<int32_t> hist;  // indexed by seq_len (bounded)
+  int n_hist = 0;
+  R.feat_off.push_back(0);
+  std::vector<std::pair<uint8_t, uint32_t>> ops;
+  ops.reserve(64);
+
+  while (pos + 4 <= n) {
+    int32_t block_size = rd_i32(buf + pos);
+    size_t rec = pos + 4;
+    size_t rec_end = rec + block_size;
+    if (rec_end > n) break;
+    pos = rec_end;
+
+    int32_t tid = rd_i32(buf + rec);
+    int32_t p0 = rd_i32(buf + rec + 4);
+    uint8_t l_read_name = buf[rec + 8];
+    uint16_t n_cigar = rd_u16(buf + rec + 12);
+    uint16_t flag = rd_u16(buf + rec + 14);
+    int32_t l_seq = rd_i32(buf + rec + 16);
+    int32_t mtid = rd_i32(buf + rec + 20);
+    int32_t mpos = rd_i32(buf + rec + 24);
+    const char* qname = (const char*)(buf + rec + 32);
+    size_t cig = rec + 32 + l_read_name;
+
+    if ((flag & 0x4) || tid < 0) continue;
+
+    bool okr = true;
+    int64_t read_len = 0;  // genomic span: M + D + N
+    int64_t seq_len = 0;   // query length: M + S + I + H
+    int64_t eff = 0;       // M only
+    uint64_t chash = 0xcbf29ce484222325ull;
+    ops.clear();
+    for (uint32_t ci = 0; ci < n_cigar; ++ci) {
+      uint32_t v = rd_u32(buf + cig + 4 * ci);
+      chash = (chash ^ (uint64_t)v) * 1099511628211ull;
+      uint32_t op = v & 0xF, ln = v >> 4;
+      if (ln == 0) {
+        okr = false;
+        break;
+      }
+      switch (op) {
+        case 0:  // M
+          read_len += ln;
+          eff += ln;
+          seq_len += ln;
+          ops.emplace_back(0, ln);
+          break;
+        case 1:  // I
+          seq_len += ln;
+          ops.emplace_back(1, ln);
+          break;
+        case 2:  // D
+          read_len += ln;
+          ops.emplace_back(2, ln);
+          break;
+        case 3:  // N
+          read_len += ln;
+          ops.emplace_back(3, ln);
+          if ((int64_t)ln > cfg.max_intron_length ||
+              (int64_t)ln < cfg.min_intron_length)
+            okr = false;
+          break;
+        case 4:  // S
+          seq_len += ln;
+          ops.emplace_back(4, ln);
+          break;
+        case 5:  // H
+          seq_len += ln;
+          break;
+        case 6:  // P
+          break;
+        default:
+          okr = false;
+      }
+      if (!okr) break;
+    }
+    if (!okr) continue;
+    for (size_t i = 0; i < ops.size(); ++i) {
+      if (ops[i].first == 1 || ops[i].first == 2) {
+        if ((int64_t)i - 1 <= 0 || i + 1 >= ops.size()) {
+          okr = false;
+          break;
+        }
+        if (ops[i - 1].first != 0 || ops[i + 1].first != 0) {
+          okr = false;
+          break;
+        }
+      }
+    }
+    if (!okr || eff <= 1) continue;
+
+    if (flag & 0x1) R.paired_end = 1;
+
+    // aux tags: XS (strand), NH
+    int8_t strand = 0;
+    int32_t nh = 1;
+    size_t a = cig + 4 * (size_t)n_cigar + (l_seq + 1) / 2 + l_seq;
+    while (a + 3 <= rec_end) {
+      uint8_t t0 = buf[a], t1 = buf[a + 1], typ = buf[a + 2];
+      a += 3;
+      bool isXS = (t0 == 'X' && t1 == 'S');
+      bool isNH = (t0 == 'N' && t1 == 'H');
+      if (typ == 'A') {
+        if (isXS) {
+          if (buf[a] == '+') strand = 1;
+          else if (buf[a] == '-') strand = 2;
+        }
+        a += 1;
+      } else if (typ == 'c' || typ == 'C') {
+        if (isNH) nh = (typ == 'c') ? (int8_t)buf[a] : buf[a];
+        a += 1;
+      } else if (typ == 's' || typ == 'S') {
+        uint16_t v = rd_u16(buf + a);
+        if (isNH) nh = (typ == 's') ? (int16_t)v : v;
+        a += 2;
+      } else if (typ == 'i' || typ == 'I') {
+        uint32_t v = rd_u32(buf + a);
+        if (isNH) nh = (int32_t)v;
+        a += 4;
+      } else if (typ == 'f') {
+        a += 4;
+      } else if (typ == 'Z' || typ == 'H') {
+        while (a < rec_end && buf[a] != 0) ++a;
+        ++a;
+      } else if (typ == 'B') {
+        uint8_t sub = buf[a];
+        int32_t cnt = rd_i32(buf + a + 1);
+        int sz = (sub == 'c' || sub == 'C') ? 1
+                 : (sub == 's' || sub == 'S') ? 2 : 4;
+        a += 5 + (size_t)cnt * sz;
+      } else {
+        break;
+      }
+    }
+
+    if (strand == 0 && (cfg.fr_strand || cfg.rf_strand)) {
+      bool rev = flag & 0x10;
+      bool key = (cfg.rf_strand && rev) || (cfg.fr_strand && !rev);
+      if (flag & 0x40) strand = key ? 1 : 2;
+      else strand = key ? 2 : 1;
+    }
+
+    if (cfg.use_only_unique_hits && (nh > 1 || (flag & 0x100))) continue;
+
+    // genomic features (readhit_2_genomicFeats: M runs with D merged, N)
+    int64_t off = (int64_t)p0 + 1;
+    size_t nf0 = R.feat_code.size();
+    for (auto& o : ops) {
+      if (o.first == 0) {
+        if (R.feat_code.size() > nf0 && R.feat_code.back() == 0 &&
+            R.feat_left.back() + R.feat_len.back() == off) {
+          R.feat_len.back() += o.second;  // merge M D M
+        } else {
+          R.feat_code.push_back(0);
+          R.feat_left.push_back(off);
+          R.feat_len.push_back(o.second);
+        }
+        off += o.second;
+      } else if (o.first == 3) {
+        R.feat_code.push_back(1);
+        R.feat_left.push_back(off);
+        R.feat_len.push_back(o.second);
+        off += o.second;
+      } else if (o.first == 2) {
+        R.feat_len.back() += o.second;
+        off += o.second;
+      }
+    }
+
+    R.ref_id.push_back(tid);
+    R.left.push_back((int64_t)p0 + 1);
+    R.right.push_back((int64_t)p0 + read_len);
+    R.strand.push_back(strand);
+    R.flag.push_back(flag);
+    R.mate_ref.push_back(mtid >= 0 ? mtid : -1);
+    R.mate_pos.push_back((int64_t)mpos + 1);
+    R.nh.push_back(nh);
+    R.read_id.push_back(fnv1(qname));
+    R.cigar_hash.push_back(chash);
+    R.feat_off.push_back((int64_t)R.feat_code.size());
+
+    if (n_hist < cfg.max_read_num_4_rl) {
+      if ((size_t)seq_len >= hist.size()) hist.resize(seq_len + 1, 0);
+      hist[seq_len]++;
+      n_hist++;
+    }
+  }
+
+  for (size_t l = 0; l < hist.size(); ++l) {
+    if (hist[l]) {
+      R.hist_len.push_back((int32_t)l);
+      R.hist_count.push_back(hist[l]);
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct StrawbBam {
+  Result r;
+};
+
+// Decode a whole BAM file. Returns handle (nullptr on error).
+StrawbBam* strawb_bam_load(const char* path, int32_t max_intron,
+                           int32_t min_intron, int32_t unique_only,
+                           int32_t fr, int32_t rf, int32_t max_hist,
+                           int32_t n_threads) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> raw(sz);
+  if (fread(raw.data(), 1, sz, f) != (size_t)sz) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  auto* h = new StrawbBam();
+  std::vector<uint8_t> buf;
+  if (!bgzf_inflate_all(raw.data(), raw.size(), buf, n_threads)) {
+    h->r.error = "BGZF inflate failed";
+    return h;
+  }
+  Config cfg;
+  cfg.max_intron_length = max_intron;
+  cfg.min_intron_length = min_intron;
+  cfg.use_only_unique_hits = unique_only;
+  cfg.fr_strand = fr;
+  cfg.rf_strand = rf;
+  cfg.max_read_num_4_rl = max_hist;
+  decode_records(buf.data(), buf.size(), cfg, h->r);
+  return h;
+}
+
+const char* strawb_bam_error(StrawbBam* h) {
+  return h->r.error.empty() ? nullptr : h->r.error.c_str();
+}
+
+int64_t strawb_bam_num_hits(StrawbBam* h) { return (int64_t)h->r.ref_id.size(); }
+int64_t strawb_bam_num_feats(StrawbBam* h) { return (int64_t)h->r.feat_code.size(); }
+int32_t strawb_bam_paired(StrawbBam* h) { return h->r.paired_end; }
+int32_t strawb_bam_num_refs(StrawbBam* h) { return (int32_t)h->r.ref_len.size(); }
+const char* strawb_bam_ref_names(StrawbBam* h) { return h->r.names_blob.c_str(); }
+const int32_t* strawb_bam_ref_lens(StrawbBam* h) { return h->r.ref_len.data(); }
+int32_t strawb_bam_hist_size(StrawbBam* h) { return (int32_t)h->r.hist_len.size(); }
+const int32_t* strawb_bam_hist_len(StrawbBam* h) { return h->r.hist_len.data(); }
+const int32_t* strawb_bam_hist_count(StrawbBam* h) { return h->r.hist_count.data(); }
+
+const int32_t* strawb_bam_ref_id(StrawbBam* h) { return h->r.ref_id.data(); }
+const int64_t* strawb_bam_left(StrawbBam* h) { return h->r.left.data(); }
+const int64_t* strawb_bam_right(StrawbBam* h) { return h->r.right.data(); }
+const int8_t* strawb_bam_strand(StrawbBam* h) { return h->r.strand.data(); }
+const uint16_t* strawb_bam_flag(StrawbBam* h) { return h->r.flag.data(); }
+const int32_t* strawb_bam_mate_ref(StrawbBam* h) { return h->r.mate_ref.data(); }
+const int64_t* strawb_bam_mate_pos(StrawbBam* h) { return h->r.mate_pos.data(); }
+const int32_t* strawb_bam_nh(StrawbBam* h) { return h->r.nh.data(); }
+const uint64_t* strawb_bam_read_id(StrawbBam* h) { return h->r.read_id.data(); }
+const uint64_t* strawb_bam_cigar_hash(StrawbBam* h) { return h->r.cigar_hash.data(); }
+const int64_t* strawb_bam_feat_off(StrawbBam* h) { return h->r.feat_off.data(); }
+const int8_t* strawb_bam_feat_code(StrawbBam* h) { return h->r.feat_code.data(); }
+const int64_t* strawb_bam_feat_left(StrawbBam* h) { return h->r.feat_left.data(); }
+const int32_t* strawb_bam_feat_len(StrawbBam* h) { return h->r.feat_len.data(); }
+
+void strawb_bam_free(StrawbBam* h) { delete h; }
+
+}  // extern "C"

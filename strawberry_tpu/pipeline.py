@@ -347,7 +347,11 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
                cmdline: str = "") -> Sample:
     """driver() (Strawberry.cpp:237-371)."""
     log = log or _NullLog()
-    table = load_bam(bam_path, cfg)
+    try:
+        from .io.native import load_bam_native
+        table = load_bam_native(bam_path, cfg)
+    except Exception:
+        table = load_bam(bam_path, cfg)  # portable fallback
     sample = Sample(table, cfg, bam_path)
     if cfg.ref_gtf_filename:
         sample.load_ref_gtf(cfg.ref_gtf_filename)
