@@ -469,4 +469,24 @@ const int32_t* strawb_bam_feat_len(StrawbBam* h) { return h->r.feat_len.data(); 
 
 void strawb_bam_free(StrawbBam* h) { delete h; }
 
+// Strictly sequential float64 summation (matches the reference's
+// `weight += tmp` accumulation order bit-for-bit, which numpy's pairwise
+// reduction would not).
+double strawb_seqsum(const double* v, int64_t n) {
+  double s = 0.0;
+  for (int64_t i = 0; i < n; ++i) s += v[i];
+  return s;
+}
+
+// Batched sequential summation over ragged segments: for each k,
+// out[k] = sum(v[off[k] .. off[k+1]-1]) left-to-right.
+void strawb_seqsum_batch(const double* v, const int64_t* off, int64_t nseg,
+                         double* out) {
+  for (int64_t k = 0; k < nseg; ++k) {
+    double s = 0.0;
+    for (int64_t i = off[k]; i < off[k + 1]; ++i) s += v[i];
+    out[k] = s;
+  }
+}
+
 }  // extern "C"

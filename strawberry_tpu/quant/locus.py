@@ -113,8 +113,14 @@ class LocusContext:
                     self._set_maps(iso.id, frag_len, mp.mass, mp, coords)
 
     # ------------------------------------------------------------------
-    def _set_theory_bin_weight(self):
-        """set_theory_bin_weight (estimate.cpp:201-234)."""
+    def _set_theory_bin_weight(self, vectorized: bool = True):
+        """set_theory_bin_weight (estimate.cpp:201-234).
+
+        The vectorized fast path computes identical float64 bits (integer
+        effective lengths + libm pdf table + strict-order native sums); the
+        scalar path is the literal oracle used by tests."""
+        if vectorized:
+            return self._set_theory_bin_weight_vec()
         dist = self.insert_dist
         for iso_id in sorted(self.iso_2_bins_map.keys()):
             iso = self.transcripts[iso_id]
@@ -138,6 +144,50 @@ class LocusContext:
                     weight += (dist.emp_dist_pdf(fl) * le_eff
                                / (iso.length - fl + 1))
                 eb.bin_weight_map[iso_id] = weight
+
+    def _set_theory_bin_weight_vec(self):
+        from .binweights import effective_len_vec, pdf_table, seqsum_batch
+        dist = self.insert_dist
+        tbl = getattr(dist, "_pdf_table", None)
+        max_len = max((iso.length for iso in self.transcripts), default=0)
+        if tbl is None or len(tbl) <= max_len:
+            tbl = pdf_table(dist, max(max_len, 4096))
+            dist._pdf_table = tbl
+
+        pairs = []
+        terms_list = []
+        offsets = [0]
+        total = 0
+        for iso_id in sorted(self.iso_2_bins_map.keys()):
+            iso = self.transcripts[iso_id]
+            for bin_idx in sorted(self.iso_2_bins_map[iso_id]):
+                eb = self.exon_bins[bin_idx]
+                implicit_idx, exon_coords = bin_under_iso(eb.coords,
+                                                          iso.exon_segs)
+                seg_lens = [c[1] - c[0] + 1 for c in exon_coords]
+                lmax = sum(seg_lens)
+                lmin = dist.start_offset if dist.use_emp else self.read_len
+                if len(seg_lens) > 2:
+                    lmin = max(lmin, sum(seg_lens[1:-1]))
+                fl = np.arange(lmin, lmax + 1, dtype=np.int64)
+                if len(fl) == 0:
+                    pairs.append((iso_id, bin_idx))
+                    offsets.append(total)
+                    continue
+                eff = effective_len_vec(seg_lens, implicit_idx, fl,
+                                        self.read_len)
+                terms = tbl[fl] * eff / (iso.length - fl + 1)
+                pairs.append((iso_id, bin_idx))
+                terms_list.append(terms)
+                total += len(terms)
+                offsets.append(total)
+        if not pairs:
+            return
+        flat = np.concatenate(terms_list) if terms_list else \
+            np.zeros(0, np.float64)
+        sums = seqsum_batch(flat, np.asarray(offsets, np.int64))
+        for (iso_id, bin_idx), w in zip(pairs, sums):
+            self.exon_bins[bin_idx].bin_weight_map[iso_id] = float(w)
 
     def _set_bin_weight_without_frag_dist(self):
         """Long-read path: weight = 1/L (estimate.cpp:236-247)."""

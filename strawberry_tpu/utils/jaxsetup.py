@@ -10,6 +10,13 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# The ambient axon plugin pins jax_platforms programmatically (env
+# JAX_PLATFORMS is overridden at interpreter start), so offer our own
+# escape hatch for tests/CI: STRAWB_PLATFORM=cpu forces the CPU backend.
+_plat = os.environ.get("STRAWB_PLATFORM")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
 # Persistent compilation cache: bucketed kernel shapes recompile across
 # processes otherwise (first TPU compile is tens of seconds).
 _cache_dir = os.environ.get("STRAWB_JAX_CACHE",

@@ -22,8 +22,9 @@ def run_both(tmp_path, reference_binary, extra_args=(), use_gtf=True,
         out = str(tmp_path / f"{tag}.gtf")
         args = cmd + (["-g", gtf] if use_gtf else []) + list(extra_args) + \
             ["-o", out, "-T", str(tmp_path / f"{tag}.log"), bam]
+        env = dict(os.environ, STRAWB_PLATFORM="cpu")
         r = subprocess.run(args, capture_output=True, text=True, timeout=600,
-                           cwd="/root/repo")
+                           cwd="/root/repo", env=env)
         assert r.returncode == 0, (tag, r.stderr[-2000:])
         outs[tag] = [l for l in open(out) if not l.startswith("#")]
     return outs

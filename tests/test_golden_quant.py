@@ -20,11 +20,12 @@ def run_both(tmp_path, reference_binary, extra_args=(), **dataset_kw):
         ("ours", [sys.executable, "-m", "strawberry_tpu.cli"]),
     ]:
         out = str(tmp_path / f"{tag}.gtf")
+        env = dict(os.environ, STRAWB_PLATFORM="cpu")
         r = subprocess.run(
             cmd + ["-g", gtf, *extra_args, "-o", out,
                    "-T", str(tmp_path / f"{tag}.log"), bam],
             capture_output=True, text=True, timeout=600,
-            cwd="/root/repo")
+            cwd="/root/repo", env=env)
         assert r.returncode == 0, (tag, r.stderr[-2000:])
         outs[tag] = [l for l in open(out) if not l.startswith("#")]
     return outs
