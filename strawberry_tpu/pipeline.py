@@ -50,6 +50,7 @@ class Sample:
         self.insert_dist: Optional[InsertSize] = None
         self.long_read_sample = False
         self.read_len = table.read_len_mode()
+        self.fasta = None  # FastaInterface when -b is given
 
     # ------------------------------------------------------------------
     @property
@@ -291,8 +292,18 @@ class Sample:
             isoforms.extend(est.transcripts)
             if fragfile is not None:
                 from .quant.fragcontext import print_context
-                print_context(self, est, cluster, fragfile)
+                fa = self._chrom_fasta(cluster.ref_id)
+                print_context(self, est, cluster, fragfile, fa_getter=fa,
+                              bias_correction=self.cfg.bias_correction)
         return isoforms
+
+    def _chrom_fasta(self, ref_id: int):
+        if self.fasta is None or ref_id < 0:
+            return None
+        name = self.table.ref_real_names[ref_id]
+        if not self.fasta.load_chrom(name):
+            return None
+        return self.fasta
 
     def proc_sample(self, out: TextIO, log: TextIO,
                     fragfile: Optional[TextIO] = None):
@@ -322,7 +333,9 @@ class Sample:
                                                  log)
                 if fragfile is not None and est is not None:
                     from .quant.fragcontext import print_context
-                    print_context(self, est, cluster, fragfile)
+                    fa = self._chrom_fasta(cluster.ref_id)
+                    print_context(self, est, cluster, fragfile, fa_getter=fa,
+                                  bias_correction=self.cfg.bias_correction)
                 isoforms.extend(iso)
 
         total_fpkm = 0.0
@@ -357,6 +370,9 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
         sample.load_ref_gtf(cfg.ref_gtf_filename)
     sample.long_read_sample = table.is_long_read_sample(cfg.long_read_len) \
         or cfg.long_read_sample
+    if cfg.bias_correction and cfg.ref_fasta_file:
+        from .io.fasta import FastaInterface
+        sample.fasta = FastaInterface(cfg.ref_fasta_file)
 
     if cfg.no_assembly:
         sample.pre_process(log)

@@ -154,9 +154,13 @@ def simulate_reads(rng: random.Random, txs: Sequence[SimTranscript],
                    abundances: Optional[Sequence[float]],
                    n_frags: int, read_len: int = 75,
                    frag_mean: float = 250.0, frag_sd: float = 40.0,
-                   paired: bool = True, with_xs: bool = True
+                   paired: bool = True, with_xs: bool = True,
+                   read_len_range: Optional[Tuple[int, int]] = None
                    ) -> List[Tuple[str, BamRecord]]:
-    """Sample fragments; returns (chrom, record) pairs, unsorted."""
+    """Sample fragments; returns (chrom, record) pairs, unsorted.
+
+    read_len_range: per-read length drawn uniformly (long-read / PacBio CCS
+    simulation; implies single-end semantics per record)."""
     if abundances is None:
         abundances = [1.0] * len(txs)
     weights = [a * t.length for a, t in zip(abundances, txs)]
@@ -173,6 +177,17 @@ def simulate_reads(rng: random.Random, txs: Sequence[SimTranscript],
         while ti < len(cum) - 1 and u > cum[ti]:
             ti += 1
         t = txs[ti]
+        if read_len_range is not None:
+            rl = min(t.length, rng.randint(*read_len_range))
+            s = rng.randrange(0, t.length - rl + 1)
+            pos0, cig = t.cigar_for(s, rl)
+            tags = [("NH", "i", 1)]
+            if with_xs:
+                tags.append(("XS", "A", t.strand))
+            rec = BamRecord(qname=f"frag{fi:08d}", flag=0, ref_id=-1,
+                            pos=pos0, cigar=cig, seq="A" * rl, tags=tags)
+            records.append((t.chrom, rec))
+            continue
         if paired:
             fl = int(rng.gauss(frag_mean, frag_sd))
             fl = max(read_len + 10, min(fl, t.length))
@@ -226,24 +241,59 @@ def write_bam(path: str, chroms: Dict[str, int],
             bw.write(rec)
 
 
+def write_gff3(path: str, txs: Sequence[SimTranscript]):
+    """GFF3 annotation (ID=/Parent= attributes, gene->mRNA->exon)."""
+    genes = {}
+    for t in txs:
+        genes.setdefault(t.gene_id, []).append(t)
+    with open(path, "w") as fh:
+        fh.write("##gff-version 3\n")
+        for gid, gtxs in genes.items():
+            gl = min(t.exons[0][0] for t in gtxs)
+            gr = max(t.exons[-1][1] for t in gtxs)
+            chrom, strand = gtxs[0].chrom, gtxs[0].strand
+            # Ensembl-style ID prefixes: the reference reclassifies features
+            # by substring of the ID ("transcript"/"gene", gff.cpp:196-197),
+            # so bare IDs like "g1.t1" would be misparsed — by the reference
+            # and (faithfully) by us.
+            fh.write(f"{chrom}\tsim\tgene\t{gl}\t{gr}\t.\t{strand}\t.\t"
+                     f"ID=gene:{gid};Name={gid}\n")
+            for t in gtxs:
+                fh.write(f"{chrom}\tsim\tmRNA\t{t.exons[0][0]}\t"
+                         f"{t.exons[-1][1]}\t.\t{strand}\t.\t"
+                         f"ID=transcript:{t.tx_id};Parent=gene:{gid}\n")
+                for (l, r) in t.exons:
+                    fh.write(f"{chrom}\tsim\texon\t{l}\t{r}\t.\t{strand}"
+                             f"\t.\tParent=transcript:{t.tx_id}\n")
+
+
 def make_dataset(outdir: str, seed: int = 42, n_genes_hint: int = 10,
                  chrom_len: int = 300_000, n_chroms: int = 1,
                  n_frags: int = 2000, read_len: int = 75,
                  paired: bool = True, max_isoforms: int = 3,
-                 with_xs: bool = True, abundance_seed: Optional[int] = None):
+                 with_xs: bool = True, abundance_seed: Optional[int] = None,
+                 read_len_range: Optional[Tuple[int, int]] = None,
+                 annotation_format: str = "gtf"):
     """Convenience: genome + GTF + BAM in outdir. Returns (bam, gtf, txs)."""
     import os
     os.makedirs(outdir, exist_ok=True)
     rng = random.Random(seed)
     chroms = {f"chr{i+1}": chrom_len for i in range(n_chroms)}
-    txs = make_genes(rng, chroms, n_genes_hint, max_isoforms=max_isoforms)
+    exon_len = (80, 400) if read_len_range is None else (300, 900)
+    txs = make_genes(rng, chroms, n_genes_hint, max_isoforms=max_isoforms,
+                     exon_len=exon_len)
     arng = random.Random(abundance_seed if abundance_seed is not None
                          else seed + 1)
     abund = [arng.uniform(0.2, 5.0) for _ in txs]
     recs = simulate_reads(rng, txs, abund, n_frags, read_len=read_len,
-                          paired=paired, with_xs=with_xs)
+                          paired=paired, with_xs=with_xs,
+                          read_len_range=read_len_range)
     bam = os.path.join(outdir, "sample_01.sorted.bam")
-    gtf = os.path.join(outdir, "annotation.gtf")
     write_bam(bam, chroms, recs)
-    write_gtf(gtf, txs)
+    if annotation_format == "gff3":
+        gtf = os.path.join(outdir, "annotation.gff3")
+        write_gff3(gtf, txs)
+    else:
+        gtf = os.path.join(outdir, "annotation.gtf")
+        write_gtf(gtf, txs)
     return bam, gtf, txs
