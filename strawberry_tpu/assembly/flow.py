@@ -284,117 +284,41 @@ class FlowNetwork:
         g.add_arc(self.sink, self.source)
 
     # ------------------------------------------------------------------
+    def dense_problem(self, cost_map: Dict[int, int],
+                      min_flow_map: Dict[int, int]):
+        """Dense (M,M) matrices for the pair-unique flow graph."""
+        import numpy as np
+        g = self.g
+        M = g.n_nodes
+        cost = np.zeros((M, M), dtype=np.int64)
+        has_arc = np.zeros((M, M), dtype=bool)
+        lower = np.zeros((M, M), dtype=np.int64)
+        for a in range(g.n_arcs()):
+            u, v = g.arc_src[a], g.arc_dst[a]
+            has_arc[u, v] = True
+            cost[u, v] = cost_map.get(a, 0)
+            lower[u, v] = min_flow_map.get(a, 0)
+        return cost, has_arc, lower
+
     def min_cost_flow(self, cost_map: Dict[int, int],
-                      min_flow_map: Dict[int, int]) -> Optional[Dict[int, int]]:
+                      min_flow_map: Dict[int, int]
+                      ) -> Optional[Dict[int, int]]:
         """Min-cost circulation with lower bounds, upper = INF.
 
-        Exact successive-shortest-paths on the residual network (Bellman-
-        Ford; negative residual arcs come from the lower-bound transform).
-        Equivalent optimum to the reference's NetworkSimplex run
-        (assembly.cpp:896-904) whenever the optimum is unique; tie cases are
-        validated against golden outputs.
-        Returns arc -> flow, or None if infeasible.
+        Delegates to the dense synchronous-Bellman-Ford SSP spec shared
+        with the batched device kernel (assembly/mincostflow.py). Same
+        optimum as the reference's NetworkSimplex run (assembly.cpp:
+        896-904) whenever the optimum is unique; tie cases are validated
+        against golden outputs. Returns arc -> flow, or None if infeasible.
         """
+        from .mincostflow import solve_dense
         g = self.g
-        n = g.n_nodes
-        INF_CAP = 1 << 40
-        m = g.n_arcs()
-        flow = [0] * m
-        excess = [0] * n
-        for a in range(m):
-            lb = min_flow_map.get(a, 0)
-            if lb:
-                flow[a] = lb
-                excess[g.arc_dst[a]] += lb
-                excess[g.arc_src[a]] -= lb
-
-        # residual arcs as (to, cap, cost, paired_index); forward arc 2a,
-        # backward 2a+1
-        radj: List[List[int]] = [[] for _ in range(n + 2)]
-        rto = []
-        rcap = []
-        rcost = []
-        for a in range(m):
-            u, v = g.arc_src[a], g.arc_dst[a]
-            c = cost_map.get(a, 0)
-            lb = min_flow_map.get(a, 0)
-            rto.append(v); rcap.append(INF_CAP - lb); rcost.append(c)
-            rto.append(u); rcap.append(0); rcost.append(-c)
-            radj[u].append(2 * a)
-            radj[v].append(2 * a + 1)
-        S, T = n, n + 1
-        total = 0
-        base = 2 * m
-        extra_to, extra_cap, extra_cost = [], [], []
-        for v in range(n):
-            if excess[v] > 0:
-                extra_to.append(v); extra_cap.append(excess[v]); extra_cost.append(0)
-                extra_to.append(S); extra_cap.append(0); extra_cost.append(0)
-                radj[S].append(base + len(extra_to) - 2)
-                radj[v].append(base + len(extra_to) - 1)
-                total += excess[v]
-            elif excess[v] < 0:
-                extra_to.append(T); extra_cap.append(-excess[v]); extra_cost.append(0)
-                extra_to.append(v); extra_cap.append(0); extra_cost.append(0)
-                radj[v].append(base + len(extra_to) - 2)
-                radj[T].append(base + len(extra_to) - 1)
-        rto += extra_to
-        rcap += extra_cap
-        rcost += extra_cost
-
-        def other(e):
-            return e ^ 1
-
-        sent = 0
-        while sent < total:
-            # Bellman-Ford from S
-            dist = [math.inf] * (n + 2)
-            inq = [False] * (n + 2)
-            prev_edge = [-1] * (n + 2)
-            dist[S] = 0
-            queue = [S]
-            inq[S] = True
-            qi = 0
-            while qi < len(queue):
-                u = queue[qi]
-                qi += 1
-                inq[u] = False
-                du = dist[u]
-                for e in radj[u]:
-                    if rcap[e] > 0:
-                        w = rto[e]
-                        nd = du + rcost[e]
-                        if nd < dist[w]:
-                            dist[w] = nd
-                            prev_edge[w] = e
-                            if not inq[w]:
-                                queue.append(w)
-                                inq[w] = True
-            if not math.isfinite(dist[T]):
-                return None  # infeasible
-            # bottleneck
-            bott = 1 << 60
-            # walk back
-            v = T
-            while v != S:
-                e = prev_edge[v]
-                bott = min(bott, rcap[e])
-                # find tail of e: rto[other(e)]
-                v = rto[other(e)]
-            v = T
-            while v != S:
-                e = prev_edge[v]
-                rcap[e] -= bott
-                rcap[other(e)] += bott
-                v = rto[other(e)]
-            sent += bott
-
-        out: Dict[int, int] = {}
-        for a in range(m):
-            lb = min_flow_map.get(a, 0)
-            fwd_used = (INF_CAP - lb) - rcap[2 * a]
-            out[a] = lb + fwd_used
-        return out
+        cost, has_arc, lower = self.dense_problem(cost_map, min_flow_map)
+        fm = solve_dense(cost, has_arc, lower)
+        if fm is None:
+            return None
+        return {a: int(fm[g.arc_src[a], g.arc_dst[a]])
+                for a in range(g.n_arcs())}
 
     # ------------------------------------------------------------------
     def flow_decompose(self, flow: Dict[int, int],
@@ -440,17 +364,25 @@ class FlowNetwork:
                       cost_map: Dict[int, int],
                       min_flow_map: Dict[int, int]
                       ) -> Optional[List[List[Feature]]]:
-        """solveNetwork (assembly.cpp:882-980)."""
+        """solveNetwork (assembly.cpp:882-980), host flow solve."""
+        self.add_sink_source()
+        flow = self.min_cost_flow(cost_map, min_flow_map)
+        if flow is None:
+            return None
+        return self.reconstruct(node2exon, exons, path_cstrs, cost_map, flow)
+
+    def reconstruct(self, node2exon: Dict[int, int], exons: List[ExonSeg],
+                    path_cstrs: List[List[int]],
+                    cost_map: Dict[int, int],
+                    flow: Dict[int, int]
+                    ) -> Optional[List[List[Feature]]]:
+        """Greedy decomposition + transcript rebuild from a solved flow
+        (tail of solveNetwork, assembly.cpp:925-980)."""
         g = self.g
         cfg = self.cfg
         transcripts: List[List[Feature]] = []
         if len(exons) == 1:
             transcripts.append([exons[0].feature])
-
-        self.add_sink_source()
-        flow = self.min_cost_flow(cost_map, min_flow_map)
-        if flow is None:
-            return None
 
         paths = self.flow_decompose(flow, cost_map)
 

@@ -37,6 +37,20 @@ class _NullLog:
         pass
 
 
+@dataclass
+class AsmTask:
+    """One per-segment assembly unit awaiting its flow solve."""
+    strand: int = 0
+    ref_id: int = -1
+    fn: object = None
+    exons: object = None
+    node2exon: dict = field(default_factory=dict)
+    cost_map: dict = field(default_factory=dict)
+    min_flow_map: dict = field(default_factory=dict)
+    path_cstrs: list = field(default_factory=list)
+    dense: tuple = None
+
+
 class Sample:
     def __init__(self, table: HitTable, cfg: Config, bam_path: str = "sample"):
         self.table = table
@@ -90,31 +104,28 @@ class Sample:
         log.write(f"Number of total unique hits: {len(cluster.uniq_hits)}\n\n")
 
     # ------------------------------------------------------------------
-    def assemble_contig(self, l: int, r: int, strand: int,
-                        hits: List[Contig]) -> List[Contig]:
-        """Sample::assembleContig (alignments.cpp:64-117)."""
+    def prepare_contig_task(self, l: int, r: int, strand: int,
+                            hits: List[Contig]):
+        """First (host) half of Sample::assembleContig (alignments.cpp:
+        64-117): coverage, intron filters, splice graph, flow network
+        construction. Returns an AsmTask whose dense flow problem (if any)
+        can be solved on host or batched on the TPU."""
         cfg = self.cfg
+        task = AsmTask(strand=strand)
         if not hits:
-            return []
+            return task
         ref_id = hits[0].ref_id
         exon_doc = np.zeros(r - l + 1, dtype=np.float32)
         intron_counter: IntronMap = {}
         avg_dep = compute_doc(l, r, hits, exon_doc, intron_counter,
                               cfg.min_anchor)
         if avg_dep < cfg.min_depth_4_locus:
-            return []
+            return task
         filter_intron(cfg, l, self.read_len, exon_doc, intron_counter)
 
         exons = splicing_graph(cfg, l, exon_doc, intron_counter)
         if exons is None:
-            return []
-        return self.run_flow_algorithm(strand, hits, intron_counter, exons,
-                                       ref_id)
-
-    def run_flow_algorithm(self, strand: int, hits: List[Contig],
-                           intron_counter: IntronMap, exons,
-                           ref_id: int) -> List[Contig]:
-        """Sample::runFlowAlgorithm (alignments.cpp:119-144)."""
+            return task
         fn = FlowNetwork(self.cfg)
         node2exon = {}
         cost_map = {}
@@ -123,22 +134,58 @@ class Sample:
         ok = fn.create_network(hits, exons, intron_counter, node2exon,
                                cost_map, min_flow_map, path_cstrs)
         if not ok:
+            return task
+        task.ref_id = ref_id
+        task.fn = fn
+        task.exons = exons
+        task.node2exon = node2exon
+        task.cost_map = cost_map
+        task.min_flow_map = min_flow_map
+        task.path_cstrs = path_cstrs
+        # add_sink_source mutates the graph; do it now so the dense problem
+        # includes source/sink/circulation arcs (solveNetwork order kept)
+        fn.add_sink_source()
+        task.dense = fn.dense_problem(cost_map, min_flow_map)
+        return task
+
+    def finish_contig_task(self, task, flow_matrix) -> List[Contig]:
+        """Second half: flow decomposition + transcript reconstruction +
+        assemble_2_contigs, given the solved flow matrix."""
+        if task.fn is None:
             return []
-        transcripts = fn.solve_network(node2exon, exons, path_cstrs,
-                                       cost_map, min_flow_map)
+        fn = task.fn
+        if flow_matrix is None:
+            return []
+        g = fn.g
+        flow = {a: int(flow_matrix[g.arc_src[a], g.arc_dst[a]])
+                for a in range(g.n_arcs())}
+        transcripts = fn.reconstruct(task.node2exon, task.exons,
+                                     task.path_cstrs, task.cost_map, flow)
         if transcripts is None:
             return []
-        return assemble_2_contigs(transcripts, exons, ref_id, strand,
-                                  self.cfg)
+        return assemble_2_contigs(transcripts, task.exons, task.ref_id,
+                                  task.strand, self.cfg)
+
+    def assemble_contig(self, l: int, r: int, strand: int,
+                        hits: List[Contig]) -> List[Contig]:
+        """Sample::assembleContig (alignments.cpp:64-117), host solve."""
+        from .assembly.mincostflow import solve_dense
+        task = self.prepare_contig_task(l, r, strand, hits)
+        if task.fn is None:
+            return []
+        fm = solve_dense(*task.dense)
+        return self.finish_contig_task(task, fm)
 
     # ------------------------------------------------------------------
-    def assemble_cluster(self, cluster: HitCluster, log: TextIO
-                         ) -> List[Contig]:
-        """Sample::assembleCluster (alignments.cpp:1429-1507)."""
+    def prepare_cluster_assembly(self, cluster: HitCluster):
+        """First half of Sample::assembleCluster (alignments.cpp:1429-1507):
+        build per-segment flow problems. Returns None when the cluster is
+        skipped entirely (too few reads), else a list of ("ref"|"seg",
+        AsmTask) units."""
         cfg = self.cfg
-        result: List[Contig] = []
         if len(cluster.uniq_hits) < cfg.min_read_for_assemb:
-            return result
+            return None
+        units = []
         if cluster.ref_mrnas and cfg.utilize_ref_models:
             cluster_left = min(r.left for r in cluster.ref_mrnas)
             cluster_right = max(r.right for r in cluster.ref_mrnas)
@@ -154,17 +201,9 @@ class Sample:
                 if (h.strand == STRAND_UNKNOWN
                         or h.strand == cluster.ref_strand()):
                     hits.append(h)
-            assembled = self.assemble_contig(cluster_left, cluster_right,
-                                             cluster.ref_strand(), hits)
-            self.num_cluster += 1
-            cluster.id = self.num_cluster
-            for tid, asmb in enumerate(assembled, start=1):
-                asmb.parent_id = f"{self.sample_name}.{cluster.id}"
-                asmb.ref_gene_id = cluster.ref_mrnas[0].ref_gene_id
-                asmb.ref_gene_name = cluster.ref_mrnas[0].ref_gene_name
-                asmb.trans_id = f"{asmb.parent_id}.{tid}"
-            self.frag_len_dist(assembled, cluster, log)
-            return assembled
+            units.append(("ref", self.prepare_contig_task(
+                cluster_left, cluster_right, cluster.ref_strand(), hits)))
+            return units
 
         cluster.refine_cluster()
         uniq_contigs = [cluster.pair_to_contig(ph) for ph in cluster.uniq_hits]
@@ -177,8 +216,30 @@ class Sample:
                     continue
                 if h.strand == STRAND_UNKNOWN or h.strand == seg.strand:
                     hits.append(h)
-            assembled = self.assemble_contig(seg.left, seg.right,
-                                             seg.strand, hits)
+            units.append(("seg", self.prepare_contig_task(
+                seg.left, seg.right, seg.strand, hits)))
+        return units
+
+    def finish_cluster_assembly(self, cluster: HitCluster, units,
+                                flows, log: TextIO) -> List[Contig]:
+        """Second half: decompose solved flows, name transcripts, learn
+        fragment lengths."""
+        if units is None:
+            return []
+        result: List[Contig] = []
+        if units and units[0][0] == "ref":
+            assembled = self.finish_contig_task(units[0][1], flows[0])
+            self.num_cluster += 1
+            cluster.id = self.num_cluster
+            for tid, asmb in enumerate(assembled, start=1):
+                asmb.parent_id = f"{self.sample_name}.{cluster.id}"
+                asmb.ref_gene_id = cluster.ref_mrnas[0].ref_gene_id
+                asmb.ref_gene_name = cluster.ref_mrnas[0].ref_gene_name
+                asmb.trans_id = f"{asmb.parent_id}.{tid}"
+            self.frag_len_dist(assembled, cluster, log)
+            return assembled
+        for (_kind, task), fm in zip(units, flows):
+            assembled = self.finish_contig_task(task, fm)
             self.num_cluster += 1
             cluster.id = self.num_cluster
             for tid, asmb in enumerate(assembled, start=1):
@@ -188,9 +249,22 @@ class Sample:
         self.frag_len_dist(result, cluster, log)
         return result
 
+    def assemble_cluster(self, cluster: HitCluster, log: TextIO
+                         ) -> List[Contig]:
+        """Sample::assembleCluster (alignments.cpp:1429-1507), host solve."""
+        from .assembly.mincostflow import solve_dense
+        units = self.prepare_cluster_assembly(cluster)
+        if units is None:
+            return []
+        flows = [solve_dense(*t.dense) if t.fn is not None else None
+                 for (_k, t) in units]
+        return self.finish_cluster_assembly(cluster, units, flows, log)
+
     # ------------------------------------------------------------------
     def assemble_sample(self, log: TextIO):
         """Pass 1 (alignments.cpp:1658-1729)."""
+        if self.cfg.device_batch:
+            return self._assemble_batched(log)
         self.num_cluster = 0
         while True:
             cluster = HitCluster(self.cfg)
@@ -200,6 +274,44 @@ class Sample:
                 continue
             finalize_cluster(cluster, True)
             asmb = self.assemble_cluster(cluster, log)
+            self.assembly.extend(asmb)
+            ref_name = self.table.ref_real_names[cluster.ref_id]
+            log.write(f"Inspect gene: {ref_name}:{cluster.leftmost}-"
+                      f"{cluster.rightmost}\n")
+            log.write(f"Has inspected {self.total_mapped_reads} reads\n")
+
+    def _assemble_batched(self, log: TextIO):
+        """Device pass 1: prepare every cluster's flow problems on host,
+        solve them as one bucketed batch of DPs on the TPU, then finish in
+        cluster order (ids, naming, fragment-length learning)."""
+        from .assembly.device import batched_mcf
+        self.num_cluster = 0
+        collected = []
+        while True:
+            cluster = HitCluster(self.cfg)
+            if self.factory.next_cluster_refguide(cluster) == -1:
+                break
+            if cluster.ref_id == -1:
+                continue
+            finalize_cluster(cluster, True)
+            collected.append((cluster, self.prepare_cluster_assembly(cluster)))
+
+        problems = []
+        index = []
+        for ci, (_cluster, units) in enumerate(collected):
+            if not units:
+                continue
+            for ui, (_k, task) in enumerate(units):
+                if task.fn is not None:
+                    index.append((ci, ui))
+                    problems.append(task.dense)
+        flows_flat = batched_mcf(problems)
+        flowmap = dict(zip(index, flows_flat))
+
+        for ci, (cluster, units) in enumerate(collected):
+            flows = [flowmap.get((ci, ui))
+                     for ui in range(len(units or []))]
+            asmb = self.finish_cluster_assembly(cluster, units, flows, log)
             self.assembly.extend(asmb)
             ref_name = self.table.ref_real_names[cluster.ref_id]
             log.write(f"Inspect gene: {ref_name}:{cluster.leftmost}-"
