@@ -1,0 +1,167 @@
+"""Data-parallel (multi-shard / multi-host) pipeline.
+
+The genome is split into per-shard coordinate ranges (chromosome
+granularity — the cluster scan never crosses chromosomes, so the split is
+exact); each shard runs the two-pass pipeline on its reads + annotation
+subset. The only cross-shard state (SURVEY §2 "parallelism accounting") is:
+
+  pass 1 -> pass 2:  fragment-length histogram + total mapped reads
+                     (all-reduce; ref: src/alignments.cpp:1372,1401)
+  output:            the global FPKM sum for TPM normalization + ordered
+                     GTF merge (gather; ref: alignments.cpp:1821-1829)
+
+Reductions ride the mesh collectives (parallel/collectives.py); on a real
+pod each shard is a host process (jax.distributed) and the same psums run
+over ICI/DCN. Output is byte-identical to the single-shard pipeline (the
+test-suite asserts this on an 8-virtual-device CPU mesh).
+"""
+from __future__ import annotations
+
+import io
+from dataclasses import replace
+from typing import List, Optional, TextIO, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..io.bamreader import HitTable
+from ..io.gtfwriter import print2gtf
+from ..pipeline import Sample, _NullLog
+from ..quant.locus import Isoform, c_str
+from .collectives import allreduce_hist, allreduce_scalar
+from .mesh import make_mesh
+
+
+def shard_table(table: HitTable, ref_ids: List[int]) -> HitTable:
+    """Row-subset of a HitTable for the given chromosomes (global ref ids
+    kept, so annotations and output naming stay consistent)."""
+    mask = np.isin(table.ref_id, ref_ids)
+    idx = np.nonzero(mask)[0]
+    # rebuild the feature ragged arrays for the kept rows
+    lens = (table.feat_off[1:] - table.feat_off[:-1])[idx]
+    new_off = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    fidx = np.concatenate([
+        np.arange(table.feat_off[i], table.feat_off[i + 1])
+        for i in idx]) if len(idx) else np.zeros(0, np.int64)
+    return HitTable(
+        ref_id=table.ref_id[idx], left=table.left[idx],
+        right=table.right[idx], strand=table.strand[idx],
+        flag=table.flag[idx], mate_ref=table.mate_ref[idx],
+        mate_pos=table.mate_pos[idx], nh=table.nh[idx],
+        read_id=table.read_id[idx], cigar_hash=table.cigar_hash[idx],
+        feat_off=new_off, feat_code=table.feat_code[fidx],
+        feat_left=table.feat_left[fidx], feat_len=table.feat_len[fidx],
+        ref_names=table.ref_names, ref_real_names=table.ref_real_names,
+        ref_lens=table.ref_lens, read_len_hist=table.read_len_hist,
+        paired_end=table.paired_end)
+
+
+def split_by_chrom(table: HitTable, n_shards: int) -> List[List[int]]:
+    """Contiguous chromosome ranges balanced by read count. Contiguity
+    keeps global cluster numbering and output order identical to the
+    single-shard run (ids thread shard-to-shard via an exclusive scan)."""
+    counts = np.bincount(table.ref_id, minlength=len(table.ref_names))
+    total = int(counts.sum())
+    per = max(1, total // max(1, n_shards))
+    shards: List[List[int]] = [[]]
+    acc = 0
+    for rid in range(len(counts)):
+        if acc >= per and len(shards) < n_shards:
+            shards.append([])
+            acc = 0
+        shards[-1].append(rid)
+        acc += int(counts[rid])
+    while len(shards) < n_shards:
+        shards.append([])
+    return shards
+
+
+def run_sharded(table: HitTable, cfg: Config, bam_path: str, out: TextIO,
+                log: Optional[TextIO] = None, n_shards: int = 0,
+                mesh=None, fragfile=None) -> List[Isoform]:
+    """Locus-data-parallel two-pass pipeline over n_shards genome shards.
+
+    Single-process form: shards run in sequence on this host while the
+    cross-shard reductions go through device collectives on the mesh. On a
+    pod, each process runs exactly one shard (its coordinate range) and
+    the same collectives synchronize — per-shard pipeline code is shared.
+    """
+    log = log or _NullLog()
+    mesh = mesh or make_mesh(mdl=1)
+    if n_shards <= 0:
+        n_shards = mesh.shape["dp"]
+    shards = split_by_chrom(table, n_shards)
+
+    samples: List[Sample] = []
+    for ref_ids in shards:
+        sub = shard_table(table, ref_ids)
+        s = Sample(sub, cfg, bam_path)
+        s.long_read_sample = table.is_long_read_sample(cfg.long_read_len) \
+            or cfg.long_read_sample
+        if cfg.ref_gtf_filename:
+            s.load_ref_gtf(cfg.ref_gtf_filename)
+            s.factory.set_ref_mrnas(
+                [r for r in s.factory.ref_mrnas if r.ref_id in ref_ids])
+        samples.append(s)
+
+    # ---- pass 1 per shard -------------------------------------------------
+    # Cluster ids thread shard-to-shard (contiguous chromosome split), so
+    # transcript naming matches the single-shard run. On a real pod this is
+    # an exclusive scan of per-shard cluster counts between the passes.
+    next_id = 0
+    for s in samples:
+        s.num_cluster_base = next_id
+        if cfg.no_assembly:
+            if s.factory.ref_mrnas:
+                s.pre_process(log)
+        else:
+            s.assemble_sample(log)
+        next_id = max(next_id, s.num_cluster)
+
+    # ---- all-reduce global statistics over the mesh -----------------------
+    dp = mesh.shape["dp"]
+    max_fl = max((max(s.frag_dist) if s.frag_dist else 0) for s in samples)
+    H = max_fl + 1
+    local_hist = np.zeros((dp, H), dtype=np.float64)
+    for k, s in enumerate(samples):
+        for v in s.frag_dist:
+            local_hist[k % dp, v] += 1
+    global_hist = allreduce_hist(mesh, local_hist)
+    totals = np.zeros((dp,), dtype=np.float64)
+    for k, s in enumerate(samples):
+        totals[k % dp] += s.total_mapped_reads
+    total_mapped = int(allreduce_scalar(mesh, totals))
+
+    global_frag_dist: List[int] = []
+    for v, c in enumerate(global_hist):
+        global_frag_dist.extend([v] * int(c))
+
+    # ---- pass 2 per shard with the global statistics ----------------------
+    all_isoforms: List[Isoform] = []
+    for s in samples:
+        if cfg.no_assembly:
+            if not s.factory.ref_mrnas:
+                continue  # empty shard: no annotation in range
+        elif not s.assembly:
+            continue      # empty shard: nothing assembled
+        s.total_mapped_reads = total_mapped
+        s.frag_dist = global_frag_dist
+        s.select_insert_size()
+        buf = io.StringIO()
+        iso = s.proc_sample(buf, log, fragfile)
+        all_isoforms.extend(iso)
+
+    # ---- global TPM + ordered merge (gather-equivalent) -------------------
+    # NB proc_sample already computed a per-shard TPM; recompute globally.
+    total_fpkm = sum(i.fpkm for i in all_isoforms)
+    for i in all_isoforms:
+        i.tpm = 1e6 * i.fpkm / total_fpkm if total_fpkm != 0 else float("nan")
+        i.tpm_s = c_str(i.tpm)
+    all_isoforms.sort(key=lambda i: (i.contig.ref_id,))
+    for i in all_isoforms:
+        ref_name = table.ref_real_names[i.contig.ref_id] \
+            if i.contig.ref_id >= 0 else "?"
+        print2gtf(out, i.contig, ref_name, i.fpkm_s, i.frac_s, i.tpm_s,
+                  i.gene_str, i.isoform_str, i.ref_gene_id, i.ref_gene_name)
+    return all_isoforms

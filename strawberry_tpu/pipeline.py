@@ -61,6 +61,7 @@ class Sample:
         self.frag_dist: List[int] = []
         self.total_mapped_reads = 0
         self.num_cluster = 0
+        self.num_cluster_base = 0  # sharded runs thread ids across shards
         self.insert_dist: Optional[InsertSize] = None
         self.long_read_sample = False
         self.read_len = table.read_len_mode()
@@ -265,7 +266,7 @@ class Sample:
         """Pass 1 (alignments.cpp:1658-1729)."""
         if self.cfg.device_batch:
             return self._assemble_batched(log)
-        self.num_cluster = 0
+        self.num_cluster = self.num_cluster_base
         while True:
             cluster = HitCluster(self.cfg)
             if self.factory.next_cluster_refguide(cluster) == -1:
@@ -285,7 +286,7 @@ class Sample:
         solve them as one bucketed batch of DPs on the TPU, then finish in
         cluster order (ids, naming, fragment-length learning)."""
         from .assembly.device import batched_mcf
-        self.num_cluster = 0
+        self.num_cluster = self.num_cluster_base
         collected = []
         while True:
             cluster = HitCluster(self.cfg)
@@ -320,7 +321,7 @@ class Sample:
 
     def pre_process(self, log: TextIO):
         """Pass 1 for --no-assembly (alignments.cpp:1189-1233)."""
-        self.num_cluster = 0
+        self.num_cluster = self.num_cluster_base
         while True:
             cluster = HitCluster(self.cfg)
             if self.factory.next_cluster_ref_demand(cluster) == -1:
