@@ -30,6 +30,7 @@ from .quant.locus import Isoform, LocusContext, c_str
 from .assembly.coverage import IntronMap, compute_doc, filter_intron
 from .assembly.flow import FlowNetwork, assemble_2_contigs
 from .assembly.splice_graph import splicing_graph
+from .utils.profiling import GLOBAL as PROF
 
 
 class _NullLog:
@@ -306,7 +307,8 @@ class Sample:
                 if task.fn is not None:
                     index.append((ci, ui))
                     problems.append(task.dense)
-        flows_flat = batched_mcf(problems)
+        with PROF.phase("device_flow_dp", items=len(problems)):
+            flows_flat = batched_mcf(problems)
         flowmap = dict(zip(index, flows_flat))
 
         for ci, (cluster, units) in enumerate(collected):
@@ -395,7 +397,8 @@ class Sample:
         for _cluster, est in pending:
             n, alpha = est.build_problem()
             problems.append(LocusProblem(counts=n, weights=alpha))
-        thetas = batched_em(problems)
+        with PROF.phase("device_em", items=len(problems)):
+            thetas = batched_em(problems)
 
         isoforms: List[Isoform] = []
         for (cluster, est), theta in zip(pending, thetas):
@@ -473,11 +476,16 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
                cmdline: str = "") -> Sample:
     """driver() (Strawberry.cpp:237-371)."""
     log = log or _NullLog()
-    try:
-        from .io.native import load_bam_native
-        table = load_bam_native(bam_path, cfg)
-    except Exception:
-        table = load_bam(bam_path, cfg)  # portable fallback
+    if cfg.verbose:
+        from .utils import profiling
+        profiling.enable()
+    PROF.start_trace()
+    with PROF.phase("bam_decode"):
+        try:
+            from .io.native import load_bam_native
+            table = load_bam_native(bam_path, cfg)
+        except Exception:
+            table = load_bam(bam_path, cfg)  # portable fallback
     sample = Sample(table, cfg, bam_path)
     if cfg.ref_gtf_filename:
         sample.load_ref_gtf(cfg.ref_gtf_filename)
@@ -487,10 +495,11 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
         from .io.fasta import FastaInterface
         sample.fasta = FastaInterface(cfg.ref_fasta_file)
 
-    if cfg.no_assembly:
-        sample.pre_process(log)
-    else:
-        sample.assemble_sample(log)
+    with PROF.phase("pass1_assemble", items=len(table)):
+        if cfg.no_assembly:
+            sample.pre_process(log)
+        else:
+            sample.assemble_sample(log)
 
     if cfg.no_quant:
         for iso in sample.assembly:
@@ -504,5 +513,9 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
     if fragfile is not None:
         from .quant.fragcontext import FRAG_HEADER
         fragfile.write("\t".join(FRAG_HEADER) + "\n")
-    sample.proc_sample(out, log, fragfile)
+    with PROF.phase("pass2_quant", items=len(table)):
+        sample.proc_sample(out, log, fragfile)
+    PROF.stop_trace()
+    if cfg.verbose:
+        sys.stderr.write(PROF.report(total_reads=len(table)) + "\n")
     return sample

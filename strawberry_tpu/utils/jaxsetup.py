@@ -18,9 +18,14 @@ if _plat:
     jax.config.update("jax_platforms", _plat)
 
 # Persistent compilation cache: bucketed kernel shapes recompile across
-# processes otherwise (first TPU compile is tens of seconds).
-_cache_dir = os.environ.get("STRAWB_JAX_CACHE",
-                            os.path.expanduser("~/.cache/strawberry_tpu_jax"))
+# processes otherwise (first TPU compile is tens of seconds). Keyed by
+# platform so CPU AOT blobs (with machine-feature baggage) don't mix with
+# TPU executables.
+_plat_hint = os.environ.get("STRAWB_PLATFORM") \
+    or os.environ.get("JAX_PLATFORMS", "default")
+_cache_dir = os.environ.get(
+    "STRAWB_JAX_CACHE",
+    os.path.expanduser(f"~/.cache/strawberry_tpu_jax/{_plat_hint}"))
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
