@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-e", "--filter-low-expression", type=float, default=None)
     p.add_argument("--no-tpu", action="store_true",
                    help="run host-only (skip JAX device kernels)")
+    p.add_argument("--fast-em", action="store_true",
+                   help="f32 Pallas EM kernel (throughput mode; abundances "
+                        "may differ from the reference in the last digits)")
     return p
 
 
@@ -78,6 +81,7 @@ def config_from_args(args) -> Config:
         print_frag_context=bool(args.fragment_context),
         frag_context_out=args.fragment_context or "./frag_context.csv",
         device_batch=not args.no_tpu,
+        fast_em=args.fast_em,
     )
     if args.filter_low_expression is not None:
         cfg = cfg.replace(min_isoform_frac=args.filter_low_expression)

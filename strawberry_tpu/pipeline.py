@@ -398,7 +398,7 @@ class Sample:
             n, alpha = est.build_problem()
             problems.append(LocusProblem(counts=n, weights=alpha))
         with PROF.phase("device_em", items=len(problems)):
-            thetas = batched_em(problems)
+            thetas = batched_em(problems, use_pallas=self.cfg.fast_em)
 
         isoforms: List[Isoform] = []
         for (cluster, est), theta in zip(pending, thetas):

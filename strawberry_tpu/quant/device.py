@@ -111,7 +111,8 @@ class LocusProblem:
 
 
 def batched_em(problems: List[LocusProblem],
-               dtype=jnp.float64) -> List[Optional[np.ndarray]]:
+               dtype=jnp.float64,
+               use_pallas: bool = False) -> List[Optional[np.ndarray]]:
     """Solve many per-locus EMs on device with shape-bucketed batching.
 
     Returns per-problem theta (or None when EM init fails — no surviving
@@ -145,10 +146,15 @@ def batched_em(problems: List[LocusProblem],
             theta0[b, :niso] = total / niso
             valid[b, :r] = True
             active[b] = True
-        theta, _failed = _em_bucket(jnp.asarray(F, dtype),
-                                    jnp.asarray(u, dtype),
-                                    jnp.asarray(theta0, dtype),
-                                    jnp.asarray(valid), jnp.asarray(active))
+        if use_pallas:
+            from .pallas_em import em_bucket_pallas
+            theta = em_bucket_pallas(F, u, theta0, valid, active)
+        else:
+            theta, _failed = _em_bucket(jnp.asarray(F, dtype),
+                                        jnp.asarray(u, dtype),
+                                        jnp.asarray(theta0, dtype),
+                                        jnp.asarray(valid),
+                                        jnp.asarray(active))
         theta = np.asarray(theta, np.float64)
         for b, (idx, _uu, _FF, _total, niso) in enumerate(items):
             results[idx] = theta[b, :niso]
