@@ -188,19 +188,10 @@ class HitCluster:
 
     # ---- hit accumulation --------------------------------------------------
     def add_hit(self, ph: PairedHit) -> bool:
-        """HitCluster::addHit (alignments.cpp:423-461): count per-strand
-        introns, then store the pair."""
-        t = self._table
-        for i in (ph.left, ph.right):
-            if i is None:
-                continue
-            feats = self._feats(i)
-            if any(c == S_INTRON for c, _, _ in feats):
-                strand = int(t.strand[i])
-                d = self.strand_intron.setdefault(strand, {})
-                for f in feats:
-                    if f[0] == S_INTRON:
-                        d[f] = d.get(f, 0) + 1
+        """HitCluster::addHit (alignments.cpp:423-461). The reference also
+        counts per-strand introns here, but the only consumers
+        (guessStrand via mergeClusters, see_both_strands) are dead code
+        upstream — we skip the bookkeeping."""
         self.hits.append(ph)
         return True
 
@@ -296,9 +287,23 @@ class HitCluster:
         t = self._table
         self.hits.sort(key=lambda ph: (self.pair_left_pos(ph),
                                        self.pair_right_pos(ph)))
-        spans = np.asarray(self.read_ref_span, dtype=np.float64)
-        mean = float(spans.mean()) if len(spans) else 0.0
-        sd = float(np.sqrt(((spans - mean) ** 2).mean())) if len(spans) else 0.0
+        # getMeanAndSd (common.h:101-110) accumulates sequentially; keep
+        # that exact float order (numpy's pairwise reduction differs in the
+        # last bits and the 5-sigma phi test sits downstream)
+        n_span = len(self.read_ref_span)
+        if n_span:
+            acc = 0.0
+            for v in self.read_ref_span:
+                acc += v
+            mean = acc / n_span
+            sq = 0.0
+            for v in self.read_ref_span:
+                d = v - mean
+                sq += d * d
+            sd = math.sqrt(sq / n_span)
+        else:
+            mean = 0.0
+            sd = 0.0
         sd *= 5.0
         with np.errstate(divide="ignore", invalid="ignore"):
             for ph in self.hits:

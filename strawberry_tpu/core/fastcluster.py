@@ -1,0 +1,212 @@
+"""Native clusterizer binding + HitCluster-compatible views.
+
+Runs the whole streaming cluster scan (pairing, collapse, contig building,
+strand refinement) in C++ (native/cluster.cc) and exposes each locus as a
+lightweight NativeCluster duck-typed like core.cluster.HitCluster for the
+pipeline. Validated cluster-for-cluster against the Python oracle by
+tests/test_native_cluster.py.
+"""
+from __future__ import annotations
+
+import ctypes as C
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..io.bamreader import HitTable
+from .cluster import Segment
+from .features import Contig
+
+_bound = False
+
+
+def _bind(lib):
+    global _bound
+    if _bound:
+        return lib
+    i64p = C.POINTER(C.c_int64)
+    i32p = C.POINTER(C.c_int32)
+    i8p = C.POINTER(C.c_int8)
+    u16p = C.POINTER(C.c_uint16)
+    u64p = C.POINTER(C.c_uint64)
+    dp = C.POINTER(C.c_double)
+    lib.strawb_cluster_run.restype = C.c_void_p
+    lib.strawb_cluster_run.argtypes = (
+        [C.c_int64] + [i32p, i64p, i64p, i8p, u16p, i32p, i64p, i32p,
+                       u64p, u64p, i64p, i8p, i64p, i32p]
+        + [C.c_int64, i32p, i64p, i64p, i32p, i8p]
+        + [C.c_int64] * 3 + [C.c_int32] * 4)
+    for name, rt in [("n", C.c_int64), ("nct", C.c_int64),
+                     ("nfeat", C.c_int64), ("nrefidx", C.c_int64),
+                     ("nseg", C.c_int64)]:
+        fn = getattr(lib, f"strawb_cluster_{name}")
+        fn.restype = rt
+        fn.argtypes = [C.c_void_p]
+    for name, pt in [("left", i64p), ("right", i64p), ("refid", i32p),
+                     ("wmass", dp), ("refoff", i64p), ("refidx", i32p),
+                     ("uniqoff", i64p), ("segoff", i64p),
+                     ("ctstrand", i8p), ("ctorit", i8p), ("ctmass", dp),
+                     ("ctvalid", i8p), ("ctfeatoff", i64p), ("ctfcode", i8p),
+                     ("ctfleft", i64p), ("ctflen", i32p),
+                     ("segleft", i64p), ("segright", i64p),
+                     ("seglidx", i64p), ("segridx", i64p),
+                     ("segstrand", i8p)]:
+        fn = getattr(lib, f"strawb_cluster_{name}")
+        fn.restype = pt
+        fn.argtypes = [C.c_void_p]
+    lib.strawb_cluster_free.restype = None
+    lib.strawb_cluster_free.argtypes = [C.c_void_p]
+    _bound = True
+    return lib
+
+
+def _arr(ptr, n, dtype):
+    if n == 0:
+        return np.zeros(0, dtype)
+    return np.ctypeslib.as_array(ptr, shape=(int(n),)).astype(dtype,
+                                                             copy=True)
+
+
+class NativeCluster:
+    """Duck-typed core.cluster.HitCluster view over native outputs."""
+
+    __slots__ = ("leftmost", "rightmost", "ref_id", "weighted_mass",
+                 "ref_mrnas", "segs", "uniq_hits", "id", "cfg")
+
+    def __init__(self):
+        self.id = -1
+
+    # the pipeline treats uniq_hits entries as opaque tokens passed back
+    # through pair_to_contig; natively they ARE the contigs (or None)
+    def pair_to_contig(self, c):
+        return c
+
+    def uniq_hit_contigs(self) -> List[Contig]:
+        return [c for c in self.uniq_hits if c is not None]
+
+    def refine_cluster(self):
+        pass  # segs precomputed natively
+
+    def ref_strand(self) -> int:
+        return self.ref_mrnas[0].strand
+
+    def size(self) -> int:
+        return len(self.uniq_hits)
+
+
+def run_native_clustering(table: HitTable, cfg: Config,
+                          ref_mrnas: List[Contig],
+                          mode: str) -> List[NativeCluster]:
+    """mode: 'refguide' (pass 1) or 'refdemand' (pass 2)."""
+    from ..io.native import get_lib
+    lib = _bind(get_lib())
+
+    gene_codes: Dict[str, int] = {}
+    rgene = np.empty(len(ref_mrnas), np.int32)
+    rref = np.empty(len(ref_mrnas), np.int32)
+    rleft = np.empty(len(ref_mrnas), np.int64)
+    rright = np.empty(len(ref_mrnas), np.int64)
+    rstrand = np.empty(len(ref_mrnas), np.int8)
+    for i, r in enumerate(ref_mrnas):
+        pid = r.parent_id
+        if pid == "":
+            rgene[i] = -1
+        else:
+            code = gene_codes.get(pid)
+            if code is None:
+                code = len(gene_codes)
+                gene_codes[pid] = code
+            rgene[i] = code
+        rref[i] = r.ref_id
+        rleft[i] = r.left
+        rright[i] = r.right
+        rstrand[i] = r.strand
+
+    t = table
+
+    def p(a, ct):
+        a = np.ascontiguousarray(a)
+        return a.ctypes.data_as(C.POINTER(ct)), a  # keep alive
+
+    keep = []
+
+    def q(a, ct):
+        ptr, arr = p(a, ct)
+        keep.append(arr)
+        return ptr
+
+    h = lib.strawb_cluster_run(
+        len(t),
+        q(t.ref_id, C.c_int32), q(t.left, C.c_int64), q(t.right, C.c_int64),
+        q(t.strand, C.c_int8), q(t.flag, C.c_uint16),
+        q(t.mate_ref, C.c_int32), q(t.mate_pos, C.c_int64),
+        q(t.nh, C.c_int32), q(t.read_id, C.c_uint64),
+        q(t.cigar_hash, C.c_uint64), q(t.feat_off, C.c_int64),
+        q(t.feat_code, C.c_int8), q(t.feat_left, C.c_int64),
+        q(t.feat_len, C.c_int32),
+        len(ref_mrnas), q(rref, C.c_int32), q(rleft, C.c_int64),
+        q(rright, C.c_int64), q(rgene, C.c_int32), q(rstrand, C.c_int8),
+        cfg.max_olap_dist, cfg.max_intron_length, cfg.max_frag_span,
+        1 if cfg.enforce_ref_models else 0,
+        1 if cfg.utilize_ref_models else 0,
+        cfg.min_read_for_assemb,
+        1 if mode == "refdemand" else 0)
+    try:
+        n = lib.strawb_cluster_n(h)
+        nct = lib.strawb_cluster_nct(h)
+        nfeat = lib.strawb_cluster_nfeat(h)
+        nrefidx = lib.strawb_cluster_nrefidx(h)
+        nseg = lib.strawb_cluster_nseg(h)
+        cl_left = _arr(lib.strawb_cluster_left(h), n, np.int64)
+        cl_right = _arr(lib.strawb_cluster_right(h), n, np.int64)
+        cl_refid = _arr(lib.strawb_cluster_refid(h), n, np.int32)
+        cl_wmass = _arr(lib.strawb_cluster_wmass(h), n, np.float64)
+        ref_off = _arr(lib.strawb_cluster_refoff(h), n + 1, np.int64)
+        ref_idx = _arr(lib.strawb_cluster_refidx(h), nrefidx, np.int32)
+        uniq_off = _arr(lib.strawb_cluster_uniqoff(h), n + 1, np.int64)
+        seg_off = _arr(lib.strawb_cluster_segoff(h), n + 1, np.int64)
+        ct_strand = _arr(lib.strawb_cluster_ctstrand(h), nct, np.int8)
+        ct_orit = _arr(lib.strawb_cluster_ctorit(h), nct, np.int8)
+        ct_mass = _arr(lib.strawb_cluster_ctmass(h), nct, np.float64)
+        ct_valid = _arr(lib.strawb_cluster_ctvalid(h), nct, np.int8)
+        ct_featoff = _arr(lib.strawb_cluster_ctfeatoff(h), nct + 1, np.int64)
+        ct_fcode = _arr(lib.strawb_cluster_ctfcode(h), nfeat, np.int8)
+        ct_fleft = _arr(lib.strawb_cluster_ctfleft(h), nfeat, np.int64)
+        ct_flen = _arr(lib.strawb_cluster_ctflen(h), nfeat, np.int32)
+        sg_left = _arr(lib.strawb_cluster_segleft(h), nseg, np.int64)
+        sg_right = _arr(lib.strawb_cluster_segright(h), nseg, np.int64)
+        sg_lidx = _arr(lib.strawb_cluster_seglidx(h), nseg, np.int64)
+        sg_ridx = _arr(lib.strawb_cluster_segridx(h), nseg, np.int64)
+        sg_strand = _arr(lib.strawb_cluster_segstrand(h), nseg, np.int8)
+    finally:
+        lib.strawb_cluster_free(h)
+
+    clusters: List[NativeCluster] = []
+    for k in range(int(n)):
+        c = NativeCluster()
+        c.cfg = cfg
+        c.leftmost = int(cl_left[k])
+        c.rightmost = int(cl_right[k])
+        c.ref_id = int(cl_refid[k])
+        c.weighted_mass = float(cl_wmass[k])
+        c.ref_mrnas = [ref_mrnas[ref_idx[i]]
+                       for i in range(ref_off[k], ref_off[k + 1])]
+        uniq: List[Optional[Contig]] = []
+        for ci in range(uniq_off[k], uniq_off[k + 1]):
+            if not ct_valid[ci]:
+                uniq.append(None)
+                continue
+            feats = [(int(ct_fcode[f]), int(ct_fleft[f]), int(ct_flen[f]))
+                     for f in range(ct_featoff[ci], ct_featoff[ci + 1])]
+            uniq.append(Contig(ref_id=c.ref_id, strand=int(ct_strand[ci]),
+                               feats=feats, mass=float(ct_mass[ci]),
+                               contig_id=0,
+                               single_orit=int(ct_orit[ci])))
+        c.uniq_hits = uniq
+        c.segs = [Segment(int(sg_left[s]), int(sg_right[s]),
+                          int(sg_lidx[s]), int(sg_ridx[s]),
+                          int(sg_strand[s]))
+                  for s in range(seg_off[k], seg_off[k + 1])]
+        clusters.append(c)
+    return clusters

@@ -1,0 +1,732 @@
+// Native clusterizer: the per-locus streaming scan, mate pairing,
+// duplicate collapse, and fragment-to-contig conversion, in C++.
+//
+// Replaces the hot host half of HitCluster + Sample's cluster iterators
+// (ref: src/alignments.cpp:149-1348) — semantics mirror the Python oracle
+// in strawberry_tpu/core/cluster.py exactly (which in turn mirrors the
+// reference; validated by tests/test_native_cluster.py):
+//   * denovo / ref-guided (pass 1) and ref-demand (pass 2) iteration,
+//     including addRef2Cluster's gene grouping + bounded look-ahead and
+//     rewindReference
+//   * addOpenHit pairing via the open-mates multimap, bound extension,
+//     kMaxFragSpan rejection
+//   * collapseAndFilterHits: stable (left,right) sort, sequential
+//     mean/sd + 5-sigma A&S-phi span filter, adjacent duplicate collapse
+//     by (left, raw-cigar) equality
+//   * refine_cluster strand segmentation (1-D binary clustering)
+//   * Contig(PairedHit): pair merge with gap insertion or overlap union
+//
+// Outputs are flat arrays consumed by strawberry_tpu/core/fastcluster.py.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+typedef int64_t i64;
+typedef int32_t i32;
+
+const i64 UINT_MAX64 = 0xFFFFFFFFll;
+
+struct Cfg {
+  i64 max_olap_dist;
+  i64 max_intron_length;
+  i64 max_frag_span;
+  i32 enforce_ref_models;
+  i32 utilize_ref_models;
+  i32 min_read_for_assemb;
+  i32 mode;  // 0 = refguide/denovo (pass 1), 1 = ref-demand (pass 2)
+};
+
+struct HitsIn {
+  i64 n;
+  const i32* ref_id;
+  const i64* left;
+  const i64* right;
+  const int8_t* strand;
+  const uint16_t* flag;
+  const i32* mate_ref;
+  const i64* mate_pos;
+  const i32* nh;
+  const uint64_t* read_id;
+  const uint64_t* cigar_hash;
+  const i64* feat_off;
+  const int8_t* feat_code;
+  const i64* feat_left;
+  const i32* feat_len;
+};
+
+struct RefsIn {
+  i64 n;
+  const i32* ref_id;
+  const i64* left;
+  const i64* right;
+  const i32* gene;    // interned parent_id codes; -1 = empty string
+  const int8_t* strand;
+};
+
+struct PH {
+  i32 a = -1, b = -1;  // left/right hit row, -1 = none
+  double mass = 0.0;
+  double collapse = 0.0;
+};
+
+struct Seg {
+  i64 left, right;
+  i64 lidx, ridx;
+  int8_t strand;
+};
+
+struct Out {
+  // clusters
+  std::vector<i64> cl_left, cl_right;
+  std::vector<i32> cl_ref_id;
+  std::vector<double> cl_wmass;
+  std::vector<i64> cl_ref_off;     // size nclusters+1 -> flat_ref_idx
+  std::vector<i32> flat_ref_idx;
+  std::vector<i64> cl_uniq_off;    // size nclusters+1 -> contigs
+  std::vector<i64> cl_seg_off;     // size nclusters+1 -> segs
+  // uniq contigs (one per uniq PairedHit, in collapse order)
+  std::vector<int8_t> ct_strand;
+  std::vector<int8_t> ct_orit;     // 0 fwd single, 1 rev single, 2 paired
+  std::vector<double> ct_mass;     // collapse mass
+  std::vector<int8_t> ct_valid;    // 0 = pair merge failed (ref_id -1)
+  std::vector<i64> ct_feat_off;    // size ncontigs+1
+  std::vector<int8_t> ct_fcode;
+  std::vector<i64> ct_fleft;
+  std::vector<i32> ct_flen;
+  // refine segments
+  std::vector<i64> sg_left, sg_right, sg_lidx, sg_ridx;
+  std::vector<int8_t> sg_strand;
+  std::string error;
+};
+
+struct Cluster {
+  i64 leftmost = UINT_MAX64;
+  i64 rightmost = 0;
+  i32 ref_id = -1;
+  i32 gene = -2;  // -2 unset; mirrors cluster.gene_id string ("" == -1)
+  bool gene_assigned = false;
+  std::vector<PH> hits;
+  std::vector<PH> uniq;
+  std::unordered_map<uint64_t, std::vector<PH>> open;
+  std::vector<i64> spans;
+  std::vector<i32> refs;
+  double wmass = 0.0;
+
+  int size() const { return (int)hits.size(); }
+};
+
+static double phi_as(double x) {
+  if (std::isnan(x)) return std::numeric_limits<double>::quiet_NaN();
+  const double a1 = 0.254829592, a2 = -0.284496736, a3 = 1.421413741,
+               a4 = -1.453152027, a5 = 1.061405429, p = 0.3275911;
+  int sign = (x < 0) ? -1 : 1;
+  x = std::fabs(x) / std::sqrt(2.0);
+  double t = 1.0 / (1.0 + p * x);
+  double y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t *
+                        std::exp(-x * x);
+  return 0.5 * (1.0 + sign * y);
+}
+
+class Runner {
+ public:
+  Runner(const Cfg& cfg, const HitsIn& h, const RefsIn& r)
+      : cfg_(cfg), h_(h), r_(r) {}
+
+  // ---- per-hit helpers --------------------------------------------------
+  bool is_singleton(i32 i) const {
+    return h_.mate_pos[i] == 0 || h_.mate_ref[i] == -1 ||
+           h_.mate_ref[i] != h_.ref_id[i];
+  }
+  double hit_mass(i32 i) const {
+    return (is_singleton(i) ? 1.0 : 0.5) / (double)h_.nh[i];
+  }
+  i64 pair_left(const PH& p) const {
+    if (p.a >= 0 && p.b >= 0) return std::min(h_.left[p.a], h_.left[p.b]);
+    return h_.left[p.a >= 0 ? p.a : p.b];
+  }
+  i64 pair_right(const PH& p) const {
+    if (p.a >= 0 && p.b >= 0) return std::max(h_.right[p.a], h_.right[p.b]);
+    return h_.right[p.a >= 0 ? p.a : p.b];
+  }
+  int8_t pair_strand(const PH& p) const {
+    if (p.a >= 0 && p.b >= 0) {
+      int8_t ls = h_.strand[p.a];
+      return ls != 0 ? ls : h_.strand[p.b];
+    }
+    return h_.strand[p.a >= 0 ? p.a : p.b];
+  }
+  bool pair_splice(const PH& p) const {
+    for (i32 i : {p.a, p.b}) {
+      if (i < 0) continue;
+      for (i64 f = h_.feat_off[i]; f < h_.feat_off[i + 1]; ++f)
+        if (h_.feat_code[f] == 1) return true;
+    }
+    return false;
+  }
+  bool read_eq(i32 i, i32 j) const {
+    return h_.left[i] == h_.left[j] && h_.cigar_hash[i] == h_.cigar_hash[j];
+  }
+  bool pair_eq(const PH& x, const PH& y) const {
+    if ((x.a < 0) != (y.a < 0)) return false;
+    if ((x.b < 0) != (y.b < 0)) return false;
+    if (x.a >= 0 && !read_eq(x.a, y.a)) return false;
+    if (x.b >= 0 && !read_eq(x.b, y.b)) return false;
+    return true;
+  }
+
+  // ---- addOpenHit (alignments.cpp:490-651) ------------------------------
+  bool add_open_hit(Cluster& c, i32 i, bool extend_by_hit,
+                    bool extend_by_partner) {
+    i64 orig_l = c.leftmost, orig_r = c.rightmost;
+    i32 orig_ref = c.ref_id;
+    i64 hl = h_.left[i], hr = h_.right[i];
+    int8_t hs = h_.strand[i];
+    i32 href = h_.ref_id[i];
+    i64 hpp = h_.mate_pos[i];
+    uint64_t hid = h_.read_id[i];
+    bool rev = (h_.flag[i] & 0x10) != 0;
+
+    if (extend_by_hit) {
+      c.leftmost = std::min(c.leftmost, hl);
+      c.rightmost = std::max(c.rightmost, hr);
+    }
+    if (extend_by_partner && hpp != 0 && h_.mate_ref[i] == c.ref_id) {
+      if (hpp - hl < cfg_.max_intron_length)
+        c.rightmost = std::max(std::max(c.rightmost, hr), hpp);
+    }
+    if (std::llabs(hr - hl) > cfg_.max_frag_span) {
+      c.leftmost = orig_l;
+      c.rightmost = orig_r;
+      c.ref_id = orig_ref;
+      return false;
+    }
+    c.spans.push_back(hr - hl + 1);
+    if (c.ref_id == -1) {
+      if (href != -1) c.ref_id = href;
+    }
+    if (is_singleton(i) || h_.mate_ref[i] != c.ref_id) {
+      PH p;
+      if (rev) p.b = i; else p.a = i;
+      c.hits.push_back(p);
+      return true;
+    }
+    auto it = c.open.find(hid);
+    if (it == c.open.end()) {
+      PH p;
+      if (hpp > hl) p.a = i;
+      else if (hpp < hl) p.b = i;
+      else return false;
+      c.open[hid].push_back(p);
+      return true;
+    }
+    auto& chain = it->second;
+    for (size_t k = 0; k < chain.size(); ++k) {
+      PH& op = chain[k];
+      int8_t os = pair_strand(op);
+      bool strand_agree = os == hs || hs == 0 || os == 0;
+      i64 expected = (op.b >= 0) ? h_.mate_pos[op.b] : h_.mate_pos[op.a];
+      i32 oref = h_.ref_id[op.a >= 0 ? op.a : op.b];
+      if (pair_left(op) == hpp && oref == href && strand_agree &&
+          expected == hl) {
+        if (op.a < 0 && op.b >= 0) op.a = i;
+        else if (op.b < 0 && op.a >= 0) op.b = i;
+        c.hits.push_back(op);
+        chain.erase(chain.begin() + k);
+        if (chain.empty()) c.open.erase(it);
+        return true;
+      }
+    }
+    PH p;
+    if (hpp > hl) p.a = i;
+    else if (hpp < hl) p.b = i;
+    else return false;
+    chain.push_back(p);
+    return true;
+  }
+
+  // ---- collapse (alignments.cpp:658-703) --------------------------------
+  void collapse(Cluster& c) {
+    if (c.hits.empty()) return;
+    std::stable_sort(c.hits.begin(), c.hits.end(),
+                     [&](const PH& x, const PH& y) {
+                       i64 lx = pair_left(x), ly = pair_left(y);
+                       if (lx != ly) return lx < ly;
+                       return pair_right(x) < pair_right(y);
+                     });
+    size_t n = c.spans.size();
+    double mean = 0.0, sd = 0.0;
+    if (n) {
+      double acc = 0.0;
+      for (i64 v : c.spans) acc += (double)v;
+      mean = acc / (double)n;
+      double sq = 0.0;
+      for (i64 v : c.spans) {
+        double d = (double)v - mean;
+        sq += d * d;
+      }
+      sd = std::sqrt(sq / (double)n);
+    }
+    sd *= 5.0;
+    for (PH& p : c.hits) {
+      bool skip = false;
+      for (i32 i : {p.a, p.b}) {
+        if (i < 0) continue;
+        double ln = (double)(h_.right[i] - h_.left[i] + 1);
+        double x = (ln - mean) / sd;  // may be inf/nan, like the reference
+        if (phi_as(x) > 0.999) {
+          skip = true;
+          break;
+        }
+      }
+      if (skip) continue;
+      double m = 0.0;
+      if (p.a >= 0) m += hit_mass(p.a);
+      if (p.b >= 0) m += hit_mass(p.b);
+      p.mass = m;
+      c.wmass += m;
+      if (!c.uniq.empty() && pair_eq(c.uniq.back(), p)) {
+        c.uniq.back().collapse += m;
+      } else {
+        c.uniq.push_back(p);
+        c.uniq.back().collapse += m;
+      }
+    }
+  }
+
+  // ---- refine_cluster (alignments.cpp:160-307) --------------------------
+  static int one_d_binary(const std::vector<int>& v) {
+    int tc1 = 0, tc2 = 0;
+    for (int x : v) (x == 0 ? tc1 : tc2)++;
+    int l1 = 0, l2 = 0, r1 = tc1, r2 = tc2;
+    long best = std::numeric_limits<long>::min();
+    int best_idx = -1;
+    for (size_t i = 0; i < v.size(); ++i) {
+      if (v[i] == 0) { l1++; r1--; } else { l2++; r2--; }
+      long s = std::max(l1, l2) + std::max(r1, r2);
+      if (s >= best) { best_idx = (int)i; best = s; }
+    }
+    return best_idx;
+  }
+
+  void refine(Cluster& c, std::vector<Seg>& segs) {
+    auto& uh = c.uniq;
+    if (uh.empty()) return;
+    i64 b0 = pair_left(uh[0]), b1 = pair_right(uh[0]);
+    size_t start = 0, end = 1;
+    std::vector<int> pm;
+    std::vector<size_t> iri;
+
+    auto emit = [&](i64 bl, i64 br, size_t st, size_t en) {
+      int sep = one_d_binary(pm);
+      if (sep != -1 && (size_t)(sep + 1) != pm.size()) {
+        int first_class = pm[sep];
+        size_t sl = iri[sep], sr = iri[sep + 1];
+        i64 fl = UINT_MAX64, fr = 0, s2l = UINT_MAX64, s2r = 0;
+        for (size_t ii = st; ii < sr; ++ii) {
+          fl = std::min(pair_left(uh[ii]), fl);
+          fr = std::max(pair_right(uh[ii]), fr);
+        }
+        for (size_t ii = sl; ii < en; ++ii) {
+          s2l = std::min(pair_left(uh[ii]), s2l);
+          s2r = std::max(pair_right(uh[ii]), s2r);
+        }
+        int8_t st1 = first_class == 0 ? 1 : 2;
+        int8_t st2 = first_class == 0 ? 2 : 1;
+        segs.push_back({fl, fr, (i64)st, (i64)sr, st1});
+        segs.push_back({s2l, s2r, (i64)(sl + 1), (i64)(en + 1), st2});
+      } else {
+        int fc = pm.empty() ? -1 : pm.back();
+        int8_t sgn = fc == -1 ? 0 : (fc == 0 ? 1 : 2);
+        segs.push_back({bl, br, (i64)st, (i64)(en + 1), sgn});
+      }
+    };
+
+    for (size_t i = 0; i < uh.size(); ++i) {
+      i64 lp = pair_left(uh[i]);
+      if (b0 <= lp && lp <= b1) {
+        if (pair_splice(uh[i])) {
+          int8_t s = pair_strand(uh[i]);
+          if (s == 1) pm.push_back(0);
+          else if (s == 2) pm.push_back(1);
+          iri.push_back(i);
+        }
+        end = i;
+        b0 = std::min(b0, lp);
+        b1 = std::max(b1, pair_right(uh[i]));
+      } else {
+        emit(b0, b1, start, end);
+        start = i;
+        b0 = lp;
+        b1 = pair_right(uh[i]);
+        pm.clear();
+        iri.clear();
+        if (pair_splice(uh[i])) {
+          int8_t s = pair_strand(uh[i]);
+          if (s == 1) pm.push_back(0);
+          else if (s == 2) pm.push_back(1);
+          iri.push_back(i);
+        }
+      }
+    }
+    emit(b0, b1, start, end);
+  }
+
+  // ---- Contig(PairedHit) (contig.cpp:216-267) ---------------------------
+  // writes the contig into out; returns valid flag
+  bool pair_to_contig(const PH& p, Out& o) {
+    struct F { int8_t c; i64 l; i32 n; };
+    std::vector<F> g;
+    auto push_read = [&](i32 i) {
+      for (i64 f = h_.feat_off[i]; f < h_.feat_off[i + 1]; ++f)
+        g.push_back({h_.feat_code[f], h_.feat_left[f], h_.feat_len[f]});
+    };
+    bool paired = p.a >= 0 && p.b >= 0;
+    if (paired) {
+      push_read(p.a);
+      push_read(p.b);
+      i64 gap = h_.left[p.b] - h_.right[p.a] - 1;
+      if (gap > 0) {
+        g.push_back({2, h_.right[p.a] + 1, (i32)gap});
+        std::stable_sort(g.begin(), g.end(), [](const F& x, const F& y) {
+          if (x.l != y.l) return x.l < y.l;
+          return x.n < y.n;
+        });
+      } else {
+        std::stable_sort(g.begin(), g.end(), [](const F& x, const F& y) {
+          if (x.l != y.l) return x.l < y.l;
+          return x.n < y.n;
+        });
+        // merge_genomicFeats (contig.h:111-138)
+        std::vector<F> m;
+        size_t i = 0;
+        bool ok = true;
+        while (i < g.size()) {
+          F f = g[i];
+          while (i < g.size() - 1 && f.c == g[i + 1].c) {
+            const F& nx = g[i + 1];
+            if (f.c == 1) {
+              if (!(f.l == nx.l && f.n == nx.n)) { ok = false; break; }
+            } else {
+              if (f.l + f.n - 1 < nx.l) { ok = false; break; }
+              i64 right = std::max(f.l + (i64)f.n - 1, nx.l + (i64)nx.n - 1);
+              f.n = (i32)(right - f.l + 1);
+            }
+            ++i;
+          }
+          if (!ok) break;
+          m.push_back(f);
+          ++i;
+        }
+        if (!ok) m.clear();
+        g = m;
+      }
+    } else {
+      push_read(p.a >= 0 ? p.a : p.b);
+      std::stable_sort(g.begin(), g.end(), [](const F& x, const F& y) {
+        if (x.l != y.l) return x.l < y.l;
+        return x.n < y.n;
+      });
+    }
+    int8_t orit = paired ? 2 : (p.a >= 0 ? 0 : 1);
+    o.ct_strand.push_back(pair_strand(p));
+    o.ct_orit.push_back(orit);
+    o.ct_mass.push_back(p.collapse);
+    bool valid = !g.empty();
+    o.ct_valid.push_back(valid ? 1 : 0);
+    for (const F& f : g) {
+      o.ct_fcode.push_back(f.c);
+      o.ct_fleft.push_back(f.l);
+      o.ct_flen.push_back(f.n);
+    }
+    o.ct_feat_off.push_back((i64)o.ct_fcode.size());
+    return valid;
+  }
+
+  // ---- reference loading (addRef2Cluster, alignments.cpp:1025-1079) -----
+  int add_ref_to_cluster(Cluster& c) {
+    if (ref_off_ >= r_.n) {
+      has_load_all_refs_ = true;
+      return 0;
+    }
+    c.gene = r_.gene[ref_off_];
+    c.gene_assigned = true;
+    add_ref_contig(c, (i32)ref_off_);
+    ref_off_++;
+    if (ref_off_ >= r_.n) {
+      has_load_all_refs_ = true;
+      return 1;
+    }
+    if (c.gene != -1) {  // non-empty gene id
+      while (ref_off_ < r_.n && r_.gene[ref_off_] == c.gene) {
+        add_ref_contig(c, (i32)ref_off_);
+        ref_off_++;
+      }
+      if (ref_off_ == r_.n) {
+        has_load_all_refs_ = true;
+        return (int)c.refs.size();
+      }
+      i64 mark = ref_off_;
+      int over = 0;
+      while (true) {
+        ref_off_++;
+        if (!(ref_off_ < r_.n && over < 100)) break;
+        over++;
+        if (r_.gene[ref_off_] == c.gene && r_.ref_id[ref_off_] == c.ref_id)
+          add_ref_contig(c, (i32)ref_off_);
+      }
+      ref_off_ = mark;
+    } else {
+      size_t i = 0;
+      while (i < c.refs.size()) {
+        i32 ri = c.refs[i];
+        i32 nx = (i32)ref_off_;
+        bool dir_olap = r_.ref_id[ri] == r_.ref_id[nx] &&
+                        r_.strand[ri] == r_.strand[nx] &&
+                        r_.left[ri] <= r_.right[nx] &&
+                        r_.left[nx] <= r_.right[ri];
+        if (dir_olap) {
+          add_ref_contig(c, nx);
+          ref_off_++;
+          if (ref_off_ >= r_.n) {
+            has_load_all_refs_ = true;
+            return (int)c.refs.size();
+          }
+          i = 0;
+        } else {
+          ++i;
+        }
+      }
+    }
+    return (int)c.refs.size();
+  }
+
+  void add_ref_contig(Cluster& c, i32 ri) {
+    if (c.ref_id == -1) c.ref_id = r_.ref_id[ri];
+    if (c.gene != r_.gene[ri]) return;
+    c.leftmost = std::min(c.leftmost, r_.left[ri]);
+    c.rightmost = std::max(c.rightmost, r_.right[ri]);
+    c.refs.push_back(ri);
+  }
+
+  void rewind_reference(Cluster& c, int num_regress) {
+    c.leftmost = UINT_MAX64;
+    c.rightmost = 0;
+    c.ref_id = -1;
+    c.refs.clear();
+    ref_off_ -= num_regress;
+  }
+
+  // ---- iteration --------------------------------------------------------
+  bool hit_lt_cluster(i32 i, const Cluster& c, i64 olap) const {
+    if (h_.ref_id[i] != c.ref_id) return h_.ref_id[i] < c.ref_id;
+    return h_.right[i] + olap < c.leftmost;
+  }
+  bool hit_gt_cluster(i32 i, const Cluster& c, i64 olap) const {
+    if (h_.ref_id[i] != c.ref_id) return h_.ref_id[i] > c.ref_id;
+    return h_.left[i] > c.rightmost + olap;
+  }
+
+  int next_cluster_denovo(Cluster& c, i64 next_pos = std::numeric_limits<i64>::max(),
+                          i64 next_ref = std::numeric_limits<i32>::max()) {
+    if (cursor_ >= h_.n) return -1;
+    while (true) {
+      if (cursor_ >= h_.n) return c.size();
+      i32 i = (i32)cursor_++;
+      if (h_.ref_id[i] > next_ref ||
+          (h_.ref_id[i] == next_ref && h_.right[i] >= next_pos)) {
+        cursor_--;
+        return c.size();
+      }
+      if (c.ref_id == -1) {
+        add_open_hit(c, i, true, true);
+      } else {
+        if (hit_lt_cluster(i, c, cfg_.max_olap_dist)) continue;
+        if (hit_gt_cluster(i, c, cfg_.max_olap_dist)) {
+          cursor_--;
+          break;
+        }
+        add_open_hit(c, i, true, true);
+      }
+    }
+    return c.size();
+  }
+
+  int next_cluster_refguide(Cluster& c) {
+    if (cursor_ >= h_.n) return -1;
+    if (r_.n == 0) return next_cluster_denovo(c);
+    int num_added = add_ref_to_cluster(c);
+    if (num_added == 0) return next_cluster_denovo(c);
+    while (true) {
+      if (cursor_ >= h_.n) break;
+      i32 i = (i32)cursor_++;
+      if (hit_lt_cluster(i, c, cfg_.max_olap_dist)) {
+        cursor_--;
+        if (has_load_all_refs_) {
+          rewind_reference(c, num_added);
+          return next_cluster_denovo(c);
+        }
+        i64 np = r_.left[ref_off_];
+        i64 nr = r_.ref_id[ref_off_];
+        rewind_reference(c, num_added);
+        return next_cluster_denovo(c, np, nr);
+      }
+      if (hit_gt_cluster(i, c, cfg_.max_olap_dist)) {
+        cursor_--;
+        break;
+      }
+      add_open_hit(c, i, false, false);
+    }
+    return c.size();
+  }
+
+  int next_cluster_ref_demand(Cluster& c) {
+    if (cursor_ >= h_.n) return -1;
+    int num_added = add_ref_to_cluster(c);
+    if (num_added == 0) return -1;
+    int8_t ref_strand = c.refs.empty() ? 0 : r_.strand[c.refs[0]];
+    while (true) {
+      if (cursor_ >= h_.n) break;
+      i32 i = (i32)cursor_++;
+      if (hit_lt_cluster(i, c, 0)) {
+      } else if (hit_gt_cluster(i, c, 0)) {
+        cursor_--;
+        break;
+      } else if (h_.strand[i] != 0 && h_.strand[i] != ref_strand) {
+      } else {
+        add_open_hit(c, i, false, false);
+      }
+    }
+    return c.size();
+  }
+
+  void run(Out& o) {
+    o.cl_ref_off.push_back(0);
+    o.cl_uniq_off.push_back(0);
+    o.cl_seg_off.push_back(0);
+    o.ct_feat_off.push_back(0);
+    while (true) {
+      Cluster c;
+      int rc = cfg_.mode == 1 ? next_cluster_ref_demand(c)
+                              : next_cluster_refguide(c);
+      if (rc == -1) break;
+      if (c.ref_id == -1) continue;
+      // finalize (open mates dropped), collapse + boundaries
+      if (c.size() > 0) {
+        collapse(c);
+        if (cfg_.enforce_ref_models && !c.refs.empty()) {
+          c.leftmost = UINT_MAX64;
+          c.rightmost = 0;
+          for (i32 ri : c.refs) {
+            c.leftmost = std::min(c.leftmost, r_.left[ri]);
+            c.rightmost = std::max(c.rightmost, r_.right[ri]);
+          }
+        }
+      }
+      // refine segments for the pass-1 denovo path
+      std::vector<Seg> segs;
+      if (cfg_.mode == 0 &&
+          !(cfg_.utilize_ref_models && !c.refs.empty()) &&
+          (int)c.uniq.size() >= cfg_.min_read_for_assemb) {
+        refine(c, segs);
+      }
+      // emit
+      o.cl_left.push_back(c.leftmost);
+      o.cl_right.push_back(c.rightmost);
+      o.cl_ref_id.push_back(c.ref_id);
+      o.cl_wmass.push_back(c.wmass);
+      for (i32 ri : c.refs) o.flat_ref_idx.push_back(ri);
+      o.cl_ref_off.push_back((i64)o.flat_ref_idx.size());
+      for (const PH& p : c.uniq) pair_to_contig(p, o);
+      o.cl_uniq_off.push_back((i64)o.ct_strand.size());
+      for (const Seg& s : segs) {
+        o.sg_left.push_back(s.left);
+        o.sg_right.push_back(s.right);
+        o.sg_lidx.push_back(s.lidx);
+        o.sg_ridx.push_back(s.ridx);
+        o.sg_strand.push_back(s.strand);
+      }
+      o.cl_seg_off.push_back((i64)o.sg_left.size());
+    }
+  }
+
+ private:
+  Cfg cfg_;
+  HitsIn h_;
+  RefsIn r_;
+  i64 cursor_ = 0;
+  i64 ref_off_ = 0;
+  bool has_load_all_refs_ = false;
+};
+
+}  // namespace
+
+extern "C" {
+
+struct StrawbClusters {
+  Out o;
+};
+
+StrawbClusters* strawb_cluster_run(
+    // hits
+    i64 n, const i32* ref_id, const i64* left, const i64* right,
+    const int8_t* strand, const uint16_t* flag, const i32* mate_ref,
+    const i64* mate_pos, const i32* nh, const uint64_t* read_id,
+    const uint64_t* cigar_hash, const i64* feat_off, const int8_t* feat_code,
+    const i64* feat_left, const i32* feat_len,
+    // refs
+    i64 nref, const i32* rref_id, const i64* rleft, const i64* rright,
+    const i32* rgene, const int8_t* rstrand,
+    // cfg
+    i64 max_olap_dist, i64 max_intron_length, i64 max_frag_span,
+    i32 enforce_ref_models, i32 utilize_ref_models, i32 min_read_for_assemb,
+    i32 mode) {
+  HitsIn h{n, ref_id, left, right, strand, flag, mate_ref, mate_pos,
+           nh, read_id, cigar_hash, feat_off, feat_code, feat_left, feat_len};
+  RefsIn r{nref, rref_id, rleft, rright, rgene, rstrand};
+  Cfg cfg{max_olap_dist, max_intron_length, max_frag_span,
+          enforce_ref_models, utilize_ref_models, min_read_for_assemb, mode};
+  auto* out = new StrawbClusters();
+  Runner runner(cfg, h, r);
+  runner.run(out->o);
+  return out;
+}
+
+i64 strawb_cluster_n(StrawbClusters* s) { return (i64)s->o.cl_left.size(); }
+i64 strawb_cluster_nct(StrawbClusters* s) { return (i64)s->o.ct_strand.size(); }
+i64 strawb_cluster_nfeat(StrawbClusters* s) { return (i64)s->o.ct_fcode.size(); }
+i64 strawb_cluster_nrefidx(StrawbClusters* s) { return (i64)s->o.flat_ref_idx.size(); }
+i64 strawb_cluster_nseg(StrawbClusters* s) { return (i64)s->o.sg_left.size(); }
+
+const i64* strawb_cluster_left(StrawbClusters* s) { return s->o.cl_left.data(); }
+const i64* strawb_cluster_right(StrawbClusters* s) { return s->o.cl_right.data(); }
+const i32* strawb_cluster_refid(StrawbClusters* s) { return s->o.cl_ref_id.data(); }
+const double* strawb_cluster_wmass(StrawbClusters* s) { return s->o.cl_wmass.data(); }
+const i64* strawb_cluster_refoff(StrawbClusters* s) { return s->o.cl_ref_off.data(); }
+const i32* strawb_cluster_refidx(StrawbClusters* s) { return s->o.flat_ref_idx.data(); }
+const i64* strawb_cluster_uniqoff(StrawbClusters* s) { return s->o.cl_uniq_off.data(); }
+const i64* strawb_cluster_segoff(StrawbClusters* s) { return s->o.cl_seg_off.data(); }
+const int8_t* strawb_cluster_ctstrand(StrawbClusters* s) { return s->o.ct_strand.data(); }
+const int8_t* strawb_cluster_ctorit(StrawbClusters* s) { return s->o.ct_orit.data(); }
+const double* strawb_cluster_ctmass(StrawbClusters* s) { return s->o.ct_mass.data(); }
+const int8_t* strawb_cluster_ctvalid(StrawbClusters* s) { return s->o.ct_valid.data(); }
+const i64* strawb_cluster_ctfeatoff(StrawbClusters* s) { return s->o.ct_feat_off.data(); }
+const int8_t* strawb_cluster_ctfcode(StrawbClusters* s) { return s->o.ct_fcode.data(); }
+const i64* strawb_cluster_ctfleft(StrawbClusters* s) { return s->o.ct_fleft.data(); }
+const i32* strawb_cluster_ctflen(StrawbClusters* s) { return s->o.ct_flen.data(); }
+const i64* strawb_cluster_segleft(StrawbClusters* s) { return s->o.sg_left.data(); }
+const i64* strawb_cluster_segright(StrawbClusters* s) { return s->o.sg_right.data(); }
+const i64* strawb_cluster_seglidx(StrawbClusters* s) { return s->o.sg_lidx.data(); }
+const i64* strawb_cluster_segridx(StrawbClusters* s) { return s->o.sg_ridx.data(); }
+const int8_t* strawb_cluster_segstrand(StrawbClusters* s) { return s->o.sg_strand.data(); }
+
+void strawb_cluster_free(StrawbClusters* s) { delete s; }
+
+}  // extern "C"

@@ -80,6 +80,35 @@ class Sample:
         self.factory.set_ref_mrnas(load_ref_mrnas(reader, name2id))
 
     # ------------------------------------------------------------------
+    def iter_clusters(self, mode: str):
+        """Yield finalized clusters in genome order. mode: 'refguide'
+        (pass 1) or 'refdemand' (pass 2). Uses the native C++ clusterizer
+        when available (validated against the Python oracle), else the
+        oracle itself."""
+        use_native = getattr(self.cfg, "native_cluster", True)
+        if use_native:
+            try:
+                from .core.fastcluster import run_native_clustering
+                with PROF.phase("native_cluster"):
+                    clusters = run_native_clustering(
+                        self.table, self.cfg, self.factory.ref_mrnas, mode)
+                yield from clusters
+                return
+            except OSError:
+                pass  # native lib unavailable; fall through
+        while True:
+            cluster = HitCluster(self.cfg)
+            rc = (self.factory.next_cluster_refguide(cluster)
+                  if mode == "refguide"
+                  else self.factory.next_cluster_ref_demand(cluster))
+            if rc == -1:
+                break
+            if cluster.ref_id == -1:
+                continue
+            finalize_cluster(cluster, True)
+            yield cluster
+
+    # ------------------------------------------------------------------
     def frag_len_dist(self, transcripts: List[Contig], cluster: HitCluster,
                       log: TextIO):
         """Sample::fragLenDist (alignments.cpp:1363-1427)."""
@@ -268,13 +297,7 @@ class Sample:
         if self.cfg.device_batch:
             return self._assemble_batched(log)
         self.num_cluster = self.num_cluster_base
-        while True:
-            cluster = HitCluster(self.cfg)
-            if self.factory.next_cluster_refguide(cluster) == -1:
-                break
-            if cluster.ref_id == -1:
-                continue
-            finalize_cluster(cluster, True)
+        for cluster in self.iter_clusters("refguide"):
             asmb = self.assemble_cluster(cluster, log)
             self.assembly.extend(asmb)
             ref_name = self.table.ref_real_names[cluster.ref_id]
@@ -289,13 +312,7 @@ class Sample:
         from .assembly.device import batched_mcf
         self.num_cluster = self.num_cluster_base
         collected = []
-        while True:
-            cluster = HitCluster(self.cfg)
-            if self.factory.next_cluster_refguide(cluster) == -1:
-                break
-            if cluster.ref_id == -1:
-                continue
-            finalize_cluster(cluster, True)
+        for cluster in self.iter_clusters("refguide"):
             collected.append((cluster, self.prepare_cluster_assembly(cluster)))
 
         problems = []
@@ -324,15 +341,9 @@ class Sample:
     def pre_process(self, log: TextIO):
         """Pass 1 for --no-assembly (alignments.cpp:1189-1233)."""
         self.num_cluster = self.num_cluster_base
-        while True:
-            cluster = HitCluster(self.cfg)
-            if self.factory.next_cluster_ref_demand(cluster) == -1:
-                break
-            if cluster.ref_id == -1:
-                continue
+        for cluster in self.iter_clusters("refdemand"):
             self.num_cluster += 1
             cluster.id = self.num_cluster
-            finalize_cluster(cluster, True)
             self.frag_len_dist(cluster.ref_mrnas, cluster, log)
 
     # ------------------------------------------------------------------
@@ -383,14 +394,10 @@ class Sample:
         from .quant.em import em_init
 
         pending: List[Tuple[HitCluster, LocusContext]] = []
-        while True:
-            cluster = HitCluster(self.cfg)
-            if self.factory.next_cluster_ref_demand(cluster) == -1:
-                break
-            if cluster.ref_id == -1:
-                continue
-            finalize_cluster(cluster, True)
-            est = self.build_locus_context(cluster, cluster.ref_mrnas, log)
+        for cluster in self.iter_clusters("refdemand"):
+            with PROF.phase("locus_context"):
+                est = self.build_locus_context(cluster, cluster.ref_mrnas,
+                                               log)
             pending.append((cluster, est))
 
         problems = []
@@ -438,13 +445,7 @@ class Sample:
         if self.cfg.device_batch:
             isoforms = self._quantify_batched(log, fragfile)
         else:
-            while True:
-                cluster = HitCluster(self.cfg)
-                if self.factory.next_cluster_ref_demand(cluster) == -1:
-                    break
-                if cluster.ref_id == -1:
-                    continue
-                finalize_cluster(cluster, True)
+            for cluster in self.iter_clusters("refdemand"):
                 iso, est = self.quantify_cluster(cluster, cluster.ref_mrnas,
                                                  log)
                 if fragfile is not None and est is not None:
