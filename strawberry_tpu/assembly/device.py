@@ -123,21 +123,26 @@ def _mcf_bucket(cost, has_arc, lower, active, max_aug=4096):
 _NODE_BUCKETS = (8, 16, 32, 64, 128, 256)
 
 
-def batched_mcf(problems: List[Tuple[np.ndarray, np.ndarray, np.ndarray]]
+def batched_mcf(problems: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+                device_min_nodes: int = 48
                 ) -> List[Optional[np.ndarray]]:
-    """Solve many dense MCF problems on device, bucketed by node count.
+    """Solve many dense MCF problems, bucketed by node count.
 
     problems: [(cost, has_arc, lower)] with (M,M) matrices.
-    Returns per-problem flow matrix or None (infeasible)."""
+    Graphs below device_min_nodes solve on host (typical loci have <10
+    exon segments — the numpy spec clears hundreds of those per ms, far
+    under device dispatch cost); big-node buckets batch on the TPU where
+    the dense min-plus relaxations actually fill the VPU. Both paths are
+    the identical integer algorithm. Returns per-problem flow matrix or
+    None (infeasible)."""
+    from .mincostflow import solve_dense
     results: List[Optional[np.ndarray]] = [None] * len(problems)
     buckets: Dict[int, List[int]] = {}
     for i, (c, _h, _l) in enumerate(problems):
         m = c.shape[0]
         mb = next((b for b in _NODE_BUCKETS if m <= b), _NODE_BUCKETS[-1])
-        if m > _NODE_BUCKETS[-1]:
-            # oversize locus: host fallback
-            from .mincostflow import solve_dense
-            results[i] = solve_dense(*problems[i])
+        if m < device_min_nodes or m > _NODE_BUCKETS[-1]:
+            results[i] = solve_dense(*[x.copy() for x in problems[i]])
             continue
         buckets.setdefault(mb, []).append(i)
 

@@ -172,19 +172,22 @@ def splicing_graph(cfg: Config, left: int, exon_doc: np.ndarray,
     single_bars = sb
     paired_bars = sorted(set(paired_bars))
 
-    # preliminary exon segments from nonzero coverage runs
+    # preliminary exon segments from nonzero coverage runs (vectorized run
+    # finding; the reference's scalar loop is assembly.cpp:386-402 — NB a
+    # run starting at relative position 0 can only open when left>0, the
+    # `l == 0` sentinel, which always holds for 1-based coordinates)
     exon_boundaries: List[List[int]] = []
-    l = 0
     n = len(exon_doc)
-    for i in range(n):
-        v = exon_doc[i]
-        if v > 0 and l == 0:
-            l = i + left
-        if v == 0 and l != 0:
-            exon_boundaries.append([l, i + left - 1])
-            l = 0
-    if l != 0 and l < left + n:
-        exon_boundaries.append([l, left + n - 1])
+    nz = exon_doc > 0
+    diffs = np.diff(nz.astype(np.int8))
+    starts = np.nonzero(diffs == 1)[0] + 1
+    ends = np.nonzero(diffs == -1)[0]
+    if nz[0]:
+        starts = np.concatenate(([0], starts))
+    if nz[-1]:
+        ends = np.concatenate((ends, [n - 1]))
+    for s0, e0 in zip(starts, ends):
+        exon_boundaries.append([int(s0) + left, int(e0) + left])
 
     # gap filling (assembly.cpp:411-443)
     i = 0

@@ -210,3 +210,74 @@ def run_native_clustering(table: HitTable, cfg: Config,
                   for s in range(seg_off[k], seg_off[k + 1])]
         clusters.append(c)
     return clusters
+
+
+def flatten_contigs(contigs):
+    """Flat RLE arrays (off, code, left, len) for a contig list."""
+    off = np.zeros(len(contigs) + 1, np.int64)
+    codes, lefts, lens = [], [], []
+    for i, c in enumerate(contigs):
+        for (cd, l, ln) in c.feats:
+            codes.append(cd)
+            lefts.append(l)
+            lens.append(ln)
+        off[i + 1] = len(codes)
+    return (off, np.asarray(codes, np.int8), np.asarray(lefts, np.int64),
+            np.asarray(lens, np.int32))
+
+
+_compat_bound = False
+
+
+def native_compat(hits, isos, segs):
+    """C++ is_compatible / fragment-length / seg-overlap matrices.
+
+    hits, isos: lists of Contig. segs: list of (S_MATCH, left, len) feats.
+    Returns (compat uint8 (nh,ni), fraglen int32 (nh,ni),
+    seghit uint8 (nh,ns))."""
+    global _compat_bound
+    from ..io.native import get_lib
+    lib = get_lib()
+    if not _compat_bound:
+        i64p = C.POINTER(C.c_int64)
+        i32p = C.POINTER(C.c_int32)
+        i8p = C.POINTER(C.c_int8)
+        u8p = C.POINTER(C.c_uint8)
+        lib.strawb_compat.restype = None
+        lib.strawb_compat.argtypes = [
+            C.c_int64, i64p, i8p, i64p, i32p,
+            C.c_int64, i64p, i8p, i64p, i32p,
+            C.c_int64, i64p, i64p,
+            u8p, i32p, u8p]
+        _compat_bound = True
+    nh, ni, ns = len(hits), len(isos), len(segs)
+    h_off, h_code, h_left, h_len = flatten_contigs(hits)
+    t_off, t_code, t_left, t_len = flatten_contigs(isos)
+    s_left = np.asarray([f[1] for f in segs], np.int64)
+    s_right = np.asarray([f[1] + f[2] - 1 for f in segs], np.int64)
+    compat = np.zeros((nh, ni), np.uint8)
+    fraglen = np.zeros((nh, ni), np.int32)
+    seghit = np.zeros((nh, max(ns, 1)), np.uint8)
+
+    def ptr(a, ct):
+        a = np.ascontiguousarray(a)
+        return a.ctypes.data_as(C.POINTER(ct))
+
+    ka = [np.ascontiguousarray(x) for x in
+          (h_off, h_code, h_left, h_len, t_off, t_code, t_left, t_len,
+           s_left, s_right)]
+    lib.strawb_compat(
+        nh, ka[0].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[1].ctypes.data_as(C.POINTER(C.c_int8)),
+        ka[2].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[3].ctypes.data_as(C.POINTER(C.c_int32)),
+        ni, ka[4].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[5].ctypes.data_as(C.POINTER(C.c_int8)),
+        ka[6].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[7].ctypes.data_as(C.POINTER(C.c_int32)),
+        ns, ka[8].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[9].ctypes.data_as(C.POINTER(C.c_int64)),
+        compat.ctypes.data_as(C.POINTER(C.c_uint8)),
+        fraglen.ctypes.data_as(C.POINTER(C.c_int32)),
+        seghit.ctypes.data_as(C.POINTER(C.c_uint8)))
+    return compat, fraglen, seghit[:, :ns]

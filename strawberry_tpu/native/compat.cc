@@ -1,0 +1,131 @@
+// Read-vs-isoform compatibility, fragment lengths, and exon-seg overlap —
+// the quantification inner loops (ref: Contig::is_compatible
+// src/contig.cpp:547-599, exonic_overlaps_len :412-426,
+// LocusContext::overlap_exons src/estimate.cpp:115-131).
+// Semantics mirror strawberry_tpu/core/features.py (the oracle).
+
+#include <cstddef>
+#include <cstdint>
+#include <vector>
+
+using std::size_t;
+
+namespace {
+typedef int64_t i64;
+typedef int32_t i32;
+typedef int8_t i8;
+
+struct Feats {
+  const i64* off;
+  const i8* code;
+  const i64* left;
+  const i32* len;
+};
+
+static inline i64 fright(const Feats& F, i64 f) {
+  return F.left[f] + F.len[f] - 1;
+}
+
+// is_compatible(read h, isoform t)
+static bool compat(const Feats& H, i64 h, const Feats& T, i64 t,
+                   const std::vector<i64>& iso_exons /* feat indices */) {
+  i64 hb = H.off[h], he = H.off[h + 1];
+  if (hb == he) return false;
+  i64 first = hb;  // first read feature
+  // lower_bound over iso exons by right() < first.left
+  size_t lo = 0, hi = iso_exons.size();
+  i64 fl = H.left[first];
+  while (lo < hi) {
+    size_t mid = (lo + hi) / 2;
+    if (fright(T, iso_exons[mid]) < fl) lo = mid + 1;
+    else hi = mid;
+  }
+  if (lo == iso_exons.size()) return false;
+  size_t it = lo;
+  // contains
+  {
+    i64 e = iso_exons[it];
+    if (!(T.left[e] <= H.left[first] && fright(T, e) >= fright(H, first)))
+      return false;
+  }
+  i64 tb = T.off[t], te = T.off[t + 1];
+  for (i64 f = hb + 1; f < he; ++f) {
+    i8 c = H.code[f];
+    if (c == 2) continue;  // GAP
+    if (c == 1) {          // INTRON: positional match against iso feats
+      i64 next_intron_offset = 2 * (i64)it + 1;
+      if (tb + next_intron_offset >= te) return false;
+      i64 g = tb + next_intron_offset;
+      if (!(T.code[g] == 1 && T.left[g] == H.left[f] &&
+            T.len[g] == H.len[f]))
+        return false;
+    } else {               // MATCH: advance to containing exon
+      while (it < iso_exons.size()) {
+        i64 e = iso_exons[it];
+        if (T.left[e] <= H.left[f] && fright(T, e) >= fright(H, f)) break;
+        ++it;
+      }
+      if (it == iso_exons.size()) return false;
+    }
+  }
+  return true;
+}
+
+static i32 exonic_overlap_len(const Feats& T, i64 t, i64 l, i64 r) {
+  i64 total = 0;
+  for (i64 f = T.off[t]; f < T.off[t + 1]; ++f) {
+    if (T.code[f] != 0) continue;
+    i64 fl = T.left[f], fr = fright(T, f);
+    if (fl <= r && l <= fr) {
+      i64 a = fl > l ? fl : l;
+      i64 b = fr < r ? fr : r;
+      total += b - a + 1;
+    }
+  }
+  return (i32)total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// compat:   (nh*ni) u8, row-major by hit
+// fraglen:  (nh*ni) i32 (exonic overlap where compatible, else 0)
+// seg_hit:  (nh*ns) u8 (read MATCH feature overlaps disjoint seg)
+void strawb_compat(
+    i64 nh, const i64* h_off, const i8* h_code, const i64* h_left,
+    const i32* h_len,
+    i64 ni, const i64* t_off, const i8* t_code, const i64* t_left,
+    const i32* t_len,
+    i64 ns, const i64* s_left, const i64* s_right,
+    uint8_t* out_compat, i32* out_fraglen, uint8_t* out_seg_hit) {
+  Feats H{h_off, h_code, h_left, h_len};
+  Feats T{t_off, t_code, t_left, t_len};
+  // pre-extract iso exon feature indices
+  std::vector<std::vector<i64>> exons(ni);
+  for (i64 t = 0; t < ni; ++t)
+    for (i64 f = t_off[t]; f < t_off[t + 1]; ++f)
+      if (t_code[f] == 0) exons[t].push_back(f);
+
+  for (i64 h = 0; h < nh; ++h) {
+    i64 hl = h_left[h_off[h]];
+    i64 hr = fright(H, h_off[h + 1] - 1);
+    for (i64 t = 0; t < ni; ++t) {
+      bool c = compat(H, h, T, t, exons[t]);
+      out_compat[h * ni + t] = c ? 1 : 0;
+      out_fraglen[h * ni + t] = c ? exonic_overlap_len(T, t, hl, hr) : 0;
+    }
+    if (ns > 0) {
+      for (i64 s = 0; s < ns; ++s) {
+        uint8_t hit = 0;
+        for (i64 f = h_off[h]; f < h_off[h + 1] && !hit; ++f) {
+          if (h_code[f] != 0) continue;
+          if (h_left[f] <= s_right[s] && s_left[s] <= fright(H, f)) hit = 1;
+        }
+        out_seg_hit[h * ns + s] = hit;
+      }
+    }
+  }
+}
+
+}  // extern "C"

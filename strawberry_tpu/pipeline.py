@@ -116,16 +116,31 @@ class Sample:
             return
         self.total_mapped_reads += int(cluster.weighted_mass)
         hits = cluster.uniq_hit_contigs()
-        for h in hits:
-            counter = 0
-            mark = 0
-            for t_i, t in enumerate(transcripts):
-                if is_compatible(h, t):
-                    counter += 1
-                    mark = t_i
-            if counter == 1:
-                fl = exonic_overlaps_len(transcripts[mark], h.left, h.right)
-                self.frag_dist.append(fl)
+        native = None
+        if getattr(self.cfg, "native_cluster", True) and hits:
+            try:
+                from .core.fastcluster import native_compat
+                native = native_compat(hits, transcripts, [])
+            except OSError:
+                native = None
+        if native is not None:
+            compat_m, fraglen_m, _ = native
+            counts = compat_m.sum(axis=1)
+            for h_i in np.nonzero(counts == 1)[0]:
+                mark = int(np.nonzero(compat_m[h_i])[0][-1])
+                self.frag_dist.append(int(fraglen_m[h_i, mark]))
+        else:
+            for h in hits:
+                counter = 0
+                mark = 0
+                for t_i, t in enumerate(transcripts):
+                    if is_compatible(h, t):
+                        counter += 1
+                        mark = t_i
+                if counter == 1:
+                    fl = exonic_overlaps_len(transcripts[mark], h.left,
+                                             h.right)
+                    self.frag_dist.append(fl)
         ref_name = self.table.ref_real_names[cluster.ref_id] \
             if cluster.ref_id >= 0 else "?"
         log.write(f"Finish inspecting locus: {ref_name}:"

@@ -104,6 +104,28 @@ class LocusContext:
 
     def _assign_exon_bin(self, hits: List[Contig]):
         """assign_exon_bin (estimate.cpp:135-198)."""
+        native = None
+        if hits and getattr(self.cfg, "native_cluster", True):
+            try:
+                from ..core.fastcluster import native_compat
+                native = native_compat(hits, [t.contig for t in
+                                              self.transcripts],
+                                       self.exon_segs)
+            except OSError:
+                native = None
+        if native is not None:
+            compat_m, fraglen_m, seghit = native
+            seg_coords = [(f[1], f[1] + f[2] - 1) for f in self.exon_segs]
+            for h_i, mp in enumerate(hits):
+                row = compat_m[h_i]
+                if not row.any():
+                    continue
+                coords = tuple(seg_coords[j]
+                               for j in np.nonzero(seghit[h_i])[0])
+                for iso_j in np.nonzero(row)[0]:
+                    self._set_maps(int(iso_j), int(fraglen_m[h_i, iso_j]),
+                                   mp.mass, mp, coords)
+            return
         for mp in hits:
             for iso in self.transcripts:
                 if is_compatible(mp, iso.contig):

@@ -39,7 +39,7 @@ def test_device_mcf_matches_numpy_spec():
     rng = np.random.default_rng(1)
     problems = [random_cmpc_problem(rng, int(rng.integers(2, 24)))
                 for _ in range(40)]
-    dev = batched_mcf(problems)
+    dev = batched_mcf(problems, device_min_nodes=0)
     for i, p in enumerate(problems):
         host = solve_dense(*[x.copy() for x in p])
         if host is None:
@@ -58,4 +58,5 @@ def test_device_mcf_infeasible():
     has[0, 1] = True
     lower[0, 1] = 1   # no way back to node 0: infeasible circulation
     assert solve_dense(cost.copy(), has.copy(), lower.copy()) is None
-    assert batched_mcf([(cost, has, lower)])[0] is None
+    assert batched_mcf([(cost, has, lower)],
+                       device_min_nodes=0)[0] is None
