@@ -112,7 +112,9 @@ class LocusProblem:
 
 def batched_em(problems: List[LocusProblem],
                dtype=jnp.float64,
-               use_pallas: bool = False) -> List[Optional[np.ndarray]]:
+               use_pallas: bool = False,
+               device_min_elems: int = 262144
+               ) -> List[Optional[np.ndarray]]:
     """Solve many per-locus EMs on device with shape-bucketed batching.
 
     Returns per-problem theta (or None when EM init fails — no surviving
@@ -134,6 +136,19 @@ def batched_em(problems: List[LocusProblem],
         # pad the batch dim to a power of two so each (B,R,C) bucket shape
         # compiles once and is reused via the persistent cache
         B = max(8, 1 << (len(items) - 1).bit_length())
+        if B * rb * cb < device_min_elems and not use_pallas:
+            # tiny bucket: device dispatch costs more than the math; the
+            # host oracle IS the spec, so results are identical
+            from .em import em_run
+            for (idx, uu, FF, total, niso) in items:
+                # rows here are already >1e-5-filtered; theta0 uses the
+                # unfiltered count total, as EmSolver::init does
+                theta0 = np.full(niso, total / niso, dtype=np.float64)
+                theta = em_run(uu.astype(np.float64), FF, theta0)
+                if theta is None:
+                    theta = theta0
+                results[idx] = theta
+            continue
         F = np.zeros((B, rb, cb), dtype=np.float64)
         u = np.zeros((B, rb), dtype=np.float64)
         theta0 = np.zeros((B, cb), dtype=np.float64)

@@ -35,10 +35,12 @@ def host_solve(p: LocusProblem):
     return theta
 
 
-def test_batched_em_matches_host_oracle():
+@pytest.mark.parametrize("min_elems", [0, 1 << 40])
+def test_batched_em_matches_host_oracle(min_elems):
+    # min_elems=0 forces the device kernel; huge forces the host path
     rng = np.random.default_rng(0)
     problems = random_problems(rng, 60)
-    dev = batched_em(problems)
+    dev = batched_em(problems, device_min_elems=min_elems)
     for i, p in enumerate(problems):
         host = host_solve(p)
         if host is None:
