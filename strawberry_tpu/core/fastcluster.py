@@ -72,7 +72,7 @@ class NativeCluster:
     """Duck-typed core.cluster.HitCluster view over native outputs."""
 
     __slots__ = ("leftmost", "rightmost", "ref_id", "weighted_mass",
-                 "ref_mrnas", "segs", "uniq_hits", "id", "cfg")
+                 "ref_mrnas", "segs", "uniq_hits", "id", "cfg", "flat")
 
     def __init__(self):
         self.id = -1
@@ -193,17 +193,35 @@ def run_native_clustering(table: HitTable, cfg: Config,
         c.ref_mrnas = [ref_mrnas[ref_idx[i]]
                        for i in range(ref_off[k], ref_off[k + 1])]
         uniq: List[Optional[Contig]] = []
+        v_off = [0]
+        v_code: List[np.ndarray] = []
+        v_left: List[np.ndarray] = []
+        v_len: List[np.ndarray] = []
         for ci in range(uniq_off[k], uniq_off[k + 1]):
             if not ct_valid[ci]:
                 uniq.append(None)
                 continue
+            a, b = ct_featoff[ci], ct_featoff[ci + 1]
             feats = [(int(ct_fcode[f]), int(ct_fleft[f]), int(ct_flen[f]))
-                     for f in range(ct_featoff[ci], ct_featoff[ci + 1])]
+                     for f in range(a, b)]
             uniq.append(Contig(ref_id=c.ref_id, strand=int(ct_strand[ci]),
                                feats=feats, mass=float(ct_mass[ci]),
                                contig_id=0,
                                single_orit=int(ct_orit[ci])))
+            v_code.append(ct_fcode[a:b])
+            v_left.append(ct_fleft[a:b])
+            v_len.append(ct_flen[a:b])
+            v_off.append(v_off[-1] + (b - a))
         c.uniq_hits = uniq
+        # flat RLE arrays over the VALID contigs, aligned with
+        # uniq_hit_contigs() order (fast path for native_compat)
+        c.flat = (np.asarray(v_off, np.int64),
+                  np.concatenate(v_code) if v_code else
+                  np.zeros(0, np.int8),
+                  np.concatenate(v_left) if v_left else
+                  np.zeros(0, np.int64),
+                  np.concatenate(v_len) if v_len else
+                  np.zeros(0, np.int32))
         c.segs = [Segment(int(sg_left[s]), int(sg_right[s]),
                           int(sg_lidx[s]), int(sg_ridx[s]),
                           int(sg_strand[s]))
@@ -229,10 +247,11 @@ def flatten_contigs(contigs):
 _compat_bound = False
 
 
-def native_compat(hits, isos, segs):
+def native_compat(hits, isos, segs, hit_flat=None, iso_flat=None):
     """C++ is_compatible / fragment-length / seg-overlap matrices.
 
-    hits, isos: lists of Contig. segs: list of (S_MATCH, left, len) feats.
+    hits, isos: lists of Contig (or pass hit_flat/iso_flat = preflattened
+    (off, code, left, len) tuples). segs: list of (S_MATCH, left, len).
     Returns (compat uint8 (nh,ni), fraglen int32 (nh,ni),
     seghit uint8 (nh,ns))."""
     global _compat_bound
@@ -250,9 +269,11 @@ def native_compat(hits, isos, segs):
             C.c_int64, i64p, i64p,
             u8p, i32p, u8p]
         _compat_bound = True
-    nh, ni, ns = len(hits), len(isos), len(segs)
-    h_off, h_code, h_left, h_len = flatten_contigs(hits)
-    t_off, t_code, t_left, t_len = flatten_contigs(isos)
+    nh = len(hits) if hit_flat is None else len(hit_flat[0]) - 1
+    ni = len(isos) if iso_flat is None else len(iso_flat[0]) - 1
+    ns = len(segs)
+    h_off, h_code, h_left, h_len = hit_flat or flatten_contigs(hits)
+    t_off, t_code, t_left, t_len = iso_flat or flatten_contigs(isos)
     s_left = np.asarray([f[1] for f in segs], np.int64)
     s_right = np.asarray([f[1] + f[2] - 1 for f in segs], np.int64)
     compat = np.zeros((nh, ni), np.uint8)

@@ -120,7 +120,9 @@ class Sample:
         if getattr(self.cfg, "native_cluster", True) and hits:
             try:
                 from .core.fastcluster import native_compat
-                native = native_compat(hits, transcripts, [])
+                native = native_compat(hits, transcripts, [],
+                                       hit_flat=getattr(cluster, "flat",
+                                                        None))
             except OSError:
                 native = None
         if native is not None:
@@ -388,7 +390,8 @@ class Sample:
                 log.write("paired reads are not compatible\n")
         return LocusContext(self.cfg, self.read_len, self.insert_dist,
                             hits, transcripts,
-                            long_read_sample=self.long_read_sample)
+                            long_read_sample=self.long_read_sample,
+                            hit_flat=getattr(cluster, "flat", None))
 
     def quantify_cluster(self, cluster: HitCluster,
                          transcripts: List[Contig], log: TextIO

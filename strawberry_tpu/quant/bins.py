@@ -162,10 +162,12 @@ class ExonBin:
     whole_read_mass: float = 0.0
     id: int = -1
 
-    def add_frag(self, frag: Contig):
+    def add_frag(self, frag: Contig, key=None):
         """_frags is a std::set keyed by Contig::operator< — ref_id plus the
-        (left,len) feature sequence, code NOT compared (contig.cpp:342-347)."""
-        key = (frag.ref_id, tuple((f[1], f[2]) for f in frag.feats))
+        (left,len) feature sequence, code NOT compared (contig.cpp:342-347).
+        Callers in hot loops pass a precomputed key."""
+        if key is None:
+            key = (frag.ref_id, tuple((f[1], f[2]) for f in frag.feats))
         if key not in self.frag_keys:
             self.frag_keys.add(key)
             self.frag_masses[key] = frag.mass

@@ -46,11 +46,12 @@ class LocusContext:
     def __init__(self, cfg: Config, read_len: int,
                  insert_dist: Optional[InsertSize],
                  hits: List[Contig], transcripts: List[Contig],
-                 long_read_sample: bool = False):
+                 long_read_sample: bool = False, hit_flat=None):
         assert transcripts
         self.cfg = cfg
         self.read_len = read_len
         self.insert_dist = insert_dist
+        self._hit_flat = hit_flat
 
         # disjoint exon segments from all transcript exons
         exons: List[Feature] = []
@@ -85,7 +86,7 @@ class LocusContext:
 
     # ------------------------------------------------------------------
     def _set_maps(self, iso_id: int, fg_len: int, mass: float,
-                  read: Contig, coords: Coords):
+                  read: Contig, coords: Coords, frag_key=None):
         if not coords:
             return
         ebid = self._bin_index.get(coords)
@@ -96,7 +97,7 @@ class LocusContext:
             self.exon_bins.append(eb)
             self._bin_index[coords] = ebid
         eb = self.exon_bins[ebid]
-        eb.add_frag(read)
+        eb.add_frag(read, key=frag_key)
         eb.add_frag_len(iso_id, fg_len, mass)
         bins = self.iso_2_bins_map.setdefault(iso_id, [])
         if ebid not in bins:
@@ -110,21 +111,23 @@ class LocusContext:
                 from ..core.fastcluster import native_compat
                 native = native_compat(hits, [t.contig for t in
                                               self.transcripts],
-                                       self.exon_segs)
+                                       self.exon_segs,
+                                       hit_flat=self._hit_flat)
             except OSError:
                 native = None
         if native is not None:
             compat_m, fraglen_m, seghit = native
             seg_coords = [(f[1], f[1] + f[2] - 1) for f in self.exon_segs]
-            for h_i, mp in enumerate(hits):
-                row = compat_m[h_i]
-                if not row.any():
-                    continue
+            any_row = compat_m.any(axis=1)
+            for h_i in np.nonzero(any_row)[0]:
+                mp = hits[h_i]
                 coords = tuple(seg_coords[j]
                                for j in np.nonzero(seghit[h_i])[0])
+                fkey = (mp.ref_id, tuple((f[1], f[2]) for f in mp.feats))
+                row = compat_m[h_i]
                 for iso_j in np.nonzero(row)[0]:
                     self._set_maps(int(iso_j), int(fraglen_m[h_i, iso_j]),
-                                   mp.mass, mp, coords)
+                                   mp.mass, mp, coords, frag_key=fkey)
             return
         for mp in hits:
             for iso in self.transcripts:
