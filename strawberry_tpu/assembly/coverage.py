@@ -34,10 +34,28 @@ IntronMap = Dict[Tuple[int, int], IntronEntry]
 
 def compute_doc(left: int, right: int, hits: List[Contig],
                 exon_doc: np.ndarray, intron_counter: IntronMap,
-                small_overhang: float) -> float:
+                small_overhang: float, use_native: bool = False) -> float:
     """compute_doc (alignments.cpp:1838-1900): per-base exon depth plus
     junction-read table with small-overhang counts. Returns average depth
     over covered bases."""
+    # NB native path available but off by default: re-flattening the hit
+    # features per locus costs more than the numpy slice-adds it replaces
+    # at typical short-read depth (profile before flipping).
+    if use_native and hits:
+        try:
+            from ..core.fastcluster import native_coverage
+            il, ir, tot, small = native_coverage(
+                hits, left, right, small_overhang, exon_doc)
+            for k in range(len(il)):
+                ent = IntronEntry(int(il[k]), int(ir[k]),
+                                  float(tot[k]), float(small[k]))
+                intron_counter[(ent.left, ent.right)] = ent
+            num_nt = int(np.count_nonzero(exon_doc > 0))
+            if num_nt == 0:
+                return 0.0
+            return float(exon_doc.sum(dtype=np.float64)) / num_nt
+        except OSError:
+            pass
     for hit in hits:
         if hit.is_ref:
             continue

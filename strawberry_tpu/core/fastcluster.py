@@ -276,8 +276,8 @@ def native_compat(hits, isos, segs, hit_flat=None, iso_flat=None):
     t_off, t_code, t_left, t_len = iso_flat or flatten_contigs(isos)
     s_left = np.asarray([f[1] for f in segs], np.int64)
     s_right = np.asarray([f[1] + f[2] - 1 for f in segs], np.int64)
-    compat = np.zeros((nh, ni), np.uint8)
-    fraglen = np.zeros((nh, ni), np.int32)
+    compat = np.zeros((nh, max(ni, 1)), np.uint8)
+    fraglen = np.zeros((nh, max(ni, 1)), np.int32)
     seghit = np.zeros((nh, max(ns, 1)), np.uint8)
 
     def ptr(a, ct):
@@ -301,4 +301,56 @@ def native_compat(hits, isos, segs, hit_flat=None, iso_flat=None):
         compat.ctypes.data_as(C.POINTER(C.c_uint8)),
         fraglen.ctypes.data_as(C.POINTER(C.c_int32)),
         seghit.ctypes.data_as(C.POINTER(C.c_uint8)))
-    return compat, fraglen, seghit[:, :ns]
+    return compat[:, :ni], fraglen[:, :ni], seghit[:, :ns]
+
+
+_coverage_bound = False
+
+
+def native_coverage(hits, locus_left, locus_right, small_overhang,
+                    exon_doc, hit_flat=None, masses=None):
+    """C++ compute_doc: fills exon_doc in place, returns the intron table
+    as parallel arrays (left, right, total, small). Reference-model hits
+    (is_ref) pass mass -1 and are skipped."""
+    global _coverage_bound
+    from ..io.native import get_lib
+    lib = get_lib()
+    if not _coverage_bound:
+        i64p = C.POINTER(C.c_int64)
+        i32p = C.POINTER(C.c_int32)
+        i8p = C.POINTER(C.c_int8)
+        f32p = C.POINTER(C.c_float)
+        dp = C.POINTER(C.c_double)
+        lib.strawb_coverage.restype = C.c_int64
+        lib.strawb_coverage.argtypes = [
+            C.c_int64, i64p, i8p, i64p, i32p, dp,
+            C.c_int64, C.c_int64, C.c_double,
+            f32p, C.c_int64, i64p, i64p, dp, dp]
+        _coverage_bound = True
+    h_off, h_code, h_left, h_len = hit_flat or flatten_contigs(hits)
+    if masses is None:
+        masses = np.array([-1.0 if h.is_ref else h.mass for h in hits],
+                          np.float64)
+    nh = len(h_off) - 1
+    max_introns = max(1, len(h_code))
+    il = np.zeros(max_introns, np.int64)
+    ir = np.zeros(max_introns, np.int64)
+    tot = np.zeros(max_introns, np.float64)
+    small = np.zeros(max_introns, np.float64)
+    ka = [np.ascontiguousarray(x) for x in
+          (h_off, h_code, h_left, h_len, masses)]
+    assert exon_doc.dtype == np.float32 and exon_doc.flags.c_contiguous
+    n = lib.strawb_coverage(
+        nh, ka[0].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[1].ctypes.data_as(C.POINTER(C.c_int8)),
+        ka[2].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[3].ctypes.data_as(C.POINTER(C.c_int32)),
+        ka[4].ctypes.data_as(C.POINTER(C.c_double)),
+        locus_left, locus_right, float(small_overhang),
+        exon_doc.ctypes.data_as(C.POINTER(C.c_float)),
+        max_introns,
+        il.ctypes.data_as(C.POINTER(C.c_int64)),
+        ir.ctypes.data_as(C.POINTER(C.c_int64)),
+        tot.ctypes.data_as(C.POINTER(C.c_double)),
+        small.ctypes.data_as(C.POINTER(C.c_double)))
+    return il[:n], ir[:n], tot[:n], small[:n]

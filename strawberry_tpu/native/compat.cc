@@ -129,3 +129,61 @@ void strawb_compat(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Per-locus coverage + intron table (compute_doc, alignments.cpp:1838-1900).
+// Hits with mass < 0 are reference models (skipped). Returns the number of
+// intron entries written (capped at max_introns).
+i64 strawb_coverage(
+    i64 nh, const i64* h_off, const i8* h_code, const i64* h_left,
+    const i32* h_len, const double* h_mass,
+    i64 locus_left, i64 locus_right, double small_overhang,
+    float* exon_doc /* size locus_right-locus_left+1, zeroed by caller */,
+    i64 max_introns, i64* out_il, i64* out_ir, double* out_tot,
+    double* out_small) {
+  struct IK { i64 l, r; };
+  std::vector<i64> keys_l, keys_r;
+  std::vector<double> tot, small;
+  auto find_or_add = [&](i64 l, i64 r) -> i64 {
+    for (i64 k = 0; k < (i64)keys_l.size(); ++k)
+      if (keys_l[k] == l && keys_r[k] == r) return k;
+    keys_l.push_back(l);
+    keys_r.push_back(r);
+    tot.push_back(0.0);
+    small.push_back(0.0);
+    return (i64)keys_l.size() - 1;
+  };
+  for (i64 h = 0; h < nh; ++h) {
+    double mass = h_mass[h];
+    if (mass < 0) continue;  // reference model
+    for (i64 f = h_off[h]; f < h_off[h + 1]; ++f) {
+      i64 gl = h_left[f];
+      i64 gr = gl + h_len[f] - 1;
+      if (h_code[f] == 0) {
+        i64 lo = gl > locus_left ? gl : locus_left;
+        i64 hi = gr < locus_right ? gr : locus_right;
+        for (i64 p = lo; p <= hi; ++p)
+          exon_doc[p - locus_left] += (float)mass;
+      } else if (h_code[f] == 1) {
+        if (gl < locus_left || gr > locus_right) continue;
+        i64 k = find_or_add(gl, gr);
+        tot[k] += mass;
+        if ((double)h_len[f - 1] < small_overhang ||
+            (double)h_len[f + 1] < small_overhang)
+          small[k] += mass;
+      }
+    }
+  }
+  i64 n = (i64)keys_l.size();
+  if (n > max_introns) n = max_introns;
+  for (i64 k = 0; k < n; ++k) {
+    out_il[k] = keys_l[k];
+    out_ir[k] = keys_r[k];
+    out_tot[k] = tot[k];
+    out_small[k] = small[k];
+  }
+  return n;
+}
+
+}  // extern "C"
