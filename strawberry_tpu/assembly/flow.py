@@ -115,7 +115,8 @@ class FlowNetwork:
                        node2exon: Dict[int, int],
                        cost_map: Dict[int, int],
                        min_flow_map: Dict[int, int],
-                       path_cstrs: List[List[int]]) -> bool:
+                       path_cstrs: List[List[int]],
+                       hit_flat=None) -> bool:
         """createNetwork (assembly.cpp:549-765)."""
         g = self.g
         assert hits
@@ -148,7 +149,7 @@ class FlowNetwork:
         self.add_weight(hits, intron_counter, node2exon, exons, cost_map)
 
         # subpath constraints (assembly.cpp:616-699)
-        constraints = self.find_constraints(exons, hits)
+        constraints = self.find_constraints(exons, hits, hit_flat=hit_flat)
         for c in constraints:
             path_cstr: List[int] = []
             s = nodes[c[0]]
@@ -248,9 +249,21 @@ class FlowNetwork:
 
     # ------------------------------------------------------------------
     def find_constraints(self, exons: List[ExonSeg],
-                         hits: List[Contig]) -> List[List[int]]:
+                         hits: List[Contig],
+                         hit_flat=None) -> List[List[int]]:
         """findConstraints (assembly.cpp:856-879): per-hit overlapped exon
         index sets of size > 2, sorted + unique."""
+        if hit_flat is not None and hits:
+            import numpy as np
+            from ..core.fastcluster import native_compat
+            _c, _f, seghit = native_compat(
+                hits, [], [e.feature for e in exons], hit_flat=hit_flat)
+            result = []
+            for row in seghit:
+                nz = np.nonzero(row)[0]
+                if len(nz) > 2:
+                    result.append(tuple(int(x) for x in nz))
+            return [list(c) for c in sorted(set(result))]
         result: List[Tuple[int, ...]] = []
         for mp in hits:
             idxs: Set[int] = set()

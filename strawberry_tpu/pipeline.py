@@ -165,8 +165,34 @@ class Sample:
         ref_id = hits[0].ref_id
         exon_doc = np.zeros(r - l + 1, dtype=np.float32)
         intron_counter: IntronMap = {}
-        avg_dep = compute_doc(l, r, hits, exon_doc, intron_counter,
-                              cfg.min_anchor)
+        # flatten the locus hits ONCE; the native coverage/constraint
+        # kernels share it (amortizes the RLE extraction)
+        hit_flat = None
+        masses = None
+        if getattr(cfg, "native_cluster", True):
+            try:
+                from .core.fastcluster import flatten_contigs
+                hit_flat = flatten_contigs(hits)
+                masses = np.array(
+                    [-1.0 if h.is_ref else h.mass for h in hits],
+                    np.float64)
+            except Exception:
+                hit_flat = None
+        if hit_flat is not None:
+            from .core.fastcluster import native_coverage
+            from .assembly.coverage import IntronEntry
+            il, ir, tot, small = native_coverage(
+                hits, l, r, cfg.min_anchor, exon_doc, hit_flat=hit_flat,
+                masses=masses)
+            for k in range(len(il)):
+                intron_counter[(int(il[k]), int(ir[k]))] = IntronEntry(
+                    int(il[k]), int(ir[k]), float(tot[k]), float(small[k]))
+            num_nt = int(np.count_nonzero(exon_doc > 0))
+            avg_dep = (float(exon_doc.sum(dtype=np.float64)) / num_nt
+                       if num_nt else 0.0)
+        else:
+            avg_dep = compute_doc(l, r, hits, exon_doc, intron_counter,
+                                  cfg.min_anchor)
         if avg_dep < cfg.min_depth_4_locus:
             return task
         filter_intron(cfg, l, self.read_len, exon_doc, intron_counter)
@@ -180,7 +206,8 @@ class Sample:
         min_flow_map = {}
         path_cstrs: List[List[int]] = []
         ok = fn.create_network(hits, exons, intron_counter, node2exon,
-                               cost_map, min_flow_map, path_cstrs)
+                               cost_map, min_flow_map, path_cstrs,
+                               hit_flat=hit_flat)
         if not ok:
             return task
         task.ref_id = ref_id
