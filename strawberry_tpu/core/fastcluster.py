@@ -69,18 +69,43 @@ def _arr(ptr, n, dtype):
 
 
 class NativeCluster:
-    """Duck-typed core.cluster.HitCluster view over native outputs."""
+    """Duck-typed core.cluster.HitCluster view over native outputs.
+
+    Per-read Python Contig objects are materialized LAZILY — the array-
+    native quantification path never touches them; only the assembly pass
+    and oracle/frag-context paths do."""
 
     __slots__ = ("leftmost", "rightmost", "ref_id", "weighted_mass",
-                 "ref_mrnas", "segs", "uniq_hits", "id", "cfg", "flat")
+                 "ref_mrnas", "segs", "id", "cfg", "flat", "flat_mass",
+                 "_raw", "_n_uniq", "_uniq_cache")
 
     def __init__(self):
         self.id = -1
+        self._uniq_cache = None
 
     # the pipeline treats uniq_hits entries as opaque tokens passed back
     # through pair_to_contig; natively they ARE the contigs (or None)
     def pair_to_contig(self, c):
         return c
+
+    @property
+    def uniq_hits(self) -> List[Optional[Contig]]:
+        if self._uniq_cache is None:
+            (strand, orit, mass, valid, featoff, fcode, fleft, flen) =                 self._raw
+            uniq: List[Optional[Contig]] = []
+            for ci in range(len(strand)):
+                if not valid[ci]:
+                    uniq.append(None)
+                    continue
+                a, b = featoff[ci], featoff[ci + 1]
+                feats = [(int(fcode[f]), int(fleft[f]), int(flen[f]))
+                         for f in range(a, b)]
+                uniq.append(Contig(ref_id=self.ref_id,
+                                   strand=int(strand[ci]), feats=feats,
+                                   mass=float(mass[ci]), contig_id=0,
+                                   single_orit=int(orit[ci])))
+            self._uniq_cache = uniq
+        return self._uniq_cache
 
     def uniq_hit_contigs(self) -> List[Contig]:
         return [c for c in self.uniq_hits if c is not None]
@@ -92,7 +117,7 @@ class NativeCluster:
         return self.ref_mrnas[0].strand
 
     def size(self) -> int:
-        return len(self.uniq_hits)
+        return self._n_uniq
 
 
 def run_native_clustering(table: HitTable, cfg: Config,
@@ -192,36 +217,34 @@ def run_native_clustering(table: HitTable, cfg: Config,
         c.weighted_mass = float(cl_wmass[k])
         c.ref_mrnas = [ref_mrnas[ref_idx[i]]
                        for i in range(ref_off[k], ref_off[k + 1])]
-        uniq: List[Optional[Contig]] = []
-        v_off = [0]
-        v_code: List[np.ndarray] = []
-        v_left: List[np.ndarray] = []
-        v_len: List[np.ndarray] = []
-        for ci in range(uniq_off[k], uniq_off[k + 1]):
-            if not ct_valid[ci]:
-                uniq.append(None)
-                continue
-            a, b = ct_featoff[ci], ct_featoff[ci + 1]
-            feats = [(int(ct_fcode[f]), int(ct_fleft[f]), int(ct_flen[f]))
-                     for f in range(a, b)]
-            uniq.append(Contig(ref_id=c.ref_id, strand=int(ct_strand[ci]),
-                               feats=feats, mass=float(ct_mass[ci]),
-                               contig_id=0,
-                               single_orit=int(ct_orit[ci])))
-            v_code.append(ct_fcode[a:b])
-            v_left.append(ct_fleft[a:b])
-            v_len.append(ct_flen[a:b])
-            v_off.append(v_off[-1] + (b - a))
-        c.uniq_hits = uniq
-        # flat RLE arrays over the VALID contigs, aligned with
-        # uniq_hit_contigs() order (fast path for native_compat)
-        c.flat = (np.asarray(v_off, np.int64),
-                  np.concatenate(v_code) if v_code else
-                  np.zeros(0, np.int8),
-                  np.concatenate(v_left) if v_left else
-                  np.zeros(0, np.int64),
-                  np.concatenate(v_len) if v_len else
-                  np.zeros(0, np.int32))
+        a0, a1 = int(uniq_off[k]), int(uniq_off[k + 1])
+        strand_k = ct_strand[a0:a1]
+        orit_k = ct_orit[a0:a1]
+        mass_k = ct_mass[a0:a1]
+        valid_k = ct_valid[a0:a1] != 0
+        featoff_k = ct_featoff[a0:a1 + 1]
+        c._raw = (strand_k, orit_k, mass_k, valid_k,
+                  featoff_k - featoff_k[0],
+                  ct_fcode[featoff_k[0]:featoff_k[-1]],
+                  ct_fleft[featoff_k[0]:featoff_k[-1]],
+                  ct_flen[featoff_k[0]:featoff_k[-1]])
+        c._n_uniq = a1 - a0
+        c.flat_mass = mass_k[valid_k]
+        # flat RLE arrays over the VALID contigs (aligned with
+        # uniq_hit_contigs() order), gathered with pure numpy
+        vstart = featoff_k[:-1][valid_k]
+        vlens = (featoff_k[1:] - featoff_k[:-1])[valid_k]
+        total = int(vlens.sum())
+        off = np.zeros(len(vstart) + 1, np.int64)
+        np.cumsum(vlens, out=off[1:])
+        if total:
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                off[:-1], vlens)
+            src = np.repeat(vstart, vlens) + pos
+            c.flat = (off, ct_fcode[src], ct_fleft[src], ct_flen[src])
+        else:
+            c.flat = (off, np.zeros(0, np.int8), np.zeros(0, np.int64),
+                      np.zeros(0, np.int32))
         c.segs = [Segment(int(sg_left[s]), int(sg_right[s]),
                           int(sg_lidx[s]), int(sg_ridx[s]),
                           int(sg_strand[s]))
@@ -247,7 +270,8 @@ def flatten_contigs(contigs):
 _compat_bound = False
 
 
-def native_compat(hits, isos, segs, hit_flat=None, iso_flat=None):
+def native_compat(hits, isos, segs, hit_flat=None, iso_flat=None,
+                  want_fragkey=False):
     """C++ is_compatible / fragment-length / seg-overlap matrices.
 
     hits, isos: lists of Contig (or pass hit_flat/iso_flat = preflattened
@@ -262,12 +286,13 @@ def native_compat(hits, isos, segs, hit_flat=None, iso_flat=None):
         i32p = C.POINTER(C.c_int32)
         i8p = C.POINTER(C.c_int8)
         u8p = C.POINTER(C.c_uint8)
+        u64p = C.POINTER(C.c_uint64)
         lib.strawb_compat.restype = None
         lib.strawb_compat.argtypes = [
             C.c_int64, i64p, i8p, i64p, i32p,
             C.c_int64, i64p, i8p, i64p, i32p,
             C.c_int64, i64p, i64p,
-            u8p, i32p, u8p]
+            u8p, i32p, u8p, u64p]
         _compat_bound = True
     nh = len(hits) if hit_flat is None else len(hit_flat[0]) - 1
     ni = len(isos) if iso_flat is None else len(iso_flat[0]) - 1
@@ -279,6 +304,7 @@ def native_compat(hits, isos, segs, hit_flat=None, iso_flat=None):
     compat = np.zeros((nh, max(ni, 1)), np.uint8)
     fraglen = np.zeros((nh, max(ni, 1)), np.int32)
     seghit = np.zeros((nh, max(ns, 1)), np.uint8)
+    fragkey = np.zeros(max(nh, 1), np.uint64) if want_fragkey else None
 
     def ptr(a, ct):
         a = np.ascontiguousarray(a)
@@ -300,7 +326,11 @@ def native_compat(hits, isos, segs, hit_flat=None, iso_flat=None):
         ka[9].ctypes.data_as(C.POINTER(C.c_int64)),
         compat.ctypes.data_as(C.POINTER(C.c_uint8)),
         fraglen.ctypes.data_as(C.POINTER(C.c_int32)),
-        seghit.ctypes.data_as(C.POINTER(C.c_uint8)))
+        seghit.ctypes.data_as(C.POINTER(C.c_uint8)),
+        fragkey.ctypes.data_as(C.POINTER(C.c_uint64)) if want_fragkey
+        else None)
+    if want_fragkey:
+        return compat[:, :ni], fraglen[:, :ni], seghit[:, :ns], fragkey[:nh]
     return compat[:, :ni], fraglen[:, :ni], seghit[:, :ns]
 
 

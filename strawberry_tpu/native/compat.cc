@@ -98,7 +98,9 @@ void strawb_compat(
     i64 ni, const i64* t_off, const i8* t_code, const i64* t_left,
     const i32* t_len,
     i64 ns, const i64* s_left, const i64* s_right,
-    uint8_t* out_compat, i32* out_fraglen, uint8_t* out_seg_hit) {
+    uint8_t* out_compat, i32* out_fraglen, uint8_t* out_seg_hit,
+    uint64_t* out_fragkey /* may be null: FNV over (left,len) pairs —
+                             the Contig::operator< dedupe key */) {
   Feats H{h_off, h_code, h_left, h_len};
   Feats T{t_off, t_code, t_left, t_len};
   // pre-extract iso exon feature indices
@@ -114,6 +116,14 @@ void strawb_compat(
       bool c = compat(H, h, T, t, exons[t]);
       out_compat[h * ni + t] = c ? 1 : 0;
       out_fraglen[h * ni + t] = c ? exonic_overlap_len(T, t, hl, hr) : 0;
+    }
+    if (out_fragkey) {
+      uint64_t k = 0xcbf29ce484222325ull;
+      for (i64 f = h_off[h]; f < h_off[h + 1]; ++f) {
+        k = (k ^ (uint64_t)h_left[f]) * 1099511628211ull;
+        k = (k ^ (uint64_t)(uint32_t)h_len[f]) * 1099511628211ull;
+      }
+      out_fragkey[h] = k;
     }
     if (ns > 0) {
       for (i64 s = 0; s < ns; ++s) {

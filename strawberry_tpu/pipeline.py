@@ -115,14 +115,23 @@ class Sample:
         if not transcripts:
             return
         self.total_mapped_reads += int(cluster.weighted_mass)
-        hits = cluster.uniq_hit_contigs()
         native = None
-        if getattr(self.cfg, "native_cluster", True) and hits:
+        flat = getattr(cluster, "flat", None)
+        if getattr(self.cfg, "native_cluster", True):
             try:
                 from .core.fastcluster import native_compat
-                native = native_compat(hits, transcripts, [],
-                                       hit_flat=getattr(cluster, "flat",
-                                                        None))
+                if flat is not None:
+                    if len(flat[0]) > 1:
+                        native = native_compat(None, transcripts, [],
+                                               hit_flat=flat)
+                    else:
+                        native = (np.zeros((0, len(transcripts)), np.uint8),
+                                  np.zeros((0, len(transcripts)), np.int32),
+                                  np.zeros((0, 0), np.uint8))
+                else:
+                    hits = cluster.uniq_hit_contigs()
+                    if hits:
+                        native = native_compat(hits, transcripts, [])
             except OSError:
                 native = None
         if native is not None:
@@ -132,7 +141,7 @@ class Sample:
                 mark = int(np.nonzero(compat_m[h_i])[0][-1])
                 self.frag_dist.append(int(fraglen_m[h_i, mark]))
         else:
-            for h in hits:
+            for h in cluster.uniq_hit_contigs():
                 counter = 0
                 mark = 0
                 for t_i, t in enumerate(transcripts):
@@ -439,10 +448,18 @@ class Sample:
         from .quant.em import em_init
 
         pending: List[Tuple[HitCluster, LocusContext]] = []
+        use_fast = fragfile is None
         for cluster in self.iter_clusters("refdemand"):
             with PROF.phase("locus_context"):
-                est = self.build_locus_context(cluster, cluster.ref_mrnas,
-                                               log)
+                if use_fast and getattr(cluster, "flat", None) is not None:
+                    from .quant.fastlocus import build_fast_locus
+                    est = build_fast_locus(
+                        self.cfg, self.read_len, self.insert_dist,
+                        cluster.flat, cluster.flat_mass, cluster.ref_mrnas,
+                        long_read_sample=self.long_read_sample)
+                else:
+                    est = self.build_locus_context(cluster,
+                                                   cluster.ref_mrnas, log)
             pending.append((cluster, est))
 
         problems = []
