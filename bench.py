@@ -20,7 +20,7 @@ BASELINE_READS_PER_SEC = 83000.0
 
 
 def main():
-    n_frags = int(os.environ.get("BENCH_FRAGS", "100000"))
+    n_frags = int(os.environ.get("BENCH_FRAGS", "500000"))
     cache = f"/tmp/strawberry_bench_{n_frags}"
     from strawberry_tpu.sim import make_dataset
     bam = os.path.join(cache, "sample_01.sorted.bam")

@@ -116,10 +116,10 @@ class FlowNetwork:
                        cost_map: Dict[int, int],
                        min_flow_map: Dict[int, int],
                        path_cstrs: List[List[int]],
-                       hit_flat=None) -> bool:
+                       hit_flat=None, weight_mass=None) -> bool:
         """createNetwork (assembly.cpp:549-765)."""
         g = self.g
-        assert hits
+        assert hits or (hit_flat is not None and len(hit_flat[0]) > 1)
         if len(exons) == 1:
             return True
         nodes = []
@@ -146,7 +146,8 @@ class FlowNetwork:
             if exons[i + 1].left == exons[i].right + 1:
                 arcs.append(g.add_arc(nodes[i], nodes[i + 1]))
 
-        self.add_weight(hits, intron_counter, node2exon, exons, cost_map)
+        self.add_weight(hits, intron_counter, node2exon, exons, cost_map,
+                        hit_flat=hit_flat, weight_mass=weight_mass)
 
         # subpath constraints (assembly.cpp:616-699)
         constraints = self.find_constraints(exons, hits, hit_flat=hit_flat)
@@ -206,14 +207,20 @@ class FlowNetwork:
     # ------------------------------------------------------------------
     def add_weight(self, hits: List[Contig], intron_counter: IntronMap,
                    node2exon: Dict[int, int], exons: List[ExonSeg],
-                   cost_map: Dict[int, int]) -> None:
+                   cost_map: Dict[int, int], hit_flat=None,
+                   weight_mass=None) -> None:
         """addWeight (assembly.cpp:767-811). Arc cost = trunc(max_support -
         trunc(arc_support)); supports from junction reads (intron arcs) or
-        spanning reads with >=kMinDist4ExonEdge overhang (adjacency arcs)."""
+        spanning reads with >=kMinDist4ExonEdge overhang (adjacency arcs).
+        With hit_flat/weight_mass the order-sensitive adjacency scan runs
+        in C++ (strawb_adj_support)."""
         g = self.g
         cfg = self.cfg
         sorted_introns = sorted(intron_counter.items())
         supports: Dict[int, float] = {}
+        adj_arcs: List[int] = []
+        adj_s: List[int] = []
+        adj_e: List[int] = []
         # ArcIt order: nodes newest-first, each node's out-arcs newest-first
         for u in g.nodes_it():
             for arc in g.out_arcs(u):
@@ -223,6 +230,12 @@ class FlowNetwork:
                 arc_e = t_exon.left
                 support = 0.0
                 if arc_e - arc_s == 1:
+                    if hit_flat is not None:
+                        adj_arcs.append(arc)
+                        adj_s.append(arc_s)
+                        adj_e.append(arc_e)
+                        supports[arc] = 0.0
+                        continue
                     for mp in hits:
                         if mp.left > arc_e:
                             break
@@ -244,6 +257,13 @@ class FlowNetwork:
                             break
                 self.max_weight = max(self.max_weight, support)
                 supports[arc] = support
+        if adj_arcs:
+            from ..core.fastcluster import native_adj_support
+            sup = native_adj_support(hit_flat, weight_mass, adj_s, adj_e,
+                                     cfg.min_dist_4_exon_edge)
+            for arc, sv in zip(adj_arcs, sup):
+                supports[arc] = float(sv)
+                self.max_weight = max(self.max_weight, float(sv))
         for arc in supports:
             cost_map[arc] = int(self.max_weight - int(supports[arc]))
 
@@ -253,11 +273,11 @@ class FlowNetwork:
                          hit_flat=None) -> List[List[int]]:
         """findConstraints (assembly.cpp:856-879): per-hit overlapped exon
         index sets of size > 2, sorted + unique."""
-        if hit_flat is not None and hits:
+        if hit_flat is not None and len(hit_flat[0]) > 1:
             import numpy as np
             from ..core.fastcluster import native_compat
             _c, _f, seghit = native_compat(
-                hits, [], [e.feature for e in exons], hit_flat=hit_flat)
+                None, [], [e.feature for e in exons], hit_flat=hit_flat)
             result = []
             for row in seghit:
                 nz = np.nonzero(row)[0]

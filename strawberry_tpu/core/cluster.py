@@ -455,6 +455,9 @@ class HitCluster:
     def size(self) -> int:
         return len(self.hits)
 
+    def num_uniq(self) -> int:
+        return len(self.uniq_hits)
+
     def len(self) -> int:
         return self.rightmost - self.leftmost + 1
 

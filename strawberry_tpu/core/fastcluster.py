@@ -110,6 +110,20 @@ class NativeCluster:
     def uniq_hit_contigs(self) -> List[Contig]:
         return [c for c in self.uniq_hits if c is not None]
 
+    @property
+    def valid_mask(self):
+        return self._raw[3]
+
+    @property
+    def valid_strands(self):
+        """strand per VALID contig, aligned with flat/flat_mass order."""
+        return self._raw[0][self._raw[3]]
+
+    @property
+    def valid_positions(self):
+        """uniq-hit index of each VALID contig."""
+        return np.nonzero(self._raw[3])[0]
+
     def refine_cluster(self):
         pass  # segs precomputed natively
 
@@ -117,6 +131,9 @@ class NativeCluster:
         return self.ref_mrnas[0].strand
 
     def size(self) -> int:
+        return self._n_uniq
+
+    def num_uniq(self) -> int:
         return self._n_uniq
 
 
@@ -384,3 +401,61 @@ def native_coverage(hits, locus_left, locus_right, small_overhang,
         tot.ctypes.data_as(C.POINTER(C.c_double)),
         small.ctypes.data_as(C.POINTER(C.c_double)))
     return il[:n], ir[:n], tot[:n], small[:n]
+
+
+def gather_flat(flat, mask):
+    """Subset a flat RLE tuple by a per-contig boolean mask (pure numpy)."""
+    off, code, left, ln = flat
+    starts = off[:-1][mask]
+    lens = (off[1:] - off[:-1])[mask]
+    total = int(lens.sum())
+    new_off = np.zeros(len(starts) + 1, np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    if total:
+        pos = np.arange(total, dtype=np.int64) - np.repeat(new_off[:-1],
+                                                           lens)
+        src = np.repeat(starts, lens) + pos
+        return (new_off, code[src], left[src], ln[src])
+    return (new_off, np.zeros(0, np.int8), np.zeros(0, np.int64),
+            np.zeros(0, np.int32))
+
+
+def concat_flat(a, b):
+    off = np.concatenate([a[0], a[0][-1] + b[0][1:]])
+    return (off, np.concatenate([a[1], b[1]]),
+            np.concatenate([a[2], b[2]]), np.concatenate([a[3], b[3]]))
+
+
+_adj_bound = False
+
+
+def native_adj_support(hit_flat, masses, arc_s, arc_e, min_dist):
+    """C++ addWeight adjacency support (order-sensitive early exit)."""
+    global _adj_bound
+    from ..io.native import get_lib
+    lib = get_lib()
+    if not _adj_bound:
+        i64p = C.POINTER(C.c_int64)
+        i32p = C.POINTER(C.c_int32)
+        i8p = C.POINTER(C.c_int8)
+        dp = C.POINTER(C.c_double)
+        lib.strawb_adj_support.restype = None
+        lib.strawb_adj_support.argtypes = [
+            C.c_int64, i64p, i8p, i64p, i32p, dp,
+            C.c_int64, i64p, i64p, C.c_int64, dp]
+        _adj_bound = True
+    na = len(arc_s)
+    out = np.zeros(na, np.float64)
+    ka = [np.ascontiguousarray(x) for x in
+          (hit_flat[0], hit_flat[1], hit_flat[2], hit_flat[3], masses,
+           np.asarray(arc_s, np.int64), np.asarray(arc_e, np.int64))]
+    lib.strawb_adj_support(
+        len(ka[0]) - 1, ka[0].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[1].ctypes.data_as(C.POINTER(C.c_int8)),
+        ka[2].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[3].ctypes.data_as(C.POINTER(C.c_int32)),
+        ka[4].ctypes.data_as(C.POINTER(C.c_double)),
+        na, ka[5].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[6].ctypes.data_as(C.POINTER(C.c_int64)),
+        min_dist, out.ctypes.data_as(C.POINTER(C.c_double)))
+    return out

@@ -197,3 +197,37 @@ i64 strawb_coverage(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// addWeight's adjacency-arc support (assembly.cpp:779-792): for each arc
+// with target.left - source.right == 1, scan hits IN ORDER, breaking at the
+// first hit with left > arc_e (the reference's early exit — order matters
+// because ref models are prepended unsorted), accumulating mass of hits
+// with a MATCH feature spanning [arc_s - min_dist, arc_e + min_dist].
+void strawb_adj_support(
+    i64 nh, const i64* h_off, const i8* h_code, const i64* h_left,
+    const i32* h_len, const double* h_mass,
+    i64 na, const i64* arc_s, const i64* arc_e, i64 min_dist,
+    double* out_support) {
+  for (i64 a = 0; a < na; ++a) {
+    double sup = 0.0;
+    i64 as = arc_s[a], ae = arc_e[a];
+    for (i64 h = 0; h < nh; ++h) {
+      i64 b = h_off[h], e = h_off[h + 1];
+      if (b == e) continue;
+      i64 mp_left = h_left[b];
+      i64 mp_right = h_left[e - 1] + h_len[e - 1] - 1;
+      if (mp_left > ae) break;
+      if (mp_right < as) continue;
+      for (i64 f = b; f < e; ++f) {
+        if (h_code[f] != 0) continue;
+        i64 fl = h_left[f], fr = fl + h_len[f] - 1;
+        if (fl <= as - min_dist && fr >= ae + min_dist) sup += h_mass[h];
+      }
+    }
+    out_support[a] = sup;
+  }
+}
+
+}  // extern "C"

@@ -137,9 +137,12 @@ class Sample:
         if native is not None:
             compat_m, fraglen_m, _ = native
             counts = compat_m.sum(axis=1)
-            for h_i in np.nonzero(counts == 1)[0]:
-                mark = int(np.nonzero(compat_m[h_i])[0][-1])
-                self.frag_dist.append(int(fraglen_m[h_i, mark]))
+            sel = counts == 1
+            if sel.any():
+                rows = compat_m[sel]
+                marks = rows.argmax(axis=1)  # exactly one hit per row
+                fls = fraglen_m[sel, marks]
+                self.frag_dist.extend(fls.tolist())
         else:
             for h in cluster.uniq_hit_contigs():
                 counter = 0
@@ -158,41 +161,50 @@ class Sample:
                   f"{cluster.leftmost}-{cluster.rightmost}\n")
         log.write(f"Found {len(cluster.ref_mrnas)} of ref mRNAs "
                   f"from the reference gtf file.\n")
-        log.write(f"Number of total unique hits: {len(cluster.uniq_hits)}\n\n")
+        log.write(f"Number of total unique hits: {cluster.num_uniq()}\n\n")
 
     # ------------------------------------------------------------------
     def prepare_contig_task(self, l: int, r: int, strand: int,
-                            hits: List[Contig]):
+                            hits: Optional[List[Contig]] = None,
+                            flat_bundle=None, ref_id: int = -1):
         """First (host) half of Sample::assembleContig (alignments.cpp:
         64-117): coverage, intron filters, splice graph, flow network
         construction. Returns an AsmTask whose dense flow problem (if any)
-        can be solved on host or batched on the TPU."""
+        can be solved on host or batched on the TPU.
+
+        flat_bundle = (hit_flat, cov_mass, weight_mass) runs everything on
+        flat RLE arrays without per-read Python objects (cov_mass carries
+        -1 sentinels for reference models)."""
         cfg = self.cfg
         task = AsmTask(strand=strand)
-        if not hits:
-            return task
-        ref_id = hits[0].ref_id
+        hit_flat = cov_mass = weight_mass = None
+        if flat_bundle is not None:
+            hit_flat, cov_mass, weight_mass = flat_bundle
+            if len(hit_flat[0]) <= 1:
+                return task
+        else:
+            if not hits:
+                return task
+            ref_id = hits[0].ref_id
+            if getattr(cfg, "native_cluster", True):
+                try:
+                    from .core.fastcluster import flatten_contigs
+                    hit_flat = flatten_contigs(hits)
+                    cov_mass = np.array(
+                        [-1.0 if h.is_ref else h.mass for h in hits],
+                        np.float64)
+                    weight_mass = np.array(
+                        [h.mass for h in hits], np.float64)
+                except Exception:
+                    hit_flat = None
         exon_doc = np.zeros(r - l + 1, dtype=np.float32)
         intron_counter: IntronMap = {}
-        # flatten the locus hits ONCE; the native coverage/constraint
-        # kernels share it (amortizes the RLE extraction)
-        hit_flat = None
-        masses = None
-        if getattr(cfg, "native_cluster", True):
-            try:
-                from .core.fastcluster import flatten_contigs
-                hit_flat = flatten_contigs(hits)
-                masses = np.array(
-                    [-1.0 if h.is_ref else h.mass for h in hits],
-                    np.float64)
-            except Exception:
-                hit_flat = None
         if hit_flat is not None:
             from .core.fastcluster import native_coverage
             from .assembly.coverage import IntronEntry
             il, ir, tot, small = native_coverage(
-                hits, l, r, cfg.min_anchor, exon_doc, hit_flat=hit_flat,
-                masses=masses)
+                None, l, r, cfg.min_anchor, exon_doc, hit_flat=hit_flat,
+                masses=cov_mass)
             for k in range(len(il)):
                 intron_counter[(int(il[k]), int(ir[k]))] = IntronEntry(
                     int(il[k]), int(ir[k]), float(tot[k]), float(small[k]))
@@ -214,9 +226,9 @@ class Sample:
         cost_map = {}
         min_flow_map = {}
         path_cstrs: List[List[int]] = []
-        ok = fn.create_network(hits, exons, intron_counter, node2exon,
+        ok = fn.create_network(hits or [], exons, intron_counter, node2exon,
                                cost_map, min_flow_map, path_cstrs,
-                               hit_flat=hit_flat)
+                               hit_flat=hit_flat, weight_mass=weight_mass)
         if not ok:
             return task
         task.ref_id = ref_id
@@ -267,12 +279,33 @@ class Sample:
         skipped entirely (too few reads), else a list of ("ref"|"seg",
         AsmTask) units."""
         cfg = self.cfg
-        if len(cluster.uniq_hits) < cfg.min_read_for_assemb:
+        if cluster.num_uniq() < cfg.min_read_for_assemb:
             return None
         units = []
+        flat = getattr(cluster, "flat", None)
         if cluster.ref_mrnas and cfg.utilize_ref_models:
             cluster_left = min(r.left for r in cluster.ref_mrnas)
             cluster_right = max(r.right for r in cluster.ref_mrnas)
+            ref_strand = cluster.ref_strand()
+            if flat is not None:
+                from .core.fastcluster import (concat_flat, flatten_contigs,
+                                               gather_flat)
+                strands = cluster.valid_strands
+                mask = (strands == STRAND_UNKNOWN) | (strands == ref_strand)
+                sub = gather_flat(flat, mask)
+                sub_mass = cluster.flat_mass[mask]
+                refs_flat = flatten_contigs(cluster.ref_mrnas)
+                full = concat_flat(refs_flat, sub)
+                nref = len(cluster.ref_mrnas)
+                cov_mass = np.concatenate([np.full(nref, -1.0), sub_mass])
+                weight_mass = np.concatenate(
+                    [np.array([r.mass for r in cluster.ref_mrnas],
+                              np.float64), sub_mass])
+                units.append(("ref", self.prepare_contig_task(
+                    cluster_left, cluster_right, ref_strand,
+                    flat_bundle=(full, cov_mass, weight_mass),
+                    ref_id=cluster.ref_id)))
+                return units
             hits: List[Contig] = []
             for r in cluster.ref_mrnas:
                 rc = Contig(ref_id=r.ref_id, strand=r.strand, feats=r.feats,
@@ -282,14 +315,30 @@ class Sample:
                             ref_gene_name=r.ref_gene_name)
                 hits.append(rc)
             for h in cluster.uniq_hit_contigs():
-                if (h.strand == STRAND_UNKNOWN
-                        or h.strand == cluster.ref_strand()):
+                if (h.strand == STRAND_UNKNOWN or h.strand == ref_strand):
                     hits.append(h)
             units.append(("ref", self.prepare_contig_task(
-                cluster_left, cluster_right, cluster.ref_strand(), hits)))
+                cluster_left, cluster_right, ref_strand, hits)))
             return units
 
         cluster.refine_cluster()
+        if flat is not None:
+            from .core.fastcluster import gather_flat
+            strands = cluster.valid_strands
+            vpos = cluster.valid_positions
+            n = cluster.size()
+            for seg in cluster.segs:
+                mask = ((vpos >= seg.left_read_idx)
+                        & (vpos < min(seg.right_read_idx, n))
+                        & ((strands == STRAND_UNKNOWN)
+                           | (strands == seg.strand)))
+                sub = gather_flat(flat, mask)
+                sub_mass = cluster.flat_mass[mask]
+                units.append(("seg", self.prepare_contig_task(
+                    seg.left, seg.right, seg.strand,
+                    flat_bundle=(sub, sub_mass, sub_mass),
+                    ref_id=cluster.ref_id)))
+            return units
         uniq_contigs = [cluster.pair_to_contig(ph) for ph in cluster.uniq_hits]
         for seg in cluster.segs:
             hits = []
