@@ -115,6 +115,9 @@ def main(argv=None) -> int:
             if cfg.print_frag_context else None
         try:
             run_driver(args.bam, cfg, out, log, fragfh, cmdline)
+        except IOError as e:
+            print(f"ERROR: {e}", file=sys.stderr)
+            return 1
         finally:
             if fragfh:
                 fragfh.close()

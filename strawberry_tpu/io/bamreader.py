@@ -166,8 +166,11 @@ def load_bam(path: str, config: Optional[Config] = None) -> HitTable:
     cfg = config or Config()
     with open(path, "rb") as fh:
         raw = fh.read()
-    buf = bgzf_decompress(raw)
-    _text, real_names, ref_lens, pos = _parse_header(buf)
+    try:
+        buf = bgzf_decompress(raw)
+        _text, real_names, ref_lens, pos = _parse_header(buf)
+    except (struct.error, zlib.error, ValueError, IndexError) as e:
+        raise IOError(f"{path}: truncated or corrupt BAM ({e})") from e
 
     ref_ids, lefts, rights, strands, flags = [], [], [], [], []
     mate_refs, mate_poss, nhs, read_ids, cigar_hashes = [], [], [], [], []
@@ -183,6 +186,8 @@ def load_bam(path: str, config: Optional[Config] = None) -> HitTable:
     nbuf = len(buf)
     name_cache: Dict[bytes, int] = {}
     while pos < nbuf:
+        if pos + 36 > nbuf:
+            raise IOError(f"{path}: truncated BAM record at offset {pos}")
         block_size = struct.unpack_from("<i", buf, pos)[0]
         rec_end = pos + 4 + block_size
         (tid, p0, l_read_name, _mapq, _bin, n_cigar, flag, l_seq,
