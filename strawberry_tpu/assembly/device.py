@@ -135,6 +135,9 @@ def batched_mcf(problems: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     the dense min-plus relaxations actually fill the VPU. Both paths are
     the identical integer algorithm. Returns per-problem flow matrix or
     None (infeasible)."""
+    import os
+    if os.environ.get("STRAWB_FORCE_HOST"):
+        device_min_nodes = 1 << 30
     from .mincostflow import solve_dense
     results: List[Optional[np.ndarray]] = [None] * len(problems)
     buckets: Dict[int, List[int]] = {}

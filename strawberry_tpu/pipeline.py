@@ -607,6 +607,17 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
         from .io.fasta import FastaInterface
         sample.fasta = FastaInterface(cfg.ref_fasta_file)
 
+    if cfg.num_threads > 1 and not cfg.no_quant:
+        # reference's -p thread pool -> forked shard workers
+        from .parallel.multiproc import run_multiprocess
+        with PROF.phase("multiprocess_pipeline", items=len(table)):
+            run_multiprocess(table, cfg, bam_path, out, log,
+                             n_procs=cfg.num_threads)
+        PROF.stop_trace()
+        if cfg.verbose:
+            sys.stderr.write(PROF.report(total_reads=len(table)) + "\n")
+        return sample
+
     with PROF.phase("pass1_assemble", items=len(table)):
         if cfg.no_assembly:
             sample.pre_process(log)

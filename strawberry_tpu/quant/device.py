@@ -17,6 +17,7 @@ denominator on a live row aborts the locus back to theta0.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -119,6 +120,9 @@ def batched_em(problems: List[LocusProblem],
 
     Returns per-problem theta (or None when EM init fails — no surviving
     rows — matching EmSolver::init returning false)."""
+    if os.environ.get("STRAWB_FORCE_HOST"):
+        device_min_elems = 1 << 60
+        use_pallas = False
     results: List[Optional[np.ndarray]] = [None] * len(problems)
     buckets: Dict[Tuple[int, int], List[Tuple[int, np.ndarray, np.ndarray,
                                               float, int]]] = {}
