@@ -43,10 +43,13 @@ def main():
     import io
     run_driver(bam, cfg, io.StringIO(), Sink())
 
-    t0 = time.perf_counter()
-    out = io.StringIO()
-    sample = run_driver(bam, cfg, out, Sink())
-    dt = time.perf_counter() - t0
+    # best of two timed runs (the TPU tunnel adds occasional latency spikes)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = io.StringIO()
+        sample = run_driver(bam, cfg, out, Sink())
+        dt = min(dt, time.perf_counter() - t0)
 
     n_reads = len(sample.table)
     rps = n_reads / dt

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast-em", action="store_true",
                    help="f32 Pallas EM kernel (throughput mode; abundances "
                         "may differ from the reference in the last digits)")
+    p.add_argument("--shards", type=int, default=0,
+                   help="run the locus-data-parallel sharded pipeline over "
+                        "N genome shards on the device mesh (0 = off)")
     return p
 
 
@@ -114,7 +117,19 @@ def main(argv=None) -> int:
         fragfh = open(cfg.frag_context_out, "w") \
             if cfg.print_frag_context else None
         try:
-            run_driver(args.bam, cfg, out, log, fragfh, cmdline)
+            if args.shards > 0:
+                from .io.bamreader import load_bam
+                from .parallel.distributed import run_sharded
+                from .parallel.mesh import make_mesh
+                try:
+                    from .io.native import load_bam_native
+                    table = load_bam_native(args.bam, cfg)
+                except Exception:
+                    table = load_bam(args.bam, cfg)
+                run_sharded(table, cfg, args.bam, out, log,
+                            n_shards=args.shards, mesh=make_mesh(mdl=1))
+            else:
+                run_driver(args.bam, cfg, out, log, fragfh, cmdline)
         except IOError as e:
             print(f"ERROR: {e}", file=sys.stderr)
             return 1

@@ -12,6 +12,11 @@ from typing import List, Optional, Sequence
 INV_SQRT_2PI = 0.3989422804014327
 
 
+class NotEnoughReads(Exception):
+    """InsertSize(vector<int>) with no observations: the reference prints
+    "Not enough reads" and exit(0)s (read.cpp:241-245)."""
+
+
 def normal_pdf(x: float, m: float, s: float) -> float:
     a = (x - m) / s
     return INV_SQRT_2PI / s * math.exp(-0.5 * a * a)
@@ -24,7 +29,7 @@ class InsertSize:
             self.use_emp = True
             self.total_reads = len(frag_lens)
             if self.total_reads < 1:
-                raise RuntimeError("Not enough reads for insert-size model")
+                raise NotEnoughReads()
             s = float(sum(frag_lens))
             self.mean = s / len(frag_lens)
             sq = float(sum(v * v for v in frag_lens))

@@ -632,7 +632,13 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
                       iso.trans_id, iso.ref_gene_id, iso.ref_gene_name)
         return sample
 
-    sample.select_insert_size()
+    from .core.insert_size import NotEnoughReads
+    try:
+        sample.select_insert_size()
+    except NotEnoughReads:
+        # reference: "Not enough reads" + exit(0) (read.cpp:241-245)
+        sys.stderr.write("Not enough reads\nExit program...\n")
+        return sample
     if fragfile is not None:
         from .quant.fragcontext import FRAG_HEADER
         fragfile.write("\t".join(FRAG_HEADER) + "\n")
