@@ -171,7 +171,8 @@ class LocusContext:
                 eb.bin_weight_map[iso_id] = weight
 
     def _set_theory_bin_weight_vec(self):
-        from .binweights import effective_len_vec, pdf_table, seqsum_batch
+        from .binweights import (batched_effective_terms, pdf_table,
+                                 seqsum_batch)
         dist = self.insert_dist
         tbl = getattr(dist, "_pdf_table", None)
         max_len = max((iso.length for iso in self.transcripts), default=0)
@@ -180,9 +181,8 @@ class LocusContext:
             dist._pdf_table = tbl
 
         pairs = []
-        terms_list = []
-        offsets = [0]
-        total = 0
+        specs = []
+        base_lmin = dist.start_offset if dist.use_emp else self.read_len
         for iso_id in sorted(self.iso_2_bins_map.keys()):
             iso = self.transcripts[iso_id]
             for bin_idx in sorted(self.iso_2_bins_map[iso_id]):
@@ -191,26 +191,16 @@ class LocusContext:
                                                           iso.exon_segs)
                 seg_lens = [c[1] - c[0] + 1 for c in exon_coords]
                 lmax = sum(seg_lens)
-                lmin = dist.start_offset if dist.use_emp else self.read_len
+                lmin = base_lmin
                 if len(seg_lens) > 2:
                     lmin = max(lmin, sum(seg_lens[1:-1]))
-                fl = np.arange(lmin, lmax + 1, dtype=np.int64)
-                if len(fl) == 0:
-                    pairs.append((iso_id, bin_idx))
-                    offsets.append(total)
-                    continue
-                eff = effective_len_vec(seg_lens, implicit_idx, fl,
-                                        self.read_len)
-                terms = tbl[fl] * eff / (iso.length - fl + 1)
                 pairs.append((iso_id, bin_idx))
-                terms_list.append(terms)
-                total += len(terms)
-                offsets.append(total)
+                specs.append((seg_lens, implicit_idx, lmin, lmax,
+                              iso.length))
         if not pairs:
             return
-        flat = np.concatenate(terms_list) if terms_list else \
-            np.zeros(0, np.float64)
-        sums = seqsum_batch(flat, np.asarray(offsets, np.int64))
+        terms, offsets = batched_effective_terms(specs, self.read_len, tbl)
+        sums = seqsum_batch(terms, offsets)
         for (iso_id, bin_idx), w in zip(pairs, sums):
             self.exon_bins[bin_idx].bin_weight_map[iso_id] = float(w)
 
