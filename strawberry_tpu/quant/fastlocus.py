@@ -71,9 +71,13 @@ def build_fast_locus(cfg: Config, read_len: int,
         if len(idx):
             sh = seghit[idx]
             # group identical seg-overlap rows into bins, first-encounter
-            # order (the oracle creates bins in hit order)
-            uniq_rows, first_idx, inverse = np.unique(
-                sh, axis=0, return_index=True, return_inverse=True)
+            # order (the oracle creates bins in hit order); 1-D unique over
+            # a void view is much faster than axis=0 row sorting
+            shc = np.ascontiguousarray(sh)
+            rowview = shc.view(np.dtype((np.void, shc.shape[1])))[:, 0]
+            _vals, first_idx, inverse = np.unique(
+                rowview, return_index=True, return_inverse=True)
+            uniq_rows = shc[first_idx]
             order = np.argsort(first_idx, kind="stable")
             rank = np.empty(len(order), np.int64)
             rank[order] = np.arange(len(order))
@@ -83,8 +87,9 @@ def build_fast_locus(cfg: Config, read_len: int,
             # per-bin counts: fragment-set dedupe by (left,len)-seq key,
             # first occurrence's mass wins (ExonBin._frags std::set)
             keys = fragkey[idx]
-            combo = np.stack([bin_id.astype(np.uint64), keys], axis=1)
-            _u, ufirst = np.unique(combo, axis=0, return_index=True)
+            combo = bin_id.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) \
+                + keys  # injective enough: 64-bit mix of (bin, fragkey)
+            _u, ufirst = np.unique(combo, return_index=True)
             counts = np.zeros(nbins, np.float64)
             np.add.at(counts, bin_id[ufirst], hit_masses[idx][ufirst])
             # per-(bin,iso) presence
