@@ -77,7 +77,7 @@ class NativeCluster:
 
     __slots__ = ("leftmost", "rightmost", "ref_id", "weighted_mass",
                  "ref_mrnas", "segs", "id", "cfg", "flat", "flat_mass",
-                 "_raw", "_n_uniq", "_uniq_cache")
+                 "ref_indices", "_raw", "_n_uniq", "_uniq_cache")
 
     def __init__(self):
         self.id = -1
@@ -232,8 +232,9 @@ def run_native_clustering(table: HitTable, cfg: Config,
         c.rightmost = int(cl_right[k])
         c.ref_id = int(cl_refid[k])
         c.weighted_mass = float(cl_wmass[k])
-        c.ref_mrnas = [ref_mrnas[ref_idx[i]]
-                       for i in range(ref_off[k], ref_off[k + 1])]
+        c.ref_indices = [int(ref_idx[i])
+                         for i in range(ref_off[k], ref_off[k + 1])]
+        c.ref_mrnas = [ref_mrnas[i] for i in c.ref_indices]
         a0, a1 = int(uniq_off[k]), int(uniq_off[k + 1])
         strand_k = ct_strand[a0:a1]
         orit_k = ct_orit[a0:a1]
@@ -459,3 +460,21 @@ def native_adj_support(hit_flat, masses, arc_s, arc_e, min_dist):
         ka[6].ctypes.data_as(C.POINTER(C.c_int64)),
         min_dist, out.ctypes.data_as(C.POINTER(C.c_double)))
     return out
+
+
+def take_flat(flat, indices):
+    """Subset a flat RLE tuple by contig indices (pure numpy)."""
+    off, code, left, ln = flat
+    idx = np.asarray(indices, np.int64)
+    starts = off[:-1][idx]
+    lens = (off[1:] - off[:-1])[idx]
+    total = int(lens.sum())
+    new_off = np.zeros(len(idx) + 1, np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    if total:
+        pos = np.arange(total, dtype=np.int64) - np.repeat(new_off[:-1],
+                                                           lens)
+        src = np.repeat(starts, lens) + pos
+        return (new_off, code[src], left[src], ln[src])
+    return (new_off, np.zeros(0, np.int8), np.zeros(0, np.int64),
+            np.zeros(0, np.int32))

@@ -1,0 +1,429 @@
+// Whole-pass quantification prep: for every locus in one call, compute the
+// EM inputs (bin counts + bin-weight matrix) directly from flat RLE arrays.
+//
+// Ports the complete LocusContext observation model (ref: src/estimate.cpp:
+// 115-277, include/isoform.h:105-516, include/interval.hpp:150-191) with the
+// exact semantics of the Python oracles (quant/locus.py + quant/bins.py +
+// quant/fastlocus.py, golden-validated against the reference binary):
+//   * disjoint exon segments incl. the out-of-range reopen quirk
+//   * read-vs-isoform compatibility (same kernel as compat.cc) + exon-seg
+//     overlap rows + FNV fragment-set keys
+//   * exon bins in first-encounter order; counts accumulate the FIRST
+//     occurrence's mass per distinct fragment key (ExonBin::_frags set)
+//   * theoretical bin weights: bin_under_iso implicit segments, the
+//     closed-form / enumerated effective lengths (incl. the int/uint
+//     bp_last `continue` quirk at isoform.h:485), pdf-table lookups, and
+//     strictly sequential float64 accumulation in fragment-length order
+//
+// Output per locus: (nbins, counts[nbins], alpha[nbins x niso]) — consumed
+// directly by the batched EM; no per-bin Python objects are ever built.
+
+#include <algorithm>
+#include <cstddef>
+#include <cstdint>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <utility>
+#include <vector>
+
+using std::size_t;
+
+namespace {
+typedef int64_t i64;
+typedef int32_t i32;
+typedef int8_t i8;
+
+struct Feats {
+  const i64* off;
+  const i8* code;
+  const i64* left;
+  const i32* len;
+};
+
+static inline i64 fright(const Feats& F, i64 f) {
+  return F.left[f] + F.len[f] - 1;
+}
+
+// is_compatible(read h, isoform t) — identical to compat.cc's kernel.
+static bool compat_hit_iso(const Feats& H, i64 h, const Feats& T, i64 t,
+                           const std::vector<i64>& iso_exons) {
+  i64 hb = H.off[h], he = H.off[h + 1];
+  if (hb == he) return false;
+  i64 first = hb;
+  size_t lo = 0, hi = iso_exons.size();
+  i64 fl = H.left[first];
+  while (lo < hi) {
+    size_t mid = (lo + hi) / 2;
+    if (fright(T, iso_exons[mid]) < fl) lo = mid + 1;
+    else hi = mid;
+  }
+  if (lo == iso_exons.size()) return false;
+  size_t it = lo;
+  {
+    i64 e = iso_exons[it];
+    if (!(T.left[e] <= H.left[first] && fright(T, e) >= fright(H, first)))
+      return false;
+  }
+  i64 tb = T.off[t], te = T.off[t + 1];
+  for (i64 f = hb + 1; f < he; ++f) {
+    i8 c = H.code[f];
+    if (c == 2) continue;  // GAP
+    if (c == 1) {          // INTRON: positional match
+      i64 g = tb + 2 * (i64)it + 1;
+      if (g >= te) return false;
+      if (!(T.code[g] == 1 && T.left[g] == H.left[f] &&
+            T.len[g] == H.len[f]))
+        return false;
+    } else {               // MATCH: advance to containing exon
+      while (it < iso_exons.size()) {
+        i64 e = iso_exons[it];
+        if (T.left[e] <= H.left[f] && fright(T, e) >= fright(H, f)) break;
+        ++it;
+      }
+      if (it == iso_exons.size()) return false;
+    }
+  }
+  return true;
+}
+
+// ---- effective length (isoform.h:105-129 + 419-516) ----------------------
+static i64 no_gap_ef(i64 l_left, i64 l_right, i64 l_int, i64 fl) {
+  if (fl < l_int + 2) return 0;
+  if (fl > l_left + l_right + l_int) return 0;
+  i64 mid = fl - l_int - 1;
+  return (l_left < mid ? l_left : mid) + (l_right < mid ? l_right : mid)
+      - mid;
+}
+
+static i64 gap_ef(i64 l_left, i64 l_right, i64 l_int, i64 rl, i64 gap) {
+  if (2 * rl + gap < l_int + 2) return 0;
+  if (2 * rl + gap > l_left + l_right + l_int) return 0;
+  i64 start = rl > l_left + l_int - gap - 1 ? rl : l_left + l_int - gap - 1;
+  i64 lim = l_left + l_right + l_int - gap - rl;
+  i64 end = l_left < lim ? l_left : lim;
+  i64 v = end - start;
+  return v > 0 ? v : 0;
+}
+
+static i64 effective_len(const std::vector<i64>& s,
+                         const std::vector<i64>& implicit, i64 fl, i64 rl) {
+  i64 gap = fl - 2 * rl;
+  size_t n = s.size();
+  if (n == 1) return s[0] - fl + 1;
+  if (n == 2) return no_gap_ef(s[0], s[1], 0, fl);
+  if (n == 3) {
+    if (implicit.size() == 1) return gap_ef(s[0], s[2], s[1], rl, gap);
+    return no_gap_ef(s[0], s[2], s[1], fl) - gap_ef(s[0], s[2], s[1], rl,
+                                                    gap);
+  }
+  if (n == 4) {
+    i64 h14 = gap_ef(s[0], s[3], s[2] + s[1], rl, gap);
+    i64 h24 = gap_ef(s[3], s[1], s[2], rl, gap);
+    i64 h124 = gap_ef(s[0] + s[1], s[3], s[2], rl, gap);
+    i64 h13 = gap_ef(s[0], s[2], s[1], rl, gap);
+    i64 h134 = gap_ef(s[0], s[2] + s[3], s[1], rl, gap);
+    if (implicit.empty()) {
+      i64 total = no_gap_ef(s[0], s[3], s[1] + s[2], fl);
+      return total - (h124 - h14 - h24) - (h134 - h14 - h13) - h14;
+    }
+    if (implicit.size() == 2) return h14;
+    if (implicit[0] == 1) return h134 - h14 - h13;
+    return h124 - h14 - h24;
+  }
+  // n >= 5: bitmask enumeration, with the reference's int-vs-uint
+  // comparison quirk: negative bp_last takes the `continue`
+  size_t ni = n - 2;
+  i64 inner_sum = 0;
+  for (size_t k = 1; k + 1 < n; ++k) inner_sum += s[k];
+  uint64_t target = ((uint64_t)1 << n) - 1;
+  for (i64 ix : implicit) target &= ~((uint64_t)1 << ix);
+  i64 num_pos = 0;
+  for (i64 i = 1; i <= s[0]; ++i) {
+    uint64_t hit = 1;
+    i64 bp_last = fl - i - inner_sum;
+    if (bp_last > s[n - 1] || bp_last < 0) continue;
+    if (bp_last == 0) break;
+    hit |= (uint64_t)1 << (n - 1);
+    i64 last_rest = rl - bp_last;
+    i64 j = (i64)ni;
+    while (last_rest > 0 && j > 0) {
+      hit |= (uint64_t)1 << j;
+      last_rest -= s[j];
+      j--;
+    }
+    i64 first_rest = rl - i;
+    j = 1;
+    while (first_rest > 0 && j <= (i64)ni) {
+      hit |= (uint64_t)1 << j;
+      first_rest -= s[j];
+      j++;
+    }
+    if (hit == target) num_pos++;
+  }
+  return num_pos;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct StrawbQuant {
+  std::vector<i64> nbins;      // per locus
+  std::vector<i64> bin_off;    // n_loci+1 -> counts
+  std::vector<double> counts;  // flat per bin
+  std::vector<i64> alpha_off;  // n_loci+1 -> alpha
+  std::vector<double> alpha;   // flat (nbins x niso) row-major per locus
+};
+
+// Batched quant prep over one pass's loci.
+//   hit_loc_off / iso_loc_off: (n_loci+1) hit / transcript index ranges.
+//   h_*: flat RLE over all loci's valid uniq contigs; h_mass per contig.
+//   t_*: flat RLE over all loci's transcripts; t_exlen = exonic lengths.
+//   pdf: dense emp_dist_pdf table indexed by fragment length (must cover
+//        the largest transcript exonic length).
+//   base_lmin: insert_dist.start_offset (empirical) or read_len.
+//   long_read: weight = 1/exonic_length instead of the pdf integral.
+StrawbQuant* strawb_quant_batch(
+    i64 n_loci, const i64* hit_loc_off, const i64* iso_loc_off,
+    const i64* h_off, const i8* h_code, const i64* h_left, const i32* h_len,
+    const double* h_mass,
+    const i64* t_off, const i8* t_code, const i64* t_left, const i32* t_len,
+    const i64* t_exlen,
+    const double* pdf, i64 pdf_len,
+    i64 read_len, i64 base_lmin, i32 long_read) {
+  Feats H{h_off, h_code, h_left, h_len};
+  Feats T{t_off, t_code, t_left, t_len};
+  auto* Q = new StrawbQuant();
+  Q->bin_off.push_back(0);
+  Q->alpha_off.push_back(0);
+
+  std::vector<i64> seg_l, seg_r;
+  std::vector<std::vector<i64>> iso_exons;   // per iso: exon feat indices
+  std::vector<std::vector<i64>> iso_segs;    // per iso: compatible seg ids
+  std::vector<std::vector<uint8_t>> rows;    // per bin: seg membership
+  std::vector<double> counts;
+  std::vector<std::vector<uint8_t>> bin_hit_iso;
+
+  for (i64 L = 0; L < n_loci; ++L) {
+    i64 hbeg = hit_loc_off[L], hend = hit_loc_off[L + 1];
+    i64 tbeg = iso_loc_off[L], tend = iso_loc_off[L + 1];
+    i64 nh = hend - hbeg, ni = tend - tbeg;
+
+    // ---- disjoint exon segments (interval.hpp:150-191) -----------------
+    seg_l.clear();
+    seg_r.clear();
+    {
+      std::vector<std::pair<i64, i64>> raw;  // unique (left,len), sorted
+      for (i64 t = tbeg; t < tend; ++t)
+        for (i64 f = t_off[t]; f < t_off[t + 1]; ++f)
+          if (t_code[f] == 0) raw.push_back({t_left[f], (i64)t_len[f]});
+      std::sort(raw.begin(), raw.end());
+      raw.erase(std::unique(raw.begin(), raw.end()), raw.end());
+      if (!raw.empty()) {
+        i64 lo = raw[0].first, hi = 0;
+        std::vector<i64> bars;
+        for (auto& p : raw) {
+          i64 e = p.first + p.second;  // half-open end
+          if (e > hi) hi = e;
+          bars.push_back(p.first);
+          bars.push_back(e);
+        }
+        std::vector<i32> cov(hi - lo, 0);
+        for (auto& p : raw)
+          for (i64 q = p.first; q < p.first + p.second; ++q) cov[q - lo]++;
+        std::sort(bars.begin(), bars.end());
+        bars.erase(std::unique(bars.begin(), bars.end()), bars.end());
+        bool have_pending = false;
+        i64 pending = 0;
+        for (size_t bi = 0; bi < bars.size(); ++bi) {
+          i64 b = bars[bi];
+          if (!have_pending) {
+            pending = b;
+            have_pending = true;
+          } else {
+            seg_l.push_back(pending);
+            seg_r.push_back(b - 1);  // closed right end
+            // reference reads cov[b-lo] even one-past-the-end (UB read,
+            // interval.hpp:178); out-of-range == don't reopen
+            if (b - lo < (i64)cov.size() && cov[b - lo] > 0) bi--;
+            have_pending = false;
+          }
+        }
+        // trailing unmatched left dropped (reference pops it)
+      }
+    }
+    i64 ns = (i64)seg_l.size();
+
+    // ---- per-iso exon lists + compatible segs (is_compatible_feat) -----
+    iso_exons.assign(ni, {});
+    iso_segs.assign(ni, {});
+    for (i64 t = 0; t < ni; ++t) {
+      for (i64 f = t_off[tbeg + t]; f < t_off[tbeg + t + 1]; ++f)
+        if (t_code[f] == 0) iso_exons[t].push_back(f);
+      const auto& exv = iso_exons[t];
+      for (i64 s = 0; s < ns; ++s) {
+        size_t lo2 = 0, hi2 = exv.size();
+        while (lo2 < hi2) {
+          size_t mid = (lo2 + hi2) / 2;
+          if (fright(T, exv[mid]) < seg_l[s]) lo2 = mid + 1;
+          else hi2 = mid;
+        }
+        if (lo2 == exv.size()) continue;
+        i64 e = exv[lo2];
+        if (T.left[e] <= seg_l[s] && fright(T, e) >= seg_r[s])
+          iso_segs[t].push_back(s);
+      }
+    }
+
+    // ---- hits -> bins (first-encounter order) --------------------------
+    rows.clear();
+    counts.clear();
+    bin_hit_iso.clear();
+    std::unordered_map<std::string, i64> row_index;
+    std::vector<std::unordered_set<uint64_t>> bin_keys;
+    std::vector<char> cc(ni);
+    std::vector<uint8_t> row(ns);
+
+    for (i64 h = 0; h < nh; ++h) {
+      i64 hh = hbeg + h;
+      bool any = false;
+      for (i64 t = 0; t < ni; ++t) {
+        cc[t] = compat_hit_iso(H, hh, T, tbeg + t, iso_exons[t]) ? 1 : 0;
+        any |= cc[t];
+      }
+      if (!any) continue;
+      bool nonempty = false;
+      for (i64 s = 0; s < ns; ++s) {
+        uint8_t hit = 0;
+        for (i64 f = h_off[hh]; f < h_off[hh + 1] && !hit; ++f) {
+          if (h_code[f] != 0) continue;
+          if (h_left[f] <= seg_r[s] && seg_l[s] <= fright(H, f)) hit = 1;
+        }
+        row[s] = hit;
+        nonempty |= hit;
+      }
+      if (!nonempty) continue;
+      std::string key((const char*)row.data(), row.size());
+      i64 b;
+      auto it = row_index.find(key);
+      if (it == row_index.end()) {
+        b = (i64)rows.size();
+        row_index.emplace(std::move(key), b);
+        rows.push_back(std::vector<uint8_t>(row.begin(), row.end()));
+        counts.push_back(0.0);
+        bin_hit_iso.push_back(std::vector<uint8_t>(ni, 0));
+        bin_keys.push_back({});
+      } else {
+        b = it->second;
+      }
+      // fragment-set dedupe key: FNV over (left,len) pairs (compat.cc)
+      uint64_t fk = 0xcbf29ce484222325ull;
+      for (i64 f = h_off[hh]; f < h_off[hh + 1]; ++f) {
+        fk = (fk ^ (uint64_t)h_left[f]) * 1099511628211ull;
+        fk = (fk ^ (uint64_t)(uint32_t)h_len[f]) * 1099511628211ull;
+      }
+      if (bin_keys[b].insert(fk).second) counts[b] += h_mass[hh];
+      for (i64 t = 0; t < ni; ++t)
+        if (cc[t]) bin_hit_iso[b][t] |= cc[t];
+    }
+
+    i64 nbins = (i64)rows.size();
+
+    // ---- theoretical weights per (iso, bin) ----------------------------
+    std::vector<double> alpha((size_t)(nbins * ni), 0.0);
+    std::vector<i64> bin_segs, seg_lens, implicit;
+    for (i64 t = 0; t < ni; ++t) {
+      const auto& segs_t = iso_segs[t];
+      i64 Lt = t_exlen[tbeg + t];
+      double inv_len = long_read ? 1.0 / (double)Lt : 0.0;
+      for (i64 b = 0; b < nbins; ++b) {
+        if (!bin_hit_iso[b][t]) continue;
+        if (long_read) {
+          alpha[(size_t)(b * ni + t)] = inv_len;
+          continue;
+        }
+        bin_segs.clear();
+        for (i64 s = 0; s < ns; ++s)
+          if (rows[b][s]) bin_segs.push_back(s);
+        // bin_under_iso (isoform.h:363-411): iso segs spanning the bin,
+        // and indices of implicit (gap-skipped) inner segments
+        i64 first_left = seg_l[bin_segs.front()];
+        i64 last_left = seg_l[bin_segs.back()];
+        size_t low, up;
+        {
+          size_t lo2 = 0, hi2 = segs_t.size();
+          while (lo2 < hi2) {
+            size_t mid = (lo2 + hi2) / 2;
+            if (seg_l[segs_t[mid]] < first_left) lo2 = mid + 1;
+            else hi2 = mid;
+          }
+          low = lo2;
+          lo2 = 0;
+          hi2 = segs_t.size();
+          while (lo2 < hi2) {
+            size_t mid = (lo2 + hi2) / 2;
+            if (seg_l[segs_t[mid]] < last_left) lo2 = mid + 1;
+            else hi2 = mid;
+          }
+          up = lo2;
+        }
+        size_t cnt = up - low + 1;
+        seg_lens.clear();
+        for (size_t k = 0; k < cnt; ++k) {
+          i64 sg = segs_t[low + k];
+          seg_lens.push_back(seg_r[sg] - seg_l[sg] + 1);
+        }
+        implicit.clear();
+        {
+          size_t ci = 1, i2 = 1;
+          while (i2 + 1 < cnt) {
+            i64 ecl = seg_l[segs_t[low + i2]];
+            i64 bcl = ci < bin_segs.size() ? seg_l[bin_segs[ci]] : INT64_MAX;
+            if (ecl < bcl) {
+              implicit.push_back((i64)i2);
+              ++i2;
+            } else {  // equal (greater impossible on compatible inputs)
+              ++i2;
+              ++ci;
+            }
+          }
+        }
+        i64 lmax = 0;
+        for (i64 v : seg_lens) lmax += v;
+        i64 lmin = base_lmin;
+        if (seg_lens.size() > 2) {
+          i64 inner = 0;
+          for (size_t k = 1; k + 1 < seg_lens.size(); ++k)
+            inner += seg_lens[k];
+          if (inner > lmin) lmin = inner;
+        }
+        double w = 0.0;
+        for (i64 fl = lmin; fl <= lmax; ++fl) {
+          double p = (fl >= 0 && fl < pdf_len) ? pdf[fl] : 0.0;
+          i64 eff = effective_len(seg_lens, implicit, fl, read_len);
+          w += p * (double)eff / (double)(Lt - fl + 1);
+        }
+        alpha[(size_t)(b * ni + t)] = w;
+      }
+    }
+
+    for (i64 b = 0; b < nbins; ++b) Q->counts.push_back(counts[b]);
+    Q->alpha.insert(Q->alpha.end(), alpha.begin(), alpha.end());
+    Q->nbins.push_back(nbins);
+    Q->bin_off.push_back((i64)Q->counts.size());
+    Q->alpha_off.push_back((i64)Q->alpha.size());
+  }
+  return Q;
+}
+
+const i64* strawb_quant_nbins(StrawbQuant* q) { return q->nbins.data(); }
+const i64* strawb_quant_binoff(StrawbQuant* q) { return q->bin_off.data(); }
+const double* strawb_quant_counts(StrawbQuant* q) { return q->counts.data(); }
+const i64* strawb_quant_alphaoff(StrawbQuant* q) { return q->alpha_off.data(); }
+const double* strawb_quant_alpha(StrawbQuant* q) { return q->alpha.data(); }
+i64 strawb_quant_total_bins(StrawbQuant* q) { return (i64)q->counts.size(); }
+i64 strawb_quant_total_alpha(StrawbQuant* q) { return (i64)q->alpha.size(); }
+void strawb_quant_free(StrawbQuant* q) { delete q; }
+
+}  // extern "C"

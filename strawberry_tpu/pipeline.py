@@ -498,18 +498,49 @@ class Sample:
 
         pending: List[Tuple[HitCluster, LocusContext]] = []
         use_fast = fragfile is None
+        ref_flat = None
+        if use_fast and self.factory.ref_mrnas:
+            try:
+                from .core.fastcluster import flatten_contigs
+                ref_flat = flatten_contigs(self.factory.ref_mrnas)
+            except Exception:
+                ref_flat = None
+        native_specs = []  # (index into pending, spec)
         for cluster in self.iter_clusters("refdemand"):
             with PROF.phase("locus_context"):
                 if use_fast and getattr(cluster, "flat", None) is not None:
-                    from .quant.fastlocus import build_fast_locus
-                    est = build_fast_locus(
-                        self.cfg, self.read_len, self.insert_dist,
-                        cluster.flat, cluster.flat_mass, cluster.ref_mrnas,
-                        long_read_sample=self.long_read_sample)
+                    from .core.fastcluster import (flatten_contigs as _fc,
+                                                   take_flat)
+                    iso_flat = take_flat(ref_flat, cluster.ref_indices) \
+                        if ref_flat is not None and \
+                        getattr(cluster, "ref_indices", None) is not None \
+                        else _fc(cluster.ref_mrnas)
+                    native_specs.append(
+                        (len(pending), (cluster.flat, cluster.flat_mass,
+                                        cluster.ref_mrnas, iso_flat)))
+                    pending.append((cluster, None))
                 else:
                     est = self.build_locus_context(cluster,
                                                    cluster.ref_mrnas, log)
-            pending.append((cluster, est))
+                    pending.append((cluster, est))
+        if native_specs:
+            # one C++ call computes every locus's EM inputs (quantprep.cc)
+            with PROF.phase("quant_native", items=len(native_specs)):
+                try:
+                    from .quant.fastlocus import build_batch_native
+                    ests = build_batch_native(
+                        self.cfg, self.read_len, self.insert_dist,
+                        [s for _, s in native_specs],
+                        long_read_sample=self.long_read_sample)
+                except OSError:
+                    from .quant.fastlocus import build_fast_locus
+                    ests = [build_fast_locus(
+                        self.cfg, self.read_len, self.insert_dist,
+                        s[0], s[1], s[2],
+                        long_read_sample=self.long_read_sample,
+                        iso_flat=s[3]) for _, s in native_specs]
+            for (i, _), est in zip(native_specs, ests):
+                pending[i] = (pending[i][0], est)
 
         problems = []
         for _cluster, est in pending:

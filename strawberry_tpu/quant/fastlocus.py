@@ -9,6 +9,7 @@ needs the per-fragment objects).
 """
 from __future__ import annotations
 
+import ctypes as C
 from typing import List, Optional
 
 import numpy as np
@@ -24,7 +25,8 @@ def build_fast_locus(cfg: Config, read_len: int,
                      insert_dist: Optional[InsertSize],
                      hit_flat, hit_masses: np.ndarray,
                      transcripts: List[Contig],
-                     long_read_sample: bool = False) -> LocusContext:
+                     long_read_sample: bool = False,
+                     iso_flat=None) -> LocusContext:
     """LocusContext equivalent from flat hit arrays.
 
     hit_flat: (off, code, left, len) for the locus's valid uniq contigs,
@@ -65,7 +67,7 @@ def build_fast_locus(cfg: Config, read_len: int,
     if nh and ni and ns:
         compat, _fraglen, seghit, fragkey = native_compat(
             None, [t.contig for t in est.transcripts], est.exon_segs,
-            hit_flat=hit_flat, want_fragkey=True)
+            hit_flat=hit_flat, iso_flat=iso_flat, want_fragkey=True)
         keep = compat.any(axis=1) & seghit.any(axis=1)
         idx = np.nonzero(keep)[0]
         if len(idx):
@@ -115,3 +117,166 @@ def build_fast_locus(cfg: Config, read_len: int,
     else:
         est._set_theory_bin_weight()
     return est
+
+
+# ---------------------------------------------------------------------------
+# Whole-pass native quant prep: ONE C++ call computes every locus's EM
+# inputs (bin counts + weight matrix) from concatenated flat RLE arrays —
+# no per-locus Python work at all (quantprep.cc; bit-identical to
+# build_fast_locus, which is bit-identical to the oracle).
+
+_quant_bound = False
+
+
+def _bind_quant(lib):
+    global _quant_bound
+    if _quant_bound:
+        return
+    P64 = C.POINTER(C.c_int64)
+    P8 = C.POINTER(C.c_int8)
+    P32 = C.POINTER(C.c_int32)
+    PD = C.POINTER(C.c_double)
+    lib.strawb_quant_batch.restype = C.c_void_p
+    lib.strawb_quant_batch.argtypes = [
+        C.c_int64, P64, P64,
+        P64, P8, P64, P32, PD,
+        P64, P8, P64, P32, P64,
+        PD, C.c_int64, C.c_int64, C.c_int64, C.c_int32]
+    for name, rt in [("nbins", P64), ("binoff", P64), ("counts", PD),
+                     ("alphaoff", P64), ("alpha", PD)]:
+        fn = getattr(lib, f"strawb_quant_{name}")
+        fn.restype = rt
+        fn.argtypes = [C.c_void_p]
+    for name in ["total_bins", "total_alpha"]:
+        fn = getattr(lib, f"strawb_quant_{name}")
+        fn.restype = C.c_int64
+        fn.argtypes = [C.c_void_p]
+    lib.strawb_quant_free.restype = None
+    lib.strawb_quant_free.argtypes = [C.c_void_p]
+    _quant_bound = True
+
+
+def _concat_flats(flats):
+    """Concatenate per-locus flat RLE tuples; returns (loc_off, off, code,
+    left, len) with feature offsets rebased into the concatenation."""
+    nloc = len(flats)
+    loc_off = np.zeros(nloc + 1, np.int64)
+    fbase = np.zeros(nloc + 1, np.int64)
+    for i, f in enumerate(flats):
+        loc_off[i + 1] = loc_off[i] + len(f[0]) - 1
+        fbase[i + 1] = fbase[i] + int(f[0][-1])
+    off = np.zeros(int(loc_off[-1]) + 1, np.int64)
+    pos = 1
+    for i, f in enumerate(flats):
+        n = len(f[0]) - 1
+        off[pos:pos + n] = f[0][1:] + fbase[i]
+        pos += n
+    code = np.concatenate([f[1] for f in flats]) if nloc else \
+        np.zeros(0, np.int8)
+    left = np.concatenate([f[2] for f in flats]) if nloc else \
+        np.zeros(0, np.int64)
+    ln = np.concatenate([f[3] for f in flats]) if nloc else \
+        np.zeros(0, np.int32)
+    return (loc_off, np.ascontiguousarray(off),
+            np.ascontiguousarray(code, np.int8),
+            np.ascontiguousarray(left, np.int64),
+            np.ascontiguousarray(ln, np.int32))
+
+
+def build_batch_native(cfg: Config, read_len: int,
+                       insert_dist: Optional[InsertSize],
+                       specs, long_read_sample: bool = False
+                       ) -> List[LocusContext]:
+    """specs: list of (hit_flat, hit_masses, transcripts, iso_flat) — one
+    per locus. Returns LocusContext-lites holding prebuilt (n, alpha) EM
+    problems (LocusContext.build_problem short-circuits on _prebuilt)."""
+    from ..io.native import get_lib
+    from .binweights import pdf_table
+
+    lib = get_lib()
+    _bind_quant(lib)
+
+    hit_loc, h_off, h_code, h_left, h_len = _concat_flats(
+        [s[0] for s in specs])
+    iso_loc, t_off, t_code, t_left, t_len = _concat_flats(
+        [s[3] for s in specs])
+    h_mass = np.ascontiguousarray(
+        np.concatenate([np.asarray(s[1], np.float64) for s in specs])
+        if specs else np.zeros(0), np.float64)
+
+    # exonic lengths per transcript, vectorized over the concatenated flat
+    mlen = np.where(t_code == 0, t_len.astype(np.int64), 0)
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(mlen)])
+    t_exlen = np.ascontiguousarray(cs[t_off[1:]] - cs[t_off[:-1]], np.int64)
+
+    if long_read_sample or insert_dist is None:
+        tbl = np.zeros(1, np.float64)
+        base_lmin = 0
+    else:
+        max_len = int(t_exlen.max()) if len(t_exlen) else 0
+        tbl = getattr(insert_dist, "_pdf_table", None)
+        if tbl is None or len(tbl) <= max_len:
+            tbl = pdf_table(insert_dist, max(max_len, 4096))
+            insert_dist._pdf_table = tbl
+        base_lmin = insert_dist.start_offset if insert_dist.use_emp \
+            else read_len
+
+    P64 = C.POINTER(C.c_int64)
+    P8 = C.POINTER(C.c_int8)
+    P32 = C.POINTER(C.c_int32)
+    PD = C.POINTER(C.c_double)
+    q = lib.strawb_quant_batch(
+        len(specs),
+        hit_loc.ctypes.data_as(P64), iso_loc.ctypes.data_as(P64),
+        h_off.ctypes.data_as(P64), h_code.ctypes.data_as(P8),
+        h_left.ctypes.data_as(P64), h_len.ctypes.data_as(P32),
+        h_mass.ctypes.data_as(PD),
+        t_off.ctypes.data_as(P64), t_code.ctypes.data_as(P8),
+        t_left.ctypes.data_as(P64), t_len.ctypes.data_as(P32),
+        t_exlen.ctypes.data_as(P64),
+        tbl.ctypes.data_as(PD), len(tbl), read_len, base_lmin,
+        1 if long_read_sample else 0)
+    try:
+        nloc = len(specs)
+        total_b = lib.strawb_quant_total_bins(q)
+        total_a = lib.strawb_quant_total_alpha(q)
+
+        def arr(ptr, n, dt):
+            if n == 0:
+                return np.zeros(0, dt)
+            return np.ctypeslib.as_array(ptr, shape=(int(n),)).astype(
+                dt, copy=True)
+
+        bin_off = arr(lib.strawb_quant_binoff(q), nloc + 1, np.int64)
+        alpha_off = arr(lib.strawb_quant_alphaoff(q), nloc + 1, np.int64)
+        counts = arr(lib.strawb_quant_counts(q), total_b, np.float64)
+        alpha = arr(lib.strawb_quant_alpha(q), total_a, np.float64)
+    finally:
+        lib.strawb_quant_free(q)
+
+    out = []
+    for k, (_hf, _hm, transcripts, _if) in enumerate(specs):
+        est = LocusContext.__new__(LocusContext)
+        est.cfg = cfg
+        est.read_len = read_len
+        est.insert_dist = insert_dist
+        est.exon_bins = []
+        est.iso_2_bins_map = {}
+        est.transcripts = []
+        tb = int(iso_loc[k])
+        for t in transcripts:
+            iso = Isoform(contig=t, length=int(t_exlen[tb + len(
+                est.transcripts)]), gene_str=t.parent_id,
+                isoform_str=t.trans_id, ref_gene_id=t.ref_gene_id,
+                ref_gene_name=t.ref_gene_name)
+            iso.id = len(est.transcripts)
+            est.transcripts.append(iso)
+        ni = len(transcripts)
+        b0, b1 = int(bin_off[k]), int(bin_off[k + 1])
+        # build_problem truncates counts to int (estimate.cpp:284-288)
+        n = np.trunc(counts[b0:b1])
+        a = alpha[int(alpha_off[k]):int(alpha_off[k + 1])].reshape(
+            b1 - b0, ni)
+        est._prebuilt = (n, a)
+        out.append(est)
+    return out

@@ -215,6 +215,9 @@ class LocusContext:
     def build_problem(self) -> Tuple[np.ndarray, np.ndarray]:
         """Extract the EM inputs: truncated bin counts (vector<int> n,
         estimate.cpp:284-288) and the raw weight matrix."""
+        pre = getattr(self, "_prebuilt", None)
+        if pre is not None:          # whole-pass native path (quantprep.cc)
+            return pre
         nrow = len(self.exon_bins)
         niso = len(self.transcripts)
         n = np.array([int(eb.read_count()) for eb in self.exon_bins],
