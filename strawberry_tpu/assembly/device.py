@@ -124,7 +124,7 @@ _NODE_BUCKETS = (8, 16, 32, 64, 128, 256)
 
 
 def batched_mcf(problems: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
-                device_min_nodes: int = 48
+                device_min_nodes: int = 128
                 ) -> List[Optional[np.ndarray]]:
     """Solve many dense MCF problems, bucketed by node count.
 

@@ -278,12 +278,17 @@ class FlowNetwork:
             from ..core.fastcluster import native_compat
             _c, _f, seghit = native_compat(
                 None, [], [e.feature for e in exons], hit_flat=hit_flat)
-            result = []
-            for row in seghit:
-                nz = np.nonzero(row)[0]
-                if len(nz) > 2:
-                    result.append(tuple(int(x) for x in nz))
-            return [list(c) for c in sorted(set(result))]
+            # unique rows with >2 touched exons; only the (few) unique rows
+            # are expanded to index tuples, then sorted as the oracle does
+            sh = np.ascontiguousarray(seghit)
+            cand = sh[sh.sum(axis=1) > 2]
+            if not len(cand):
+                return []
+            view = cand.view(np.dtype((np.void, cand.shape[1])))[:, 0]
+            uniq = np.unique(view).view(np.uint8).reshape(-1, cand.shape[1])
+            cs = sorted(tuple(int(x) for x in np.nonzero(r)[0])
+                        for r in uniq)
+            return [list(c) for c in cs]
         result: List[Tuple[int, ...]] = []
         for mp in hits:
             idxs: Set[int] = set()

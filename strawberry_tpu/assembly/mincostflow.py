@@ -23,11 +23,47 @@ import numpy as np
 INF = np.int64(1) << 50
 
 
+_native_mcf = None
+
+
+def _get_native():
+    global _native_mcf
+    if _native_mcf is None:
+        try:
+            import ctypes as C
+            from ..io.native import get_lib
+            lib = get_lib()
+            lib.strawb_mcf_dense.restype = C.c_int32
+            lib.strawb_mcf_dense.argtypes = [
+                C.c_int64, C.POINTER(C.c_int64), C.POINTER(C.c_uint8),
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64)]
+            _native_mcf = lib.strawb_mcf_dense
+        except Exception:
+            _native_mcf = False
+    return _native_mcf
+
+
 def solve_dense(cost: np.ndarray, has_arc: np.ndarray,
                 lower: np.ndarray) -> Optional[np.ndarray]:
     """cost/lower: (M,M) int64; has_arc: (M,M) bool. Upper bounds are
     infinite. Returns flow (M,M) int64 or None if infeasible."""
     M = cost.shape[0]
+    fn = _get_native()
+    if fn:
+        import ctypes as C
+        c = np.ascontiguousarray(cost, np.int64)
+        h = np.ascontiguousarray(has_arc, np.uint8)
+        lo = np.ascontiguousarray(lower, np.int64)
+        out = np.zeros((M, M), np.int64)
+        rc = fn(M, c.ctypes.data_as(C.POINTER(C.c_int64)),
+                h.ctypes.data_as(C.POINTER(C.c_uint8)),
+                lo.ctypes.data_as(C.POINTER(C.c_int64)),
+                out.ctypes.data_as(C.POINTER(C.c_int64)))
+        if rc == 1:
+            return out
+        if rc == 0:
+            return None
+        # rc < 0: inconsistency — run the numpy spec (which asserts)
     flow = lower.astype(np.int64).copy()
     excess = flow.sum(axis=0) - flow.sum(axis=1)   # in - out
 

@@ -29,29 +29,31 @@ def _extract_attr(info: str, attr: str) -> Tuple[str, str]:
     quotes at a word boundary, return (value, info_with_attr_removed)."""
     attrlen = len(attr)
     cend = attr[-1]
-    pos = 0
-    prevch = ""
-    in_str = False
     n = len(info)
+    # find-based scan, equivalent to the reference's char walk: candidates
+    # are case-insensitive matches at word boundaries (prev char '', ' ' or
+    # ';') outside double quotes (parity of '"' before the position); a
+    # match failing the boundary-after check resumes the scan at its end
+    attr_l = attr.lower()
+    info_l = info.lower()
+    pos = 0
     found = -1
-    while pos < n:
-        ch = info[pos]
-        if ch == '"':
-            in_str = not in_str
-            pos += 1
-            prevch = ch
+    while True:
+        cand = info_l.find(attr_l, pos)
+        if cand < 0:
+            break
+        if info.count('"', 0, cand) & 1:   # inside quotes
+            pos = cand + 1
             continue
-        if (not in_str and (prevch == "" or prevch == " " or prevch == ";")
-                and info[pos:pos + attrlen].lower() == attr.lower()):
-            epos = pos + attrlen
+        prevch = info[cand - 1] if cand > 0 else ""
+        if prevch in ("", " ", ";"):
+            epos = cand + attrlen
             if cend in ("=", " ") or epos >= n or info[epos] == " ":
-                found = pos
+                found = cand
                 break
             pos = epos
-            prevch = info[pos - 1]
             continue
-        prevch = ch
-        pos += 1
+        pos = cand + 1
     if found < 0:
         return "", info
     vp = found + attrlen

@@ -114,7 +114,7 @@ class LocusProblem:
 def batched_em(problems: List[LocusProblem],
                dtype=jnp.float64,
                use_pallas: bool = False,
-               device_min_elems: int = 262144
+               device_min_elems: int = 1 << 21
                ) -> List[Optional[np.ndarray]]:
     """Solve many per-locus EMs on device with shape-bucketed batching.
 
@@ -136,22 +136,16 @@ def batched_em(problems: List[LocusProblem],
         cb = _round_up(niso, _COL_BUCKETS)
         buckets.setdefault((rb, cb), []).append((idx, u, F, total, niso))
 
+    host_items = []
     for (rb, cb), items in sorted(buckets.items()):
         # pad the batch dim to a power of two so each (B,R,C) bucket shape
         # compiles once and is reused via the persistent cache
         B = max(8, 1 << (len(items) - 1).bit_length())
         if B * rb * cb < device_min_elems and not use_pallas:
             # tiny bucket: device dispatch costs more than the math; the
-            # host oracle IS the spec, so results are identical
-            from .em import em_run
-            for (idx, uu, FF, total, niso) in items:
-                # rows here are already >1e-5-filtered; theta0 uses the
-                # unfiltered count total, as EmSolver::init does
-                theta0 = np.full(niso, total / niso, dtype=np.float64)
-                theta = em_run(uu.astype(np.float64), FF, theta0)
-                if theta is None:
-                    theta = theta0
-                results[idx] = theta
+            # host path follows the oracle spec (native batch, numpy
+            # fallback), so results match
+            host_items.extend(items)
             continue
         F = np.zeros((B, rb, cb), dtype=np.float64)
         u = np.zeros((B, rb), dtype=np.float64)
@@ -177,4 +171,73 @@ def batched_em(problems: List[LocusProblem],
         theta = np.asarray(theta, np.float64)
         for b, (idx, _uu, _FF, _total, niso) in enumerate(items):
             results[idx] = theta[b, :niso]
+
+    if host_items:
+        _host_em_batch(host_items, results)
     return results
+
+
+_native_em = None
+
+
+def _get_native_em():
+    global _native_em
+    if _native_em is None:
+        try:
+            import ctypes as C
+            from ..io.native import get_lib
+            lib = get_lib()
+            P64 = C.POINTER(C.c_int64)
+            PD = C.POINTER(C.c_double)
+            lib.strawb_em_batch.restype = None
+            lib.strawb_em_batch.argtypes = [
+                C.c_int64, P64, P64, P64, PD, PD, PD, P64, PD, C.c_int64]
+            _native_em = lib.strawb_em_batch
+        except Exception:
+            _native_em = False
+    return _native_em
+
+
+def _host_em_batch(items, results):
+    """Solve host-routed EM problems in one native batch call (em.cc);
+    per-problem numpy oracle fallback."""
+    import ctypes as C
+    fn = _get_native_em()
+    if not fn:
+        from .em import em_run
+        for (idx, uu, FF, total, niso) in items:
+            # rows here are already >1e-5-filtered; theta0 uses the
+            # unfiltered count total, as EmSolver::init does
+            theta0 = np.full(niso, total / niso, dtype=np.float64)
+            theta = em_run(uu.astype(np.float64), FF, theta0)
+            if theta is None:
+                theta = theta0
+            results[idx] = theta
+        return
+    n = len(items)
+    u_off = np.zeros(n + 1, np.int64)
+    F_off = np.zeros(n + 1, np.int64)
+    th_off = np.zeros(n + 1, np.int64)
+    ncol = np.zeros(n, np.int64)
+    theta0 = np.zeros(n, np.float64)
+    for k, (idx, uu, FF, total, niso) in enumerate(items):
+        u_off[k + 1] = u_off[k] + len(uu)
+        F_off[k + 1] = F_off[k] + FF.size
+        th_off[k + 1] = th_off[k] + niso
+        ncol[k] = niso
+        theta0[k] = total / niso
+    u_flat = np.ascontiguousarray(
+        np.concatenate([np.asarray(it[1], np.float64) for it in items]))
+    F_flat = np.ascontiguousarray(
+        np.concatenate([np.asarray(it[2], np.float64).ravel()
+                        for it in items]))
+    out = np.zeros(int(th_off[-1]), np.float64)
+    P64 = C.POINTER(C.c_int64)
+    PD = C.POINTER(C.c_double)
+    fn(n, u_off.ctypes.data_as(P64), F_off.ctypes.data_as(P64),
+       ncol.ctypes.data_as(P64), theta0.ctypes.data_as(PD),
+       u_flat.ctypes.data_as(PD), F_flat.ctypes.data_as(PD),
+       th_off.ctypes.data_as(P64), out.ctypes.data_as(PD),
+       min(2, os.cpu_count() or 1))
+    for k, (idx, _uu, _FF, _total, niso) in enumerate(items):
+        results[idx] = out[int(th_off[k]):int(th_off[k + 1])]
