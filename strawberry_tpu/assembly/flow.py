@@ -274,21 +274,8 @@ class FlowNetwork:
         """findConstraints (assembly.cpp:856-879): per-hit overlapped exon
         index sets of size > 2, sorted + unique."""
         if hit_flat is not None and len(hit_flat[0]) > 1:
-            import numpy as np
-            from ..core.fastcluster import native_compat
-            _c, _f, seghit = native_compat(
-                None, [], [e.feature for e in exons], hit_flat=hit_flat)
-            # unique rows with >2 touched exons; only the (few) unique rows
-            # are expanded to index tuples, then sorted as the oracle does
-            sh = np.ascontiguousarray(seghit)
-            cand = sh[sh.sum(axis=1) > 2]
-            if not len(cand):
-                return []
-            view = cand.view(np.dtype((np.void, cand.shape[1])))[:, 0]
-            uniq = np.unique(view).view(np.uint8).reshape(-1, cand.shape[1])
-            cs = sorted(tuple(int(x) for x in np.nonzero(r)[0])
-                        for r in uniq)
-            return [list(c) for c in cs]
+            from ..core.fastcluster import native_constraints
+            return native_constraints([e.feature for e in exons], hit_flat)
         result: List[Tuple[int, ...]] = []
         for mp in hits:
             idxs: Set[int] = set()

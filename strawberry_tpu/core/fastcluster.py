@@ -224,6 +224,30 @@ def run_native_clustering(table: HitTable, cfg: Config,
     finally:
         lib.strawb_cluster_free(h)
 
+    # one GLOBAL valid-contig gather; every cluster's flat RLE arrays are
+    # then contiguous views into it (no per-cluster repeat/arange)
+    valid_all = ct_valid != 0
+    contig_lens = ct_featoff[1:] - ct_featoff[:-1]
+    vstart_all = ct_featoff[:-1][valid_all]
+    vlens_all = contig_lens[valid_all]
+    goff = np.zeros(len(vstart_all) + 1, np.int64)
+    np.cumsum(vlens_all, out=goff[1:])
+    gtotal = int(goff[-1])
+    if gtotal:
+        pos = np.arange(gtotal, dtype=np.int64) - np.repeat(
+            goff[:-1], vlens_all)
+        src = np.repeat(vstart_all, vlens_all) + pos
+        gcode = ct_fcode[src]
+        gleft = ct_fleft[src]
+        glen = ct_flen[src]
+    else:
+        gcode = np.zeros(0, np.int8)
+        gleft = np.zeros(0, np.int64)
+        glen = np.zeros(0, np.int32)
+    gmass = ct_mass[valid_all]
+    vcum = np.zeros(nct + 1, np.int64)
+    np.cumsum(valid_all, out=vcum[1:])
+
     clusters: List[NativeCluster] = []
     for k in range(int(n)):
         c = NativeCluster()
@@ -236,33 +260,19 @@ def run_native_clustering(table: HitTable, cfg: Config,
                          for i in range(ref_off[k], ref_off[k + 1])]
         c.ref_mrnas = [ref_mrnas[i] for i in c.ref_indices]
         a0, a1 = int(uniq_off[k]), int(uniq_off[k + 1])
-        strand_k = ct_strand[a0:a1]
-        orit_k = ct_orit[a0:a1]
-        mass_k = ct_mass[a0:a1]
-        valid_k = ct_valid[a0:a1] != 0
         featoff_k = ct_featoff[a0:a1 + 1]
-        c._raw = (strand_k, orit_k, mass_k, valid_k,
+        c._raw = (ct_strand[a0:a1], ct_orit[a0:a1], ct_mass[a0:a1],
+                  valid_all[a0:a1],
                   featoff_k - featoff_k[0],
                   ct_fcode[featoff_k[0]:featoff_k[-1]],
                   ct_fleft[featoff_k[0]:featoff_k[-1]],
                   ct_flen[featoff_k[0]:featoff_k[-1]])
         c._n_uniq = a1 - a0
-        c.flat_mass = mass_k[valid_k]
-        # flat RLE arrays over the VALID contigs (aligned with
-        # uniq_hit_contigs() order), gathered with pure numpy
-        vstart = featoff_k[:-1][valid_k]
-        vlens = (featoff_k[1:] - featoff_k[:-1])[valid_k]
-        total = int(vlens.sum())
-        off = np.zeros(len(vstart) + 1, np.int64)
-        np.cumsum(vlens, out=off[1:])
-        if total:
-            pos = np.arange(total, dtype=np.int64) - np.repeat(
-                off[:-1], vlens)
-            src = np.repeat(vstart, vlens) + pos
-            c.flat = (off, ct_fcode[src], ct_fleft[src], ct_flen[src])
-        else:
-            c.flat = (off, np.zeros(0, np.int8), np.zeros(0, np.int64),
-                      np.zeros(0, np.int32))
+        v0, v1 = int(vcum[a0]), int(vcum[a1])
+        c.flat_mass = gmass[v0:v1]
+        s0, s1 = int(goff[v0]), int(goff[v1])
+        c.flat = (goff[v0:v1 + 1] - goff[v0],
+                  gcode[s0:s1], gleft[s0:s1], glen[s0:s1])
         c.segs = [Segment(int(sg_left[s]), int(sg_right[s]),
                           int(sg_lidx[s]), int(sg_ridx[s]),
                           int(sg_strand[s]))
@@ -350,6 +360,97 @@ def native_compat(hits, isos, segs, hit_flat=None, iso_flat=None,
     if want_fragkey:
         return compat[:, :ni], fraglen[:, :ni], seghit[:, :ns], fragkey[:nh]
     return compat[:, :ni], fraglen[:, :ni], seghit[:, :ns]
+
+
+_cstr_bound = False
+
+
+def native_constraints(segs, hit_flat):
+    """findConstraints fully native: unique sorted >2-exon index tuples."""
+    global _cstr_bound
+    from ..io.native import get_lib
+    lib = get_lib()
+    if not _cstr_bound:
+        i64p = C.POINTER(C.c_int64)
+        i32p = C.POINTER(C.c_int32)
+        i8p = C.POINTER(C.c_int8)
+        lib.strawb_constraints.restype = C.c_void_p
+        lib.strawb_constraints.argtypes = [
+            C.c_int64, i64p, i8p, i64p, i32p, C.c_int64, i64p, i64p]
+        lib.strawb_cstr_n.restype = C.c_int64
+        lib.strawb_cstr_n.argtypes = [C.c_void_p]
+        lib.strawb_cstr_off.restype = i64p
+        lib.strawb_cstr_off.argtypes = [C.c_void_p]
+        lib.strawb_cstr_idx.restype = i32p
+        lib.strawb_cstr_idx.argtypes = [C.c_void_p]
+        lib.strawb_cstr_free.restype = None
+        lib.strawb_cstr_free.argtypes = [C.c_void_p]
+        _cstr_bound = True
+    h_off, h_code, h_left, h_len = hit_flat
+    nh = len(h_off) - 1
+    s_left = np.asarray([f[1] for f in segs], np.int64)
+    s_right = np.asarray([f[1] + f[2] - 1 for f in segs], np.int64)
+    ka = [np.ascontiguousarray(x) for x in
+          (h_off, h_code, h_left, h_len, s_left, s_right)]
+    r = lib.strawb_constraints(
+        nh, ka[0].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[1].ctypes.data_as(C.POINTER(C.c_int8)),
+        ka[2].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[3].ctypes.data_as(C.POINTER(C.c_int32)),
+        len(segs), ka[4].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[5].ctypes.data_as(C.POINTER(C.c_int64)))
+    try:
+        ncs = lib.strawb_cstr_n(r)
+        if ncs == 0:
+            return []
+        off = np.ctypeslib.as_array(lib.strawb_cstr_off(r),
+                                    shape=(int(ncs) + 1,))
+        total = int(off[-1])
+        idx = np.ctypeslib.as_array(lib.strawb_cstr_idx(r),
+                                    shape=(max(total, 1),))
+        offl = off.tolist()
+        idxl = idx[:total].tolist()
+        return [idxl[offl[k]:offl[k + 1]] for k in range(int(ncs))]
+    finally:
+        lib.strawb_cstr_free(r)
+
+
+_fld_bound = False
+
+
+def native_fld(isos, hit_flat, iso_flat=None):
+    """fragLenDist inner loop natively: exonic-overlap lengths of hits
+    compatible with exactly one transcript, in hit order."""
+    global _fld_bound
+    from ..io.native import get_lib
+    lib = get_lib()
+    if not _fld_bound:
+        i64p = C.POINTER(C.c_int64)
+        i32p = C.POINTER(C.c_int32)
+        i8p = C.POINTER(C.c_int8)
+        lib.strawb_fld.restype = C.c_int64
+        lib.strawb_fld.argtypes = [
+            C.c_int64, i64p, i8p, i64p, i32p,
+            C.c_int64, i64p, i8p, i64p, i32p, i32p]
+        _fld_bound = True
+    h_off, h_code, h_left, h_len = hit_flat
+    t_off, t_code, t_left, t_len = iso_flat or flatten_contigs(isos)
+    nh = len(h_off) - 1
+    ni = len(t_off) - 1
+    out = np.zeros(max(nh, 1), np.int32)
+    ka = [np.ascontiguousarray(x) for x in
+          (h_off, h_code, h_left, h_len, t_off, t_code, t_left, t_len)]
+    n = lib.strawb_fld(
+        nh, ka[0].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[1].ctypes.data_as(C.POINTER(C.c_int8)),
+        ka[2].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[3].ctypes.data_as(C.POINTER(C.c_int32)),
+        ni, ka[4].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[5].ctypes.data_as(C.POINTER(C.c_int8)),
+        ka[6].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[7].ctypes.data_as(C.POINTER(C.c_int32)),
+        out.ctypes.data_as(C.POINTER(C.c_int32)))
+    return out[:n].tolist()
 
 
 _coverage_bound = False

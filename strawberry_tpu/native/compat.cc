@@ -140,7 +140,84 @@ void strawb_compat(
 
 }  // extern "C"
 
+#include <set>
+
 extern "C" {
+
+// findConstraints (assembly.cpp:856-879) done entirely natively: per-hit
+// overlapped exon-seg index sets of size > 2, deduped and sorted
+// lexicographically (the oracle's sorted(set(tuples))). Returns a handle.
+struct StrawbCstr {
+  std::vector<i64> off;   // n_cstr+1
+  std::vector<i32> idx;   // flat exon indices
+};
+
+StrawbCstr* strawb_constraints(
+    i64 nh, const i64* h_off, const i8* h_code, const i64* h_left,
+    const i32* h_len,
+    i64 ns, const i64* s_left, const i64* s_right) {
+  Feats H{h_off, h_code, h_left, h_len};
+  std::set<std::vector<i32>> uniq;
+  std::vector<i32> row;
+  for (i64 h = 0; h < nh; ++h) {
+    row.clear();
+    for (i64 s = 0; s < ns; ++s) {
+      for (i64 f = h_off[h]; f < h_off[h + 1]; ++f) {
+        if (h_code[f] != 0) continue;
+        if (h_left[f] <= s_right[s] && s_left[s] <= fright(H, f)) {
+          row.push_back((i32)s);
+          break;
+        }
+      }
+    }
+    if (row.size() > 2) uniq.insert(row);
+  }
+  auto* r = new StrawbCstr();
+  r->off.push_back(0);
+  for (const auto& c : uniq) {
+    r->idx.insert(r->idx.end(), c.begin(), c.end());
+    r->off.push_back((i64)r->idx.size());
+  }
+  return r;
+}
+
+i64 strawb_cstr_n(StrawbCstr* r) { return (i64)r->off.size() - 1; }
+const i64* strawb_cstr_off(StrawbCstr* r) { return r->off.data(); }
+const i32* strawb_cstr_idx(StrawbCstr* r) { return r->idx.data(); }
+void strawb_cstr_free(StrawbCstr* r) { delete r; }
+
+// fragLenDist inner loop (alignments.cpp:1363-1427): for each hit
+// compatible with EXACTLY one transcript, emit its exonic overlap length
+// with that transcript, in hit order. Returns count written to out_fl.
+i64 strawb_fld(
+    i64 nh, const i64* h_off, const i8* h_code, const i64* h_left,
+    const i32* h_len,
+    i64 ni, const i64* t_off, const i8* t_code, const i64* t_left,
+    const i32* t_len,
+    i32* out_fl) {
+  Feats H{h_off, h_code, h_left, h_len};
+  Feats T{t_off, t_code, t_left, t_len};
+  std::vector<std::vector<i64>> exons(ni);
+  for (i64 t = 0; t < ni; ++t)
+    for (i64 f = t_off[t]; f < t_off[t + 1]; ++f)
+      if (t_code[f] == 0) exons[t].push_back(f);
+  i64 nout = 0;
+  for (i64 h = 0; h < nh; ++h) {
+    int counter = 0;
+    i64 mark = 0;
+    for (i64 t = 0; t < ni && counter < 2; ++t)
+      if (compat(H, h, T, t, exons[t])) {
+        counter++;
+        mark = t;
+      }
+    if (counter == 1) {
+      i64 hl = h_left[h_off[h]];
+      i64 hr = fright(H, h_off[h + 1] - 1);
+      out_fl[nout++] = exonic_overlap_len(T, mark, hl, hr);
+    }
+  }
+  return nout;
+}
 
 // Per-locus coverage + intron table (compute_doc, alignments.cpp:1838-1900).
 // Hits with mass < 0 are reference models (skipped). Returns the number of

@@ -115,35 +115,26 @@ class Sample:
         if not transcripts:
             return
         self.total_mapped_reads += int(cluster.weighted_mass)
-        native = None
+        done = False
         flat = getattr(cluster, "flat", None)
         if getattr(self.cfg, "native_cluster", True):
             try:
-                from .core.fastcluster import native_compat
+                from .core.fastcluster import native_fld
                 if flat is not None:
                     if len(flat[0]) > 1:
-                        native = native_compat(None, transcripts, [],
-                                               hit_flat=flat)
-                    else:
-                        native = (np.zeros((0, len(transcripts)), np.uint8),
-                                  np.zeros((0, len(transcripts)), np.int32),
-                                  np.zeros((0, 0), np.uint8))
+                        self.frag_dist.extend(
+                            native_fld(transcripts, flat))
+                    done = True
                 else:
                     hits = cluster.uniq_hit_contigs()
                     if hits:
-                        native = native_compat(hits, transcripts, [])
+                        from .core.fastcluster import flatten_contigs
+                        self.frag_dist.extend(
+                            native_fld(transcripts, flatten_contigs(hits)))
+                    done = True
             except OSError:
-                native = None
-        if native is not None:
-            compat_m, fraglen_m, _ = native
-            counts = compat_m.sum(axis=1)
-            sel = counts == 1
-            if sel.any():
-                rows = compat_m[sel]
-                marks = rows.argmax(axis=1)  # exactly one hit per row
-                fls = fraglen_m[sel, marks]
-                self.frag_dist.extend(fls.tolist())
-        else:
+                done = False
+        if not done:
             for h in cluster.uniq_hit_contigs():
                 counter = 0
                 mark = 0
