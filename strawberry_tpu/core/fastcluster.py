@@ -248,35 +248,48 @@ def run_native_clustering(table: HitTable, cfg: Config,
     vcum = np.zeros(nct + 1, np.int64)
     np.cumsum(valid_all, out=vcum[1:])
 
+    # Python-int prefetch: one C-level tolist per array instead of per-
+    # element numpy scalar boxing in the cluster loop
+    cl_left_l = cl_left.tolist()
+    cl_right_l = cl_right.tolist()
+    cl_refid_l = cl_refid.tolist()
+    cl_wmass_l = cl_wmass.tolist()
+    ref_off_l = ref_off.tolist()
+    ref_idx_l = ref_idx.tolist()
+    uniq_off_l = uniq_off.tolist()
+    seg_off_l = seg_off.tolist()
+    seg_args = list(zip(sg_left.tolist(), sg_right.tolist(),
+                        sg_lidx.tolist(), sg_ridx.tolist(),
+                        sg_strand.tolist()))
+    vcum_l = vcum.tolist()
+    ct_featoff_l = ct_featoff.tolist()
+    goff_l = goff.tolist()
+
     clusters: List[NativeCluster] = []
     for k in range(int(n)):
         c = NativeCluster()
         c.cfg = cfg
-        c.leftmost = int(cl_left[k])
-        c.rightmost = int(cl_right[k])
-        c.ref_id = int(cl_refid[k])
-        c.weighted_mass = float(cl_wmass[k])
-        c.ref_indices = [int(ref_idx[i])
-                         for i in range(ref_off[k], ref_off[k + 1])]
+        c.leftmost = cl_left_l[k]
+        c.rightmost = cl_right_l[k]
+        c.ref_id = cl_refid_l[k]
+        c.weighted_mass = cl_wmass_l[k]
+        c.ref_indices = ref_idx_l[ref_off_l[k]:ref_off_l[k + 1]]
         c.ref_mrnas = [ref_mrnas[i] for i in c.ref_indices]
-        a0, a1 = int(uniq_off[k]), int(uniq_off[k + 1])
+        a0, a1 = uniq_off_l[k], uniq_off_l[k + 1]
         featoff_k = ct_featoff[a0:a1 + 1]
+        f0, f1 = ct_featoff_l[a0], ct_featoff_l[a1]
         c._raw = (ct_strand[a0:a1], ct_orit[a0:a1], ct_mass[a0:a1],
                   valid_all[a0:a1],
-                  featoff_k - featoff_k[0],
-                  ct_fcode[featoff_k[0]:featoff_k[-1]],
-                  ct_fleft[featoff_k[0]:featoff_k[-1]],
-                  ct_flen[featoff_k[0]:featoff_k[-1]])
+                  featoff_k - f0,
+                  ct_fcode[f0:f1], ct_fleft[f0:f1], ct_flen[f0:f1])
         c._n_uniq = a1 - a0
-        v0, v1 = int(vcum[a0]), int(vcum[a1])
+        v0, v1 = vcum_l[a0], vcum_l[a1]
         c.flat_mass = gmass[v0:v1]
-        s0, s1 = int(goff[v0]), int(goff[v1])
-        c.flat = (goff[v0:v1 + 1] - goff[v0],
+        s0, s1 = goff_l[v0], goff_l[v1]
+        c.flat = (goff[v0:v1 + 1] - s0,
                   gcode[s0:s1], gleft[s0:s1], glen[s0:s1])
-        c.segs = [Segment(int(sg_left[s]), int(sg_right[s]),
-                          int(sg_lidx[s]), int(sg_ridx[s]),
-                          int(sg_strand[s]))
-                  for s in range(seg_off[k], seg_off[k + 1])]
+        c.segs = [Segment(*seg_args[s])
+                  for s in range(seg_off_l[k], seg_off_l[k + 1])]
         clusters.append(c)
     return clusters
 
@@ -451,6 +464,94 @@ def native_fld(isos, hit_flat, iso_flat=None):
         ka[7].ctypes.data_as(C.POINTER(C.c_int32)),
         out.ctypes.data_as(C.POINTER(C.c_int32)))
     return out[:n].tolist()
+
+
+_asm_bound = False
+
+
+def native_asmprep(cfg, l, r, read_len, hit_flat, cov_mass, weight_mass):
+    """Whole per-locus assembly prep in one native call (assembleprep.cc):
+    coverage + intron filters + splice graph + flow network. Returns None
+    for an empty task, else (exons(l,r,doc), M, arcs(src,dst,cost,lower),
+    path_cstrs)."""
+    global _asm_bound
+    from ..io.native import get_lib
+    lib = get_lib()
+    if not _asm_bound:
+        i64p = C.POINTER(C.c_int64)
+        i32p = C.POINTER(C.c_int32)
+        i8p = C.POINTER(C.c_int8)
+        dp = C.POINTER(C.c_double)
+        lib.strawb_asmprep.restype = C.c_void_p
+        lib.strawb_asmprep.argtypes = [
+            C.c_int64, C.c_int64, C.c_int64,
+            C.c_int64, i64p, i8p, i64p, i32p, dp, dp,
+            C.c_double, C.c_double, C.c_double, C.c_double, C.c_int64,
+            C.c_double, C.c_int32, C.c_double, C.c_int64, C.c_int64,
+            C.c_double, C.c_int64]
+        for name, rt in [("status", C.c_int32), ("ne", C.c_int64),
+                         ("narcs", C.c_int64), ("ncstr", C.c_int64),
+                         ("m", C.c_int64)]:
+            fn = getattr(lib, f"strawb_asm_{name}")
+            fn.restype = rt
+            fn.argtypes = [C.c_void_p]
+        for name, rt in [("exl", i64p), ("exr", i64p), ("exdoc", dp),
+                         ("src", i64p), ("dst", i64p), ("cost", i64p),
+                         ("lower", i64p), ("cstroff", i64p),
+                         ("cstrarcs", i64p)]:
+            fn = getattr(lib, f"strawb_asm_{name}")
+            fn.restype = rt
+            fn.argtypes = [C.c_void_p]
+        lib.strawb_asm_free.restype = None
+        lib.strawb_asm_free.argtypes = [C.c_void_p]
+        _asm_bound = True
+    h_off, h_code, h_left, h_len = hit_flat
+    nh = len(h_off) - 1
+    ka = [np.ascontiguousarray(x) for x in
+          (h_off, h_code, h_left, h_len)]
+    cm = np.ascontiguousarray(cov_mass, np.float64)
+    wm = np.ascontiguousarray(weight_mass, np.float64)
+    h = lib.strawb_asmprep(
+        l, r, read_len,
+        nh, ka[0].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[1].ctypes.data_as(C.POINTER(C.c_int8)),
+        ka[2].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[3].ctypes.data_as(C.POINTER(C.c_int32)),
+        cm.ctypes.data_as(C.POINTER(C.c_double)),
+        wm.ctypes.data_as(C.POINTER(C.c_double)),
+        float(cfg.min_anchor), float(cfg.min_depth_4_locus),
+        float(cfg.min_isoform_frac), float(cfg.min_junc_support),
+        cfg.long_junc_length, float(cfg.min_support_for_long_junc),
+        1 if cfg.enforce_ref_models else 0,
+        float(cfg.binomial_overhang_alpha),
+        cfg.max_cover_gap1, cfg.max_cover_gap2,
+        float(cfg.intron_edge_weight), cfg.min_dist_4_exon_edge)
+    try:
+        if not lib.strawb_asm_status(h):
+            return None
+        ne = lib.strawb_asm_ne(h)
+        na = lib.strawb_asm_narcs(h)
+        nc = lib.strawb_asm_ncstr(h)
+        M = lib.strawb_asm_m(h)
+
+        def al(ptr, n):
+            if n == 0:
+                return []
+            return np.ctypeslib.as_array(ptr, shape=(int(n),)).tolist()
+
+        exl = al(lib.strawb_asm_exl(h), ne)
+        exr = al(lib.strawb_asm_exr(h), ne)
+        exdoc = al(lib.strawb_asm_exdoc(h), ne)
+        src = al(lib.strawb_asm_src(h), na)
+        dst = al(lib.strawb_asm_dst(h), na)
+        cost = al(lib.strawb_asm_cost(h), na)
+        lower = al(lib.strawb_asm_lower(h), na)
+        coff = al(lib.strawb_asm_cstroff(h), nc + 1)
+        carcs = al(lib.strawb_asm_cstrarcs(h), coff[-1] if nc else 0)
+        cstrs = [carcs[coff[k]:coff[k + 1]] for k in range(int(nc))]
+        return (exl, exr, exdoc, int(M), src, dst, cost, lower, cstrs)
+    finally:
+        lib.strawb_asm_free(h)
 
 
 _coverage_bound = False

@@ -1,0 +1,768 @@
+// Per-locus assembly prep — the complete host half of assembleContig in one
+// native call: coverage + intron table (alignments.cpp:1838-1900), the three
+// intron filters (:1902-2036), splicingGraph with its exon filters
+// (assembly.cpp:20-28,174-547), and createNetwork/addWeight/findConstraints
+// + add_sink_source (assembly.cpp:549-811,91-112). Ports the Python oracles
+// (assembly/coverage.py, assembly/splice_graph.py, assembly/flow.py)
+// exactly, including:
+//   * intron bookkeeping in FIRST-ENCOUNTER order (single_bars stable-sort
+//     ties follow dict insertion order in the oracle)
+//   * numpy pairwise f64-of-f32 sums for every coverage reduction
+//   * the remove_low_cov_exon index-skew quirk (cov index keeps advancing
+//     after a deletion) and the exclusive-end exon sums
+//   * lemon ListDigraph iteration orders (nodes/out-arcs newest-first) for
+//     addWeight, find_arc, BFS constraint expansion, and add_sink_source
+// Output: exon segs (+avg doc), the arc list in creation order with
+// cost/lower maps, path constraints, and the total node count — enough for
+// the Python side to rebuild the Graph, the dense flow problem, and run
+// flowDecompose/reconstruct unchanged.
+
+#include <algorithm>
+#include <cmath>
+#include <cstddef>
+#include <cstdint>
+#include <map>
+#include <set>
+#include <utility>
+#include <vector>
+
+using std::size_t;
+
+namespace {
+typedef int64_t i64;
+typedef int32_t i32;
+typedef int8_t i8;
+
+// numpy pairwise sum with f64 accumulator over f32 input (np.sum(a, dtype=
+// np.float64) semantics: convert each element, 8-accumulator unrolled
+// blocks, recursive split above 128)
+static double np_sum_f32(const float* a, i64 n) {
+  if (n < 8) {
+    double res = 0.0;
+    for (i64 i = 0; i < n; ++i) res += (double)a[i];
+    return res;
+  }
+  if (n <= 128) {
+    double r[8];
+    for (int k = 0; k < 8; ++k) r[k] = (double)a[k];
+    i64 i = 8;
+    for (; i + 8 <= n; i += 8)
+      for (int k = 0; k < 8; ++k) r[k] += (double)a[i + k];
+    double res = ((r[0] + r[1]) + (r[2] + r[3])) +
+                 ((r[4] + r[5]) + (r[6] + r[7]));
+    for (; i < n; ++i) res += (double)a[i];
+    return res;
+  }
+  i64 n2 = n / 2;
+  n2 -= n2 % 8;
+  return np_sum_f32(a, n2) + np_sum_f32(a + n2, n - n2);
+}
+
+// A&S 7.1.26 normal CDF, exactly as common.h:112-133 / core/cluster.phi
+static double phi(double x) {
+  if (std::isnan(x)) return x;
+  const double a1 = 0.254829592, a2 = -0.284496736, a3 = 1.421413741,
+               a4 = -1.453152027, a5 = 1.061405429, p = 0.3275911;
+  double sign = x < 0 ? -1.0 : 1.0;
+  x = std::fabs(x) / std::sqrt(2.0);
+  double t = 1.0 / (1.0 + p * x);
+  double y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t *
+                       std::exp(-x * x);
+  return 0.5 * (1.0 + sign * y);
+}
+
+// getMedian (common.h:188-199) over f32 values
+static double median_f32(std::vector<float> v) {
+  std::sort(v.begin(), v.end());
+  size_t n = v.size();
+  if (n == 0) return 0.0;
+  if (n % 2 == 0) return ((double)v[n / 2] + (double)v[n / 2 - 1]) / 2.0;
+  return (double)v[n / 2];
+}
+
+static double median_f64(std::vector<double> v) {
+  std::sort(v.begin(), v.end());
+  size_t n = v.size();
+  if (n == 0) return 0.0;
+  if (n % 2 == 0) return (v[n / 2] + v[n / 2 - 1]) / 2.0;
+  return v[n / 2];
+}
+
+struct Intron {
+  i64 l, r;
+  double tot = 0.0, small = 0.0;
+  bool alive = true;
+};
+
+// lemon ListDigraph clone (assembly/flow.Graph): prepend iteration orders
+struct Graph {
+  std::vector<i64> src, dst;
+  std::vector<std::vector<i64>> out, in;
+  i64 add_node() {
+    out.push_back({});
+    in.push_back({});
+    return (i64)out.size() - 1;
+  }
+  i64 add_arc(i64 u, i64 v) {
+    i64 a = (i64)src.size();
+    src.push_back(u);
+    dst.push_back(v);
+    out[u].push_back(a);
+    in[v].push_back(a);
+    return a;
+  }
+  i64 find_arc(i64 u, i64 v) const {  // OutArcIt: newest first
+    const auto& o = out[u];
+    for (size_t k = o.size(); k-- > 0;)
+      if (dst[o[k]] == v) return o[k];
+    return -1;
+  }
+  // lemon Bfs: FIFO, neighbors in OutArcIt (newest-first) order
+  bool bfs_path(i64 s, i64 t, std::vector<i64>& path) const {
+    std::vector<i64> pred(out.size(), -2);
+    pred[s] = -1;
+    std::vector<i64> q{s};
+    size_t qi = 0;
+    while (qi < q.size()) {
+      i64 u = q[qi++];
+      const auto& o = out[u];
+      for (size_t k = o.size(); k-- > 0;) {
+        i64 w = dst[o[k]];
+        if (pred[w] == -2) {
+          pred[w] = u;
+          q.push_back(w);
+        }
+      }
+    }
+    if (pred[t] == -2) return false;
+    path.clear();
+    for (i64 v = t; v != -1; v = pred[v]) path.push_back(v);
+    std::reverse(path.begin(), path.end());
+    return true;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+struct StrawbAsm {
+  i32 status = 0;  // 0 = empty task, 1 = network built
+  std::vector<i64> ex_l, ex_r;
+  std::vector<double> ex_doc;
+  std::vector<i64> arc_src, arc_dst, arc_cost, arc_lower;
+  std::vector<i64> cstr_off;
+  std::vector<i64> cstr_arcs;
+  i64 M = 0;       // total nodes incl. source/sink
+  i64 ne = 0;
+};
+
+StrawbAsm* strawb_asmprep(
+    i64 l, i64 r, i64 read_len,
+    i64 nh, const i64* h_off, const i8* h_code, const i64* h_left,
+    const i32* h_len, const double* cov_mass, const double* weight_mass,
+    double small_overhang /* kMinAnchor */, double min_depth_4_locus,
+    double min_isoform_frac, double min_junc_support, i64 long_junc_length,
+    double min_support_for_long_junc, i32 enforce_ref_models,
+    double binomial_overhang_alpha, i64 max_cover_gap1, i64 max_cover_gap2,
+    double intron_edge_weight, i64 min_dist_4_exon_edge) {
+  auto* R = new StrawbAsm();
+  R->cstr_off.push_back(0);
+
+  // ---- coverage + intron table, first-encounter order ------------------
+  i64 L = r - l + 1;
+  std::vector<float> exon_doc(L, 0.0f);
+  std::vector<Intron> introns;  // encounter order
+  auto find_intron = [&](i64 il, i64 ir) -> i64 {
+    for (i64 k = 0; k < (i64)introns.size(); ++k)
+      if (introns[k].l == il && introns[k].r == ir) return k;
+    introns.push_back({il, ir});
+    return (i64)introns.size() - 1;
+  };
+  for (i64 h = 0; h < nh; ++h) {
+    double mass = cov_mass[h];
+    if (mass < 0) continue;  // reference model sentinel
+    for (i64 f = h_off[h]; f < h_off[h + 1]; ++f) {
+      i64 gl = h_left[f], gr = gl + h_len[f] - 1;
+      if (h_code[f] == 0) {
+        i64 lo = gl > l ? gl : l;
+        i64 hi = gr < r ? gr : r;
+        for (i64 p = lo; p <= hi; ++p) exon_doc[p - l] += (float)mass;
+      } else if (h_code[f] == 1) {
+        if (gl < l || gr > r) continue;
+        i64 k = find_intron(gl, gr);
+        introns[k].tot += mass;
+        if ((double)h_len[f - 1] < small_overhang ||
+            (double)h_len[f + 1] < small_overhang)
+          introns[k].small += mass;
+      }
+    }
+  }
+  i64 num_nt = 0;
+  for (i64 p = 0; p < L; ++p)
+    if (exon_doc[p] > 0) num_nt++;
+  double avg_dep =
+      num_nt ? np_sum_f32(exon_doc.data(), L) / (double)num_nt : 0.0;
+  if (avg_dep < min_depth_4_locus) return R;
+
+  // sorted-key index over alive introns (rebuilt after deletions)
+  auto sorted_alive = [&]() {
+    std::vector<i64> idx;
+    for (i64 k = 0; k < (i64)introns.size(); ++k)
+      if (introns[k].alive) idx.push_back(k);
+    std::sort(idx.begin(), idx.end(), [&](i64 a, i64 b) {
+      if (introns[a].l != introns[b].l) return introns[a].l < introns[b].l;
+      return introns[a].r < introns[b].r;
+    });
+    return idx;
+  };
+
+  // ---- filter one: overlapping-intron relative depth -------------------
+  {
+    auto keys = sorted_alive();
+    std::vector<i64> bad;
+    for (size_t a = 0; a < keys.size(); ++a)
+      for (size_t b = a + 1; b < keys.size(); ++b) {
+        const Intron& ei = introns[keys[a]];
+        const Intron& ej = introns[keys[b]];
+        double scale = -1;
+        if (ei.l <= ej.r && ej.l <= ei.r) {
+          scale = 1;
+          bool contains = (ei.l <= ej.l && ei.r >= ej.r) ||
+                          (ej.l <= ei.l && ej.r >= ei.r);
+          if (!contains) scale = 10;
+        }
+        double di = ei.tot, dj = ej.tot;
+        double min_junc;
+        i64 bad_key;
+        if (dj < di) {
+          min_junc = dj;
+          bad_key = keys[b];
+        } else {
+          min_junc = di;
+          bad_key = keys[a];
+        }
+        if (min_junc / (di + dj) < min_isoform_frac * scale)
+          bad.push_back(bad_key);
+      }
+    for (i64 k : bad) introns[k].alive = false;
+  }
+
+  // ---- filter two: junction support + small-anchor binomial test -------
+  std::vector<float> intron_doc(L, 0.0f);
+  {
+    auto keys = sorted_alive();
+    for (i64 k : keys) {
+      Intron& ent = introns[k];
+      double total_read = ent.tot, small_read = ent.small;
+      if (total_read < min_junc_support && !enforce_ref_models) {
+        ent.alive = false;
+        continue;
+      }
+      if (ent.r - ent.l > long_junc_length &&
+          total_read < min_support_for_long_junc && !enforce_ref_models) {
+        ent.alive = false;
+        continue;
+      }
+      for (i64 p = ent.l - l; p <= ent.r - l; ++p)
+        intron_doc[p] += (float)total_read;
+      if (small_read == total_read) {
+        ent.alive = false;
+        continue;
+      }
+      if (small_read < 1) continue;
+      double success = 2.0 * small_overhang / (double)read_len;
+      double normal_mean = total_read * success;
+      double normal_sd = std::sqrt(total_read * success * (1 - success));
+      double x = (small_read - 0.5 - normal_mean) / normal_sd;
+      double prob_not_lt_observed = 1.0 - phi(x);
+      if (prob_not_lt_observed < binomial_overhang_alpha) {
+        ent.alive = false;
+        continue;
+      }
+    }
+  }
+
+  // ---- filter three: intron depth vs exonic depth ----------------------
+  {
+    auto keys = sorted_alive();
+    for (i64 k : keys) {
+      Intron& ent = introns[k];
+      i64 start = ent.l - l, end = ent.r - l;
+      // reference sums [start, end) then divides by (end-start)+1
+      double avg_intron_doc = np_sum_f32(intron_doc.data() + start,
+                                         end - start);
+      avg_intron_doc /= (double)((end - start) + 1);
+      // duplicate buffer carries one trailing zero (alignments.cpp:2011)
+      std::vector<float> dup(end - start + 1, 0.0f);
+      for (i64 p = 0; p < end - start; ++p) dup[p] = exon_doc[start + p];
+      double avg_intron_exonic =
+          np_sum_f32(dup.data(), (i64)dup.size()) / (double)(end - start);
+      if (avg_intron_exonic != 0) {
+        if (avg_intron_doc / avg_intron_exonic < min_isoform_frac)
+          ent.alive = false;
+      }
+    }
+  }
+
+  // ---- splicingGraph ---------------------------------------------------
+  // paired bars: sorted unique alive keys; single bars: encounter order,
+  // stable-sorted by coord (tie order == dict insertion order)
+  std::vector<std::pair<i64, i64>> paired_bars;
+  std::vector<std::pair<i64, bool>> single_bars;
+  for (const auto& e : introns) {
+    if (!e.alive) continue;
+    paired_bars.push_back({e.l, e.r});
+    single_bars.push_back({e.l, true});
+    single_bars.push_back({e.r, false});
+  }
+  std::stable_sort(single_bars.begin(), single_bars.end(),
+                   [](const std::pair<i64, bool>& a,
+                      const std::pair<i64, bool>& b) {
+                     return a.first < b.first;
+                   });
+  {  // unique adjacent (coord, side) pairs, preserving order
+    std::vector<std::pair<i64, bool>> sb;
+    for (const auto& b : single_bars)
+      if (sb.empty() || sb.back() != b) sb.push_back(b);
+    single_bars.swap(sb);
+  }
+  std::sort(paired_bars.begin(), paired_bars.end());
+  paired_bars.erase(std::unique(paired_bars.begin(), paired_bars.end()),
+                    paired_bars.end());
+
+  // preliminary segments from nonzero coverage runs
+  std::vector<std::pair<i64, i64>> eb;  // absolute [left,right]
+  {
+    bool in_run = false;
+    i64 run_start = 0;
+    for (i64 p = 0; p < L; ++p) {
+      bool nz = exon_doc[p] > 0;
+      if (nz && !in_run) {
+        in_run = true;
+        run_start = p;
+      } else if (!nz && in_run) {
+        in_run = false;
+        eb.push_back({run_start + l, p - 1 + l});
+      }
+    }
+    if (in_run) eb.push_back({run_start + l, L - 1 + l});
+  }
+
+  // gap filling (assembly.cpp:411-443)
+  {
+    size_t i = 0;
+    while (i + 1 < eb.size()) {
+      i64 head = eb[i].second, tail = eb[i + 1].first;
+      bool no_overlap = true, no_support = true;
+      for (const auto& e : introns) {
+        if (!e.alive) continue;
+        if (e.l <= tail && head <= e.r) no_overlap = false;
+        if (e.l == head + 1 && tail - 1 == e.r) no_support = false;
+      }
+      if (no_overlap) {
+        if (tail - head < max_cover_gap1) {
+          eb[i + 1].first = eb[i].first;
+          eb.erase(eb.begin() + i);
+          continue;
+        }
+      } else {
+        if (no_support && tail - head < max_cover_gap2) {
+          eb[i + 1].first = eb[i].first;
+          eb.erase(eb.begin() + i);
+          continue;
+        }
+      }
+      i++;
+    }
+  }
+
+  // single-exon short circuit
+  auto exon_avg = [&](i64 el, i64 er) {
+    // compute_exon_doc: exclusive end, divide by full length
+    double cov = np_sum_f32(exon_doc.data() + (el - l), er - el);
+    return cov / (double)(er - el + 1);
+  };
+  if (paired_bars.empty()) {
+    if (eb.size() > 1) return R;  // unassemblable: exons None
+    R->ex_l.push_back(eb[0].first);
+    R->ex_r.push_back(eb.back().second);
+    R->ex_doc.push_back(exon_avg(eb[0].first, eb.back().second));
+    R->ne = 1;
+    // createNetwork returns immediately for 1 exon; add_sink_source then
+    // creates source(0)/sink(1) + circulation arc sink->source
+    R->arc_src.push_back(1);
+    R->arc_dst.push_back(0);
+    R->arc_cost.push_back(0);
+    R->arc_lower.push_back(0);
+    R->M = 2;
+    R->status = 1;
+    return R;
+  }
+
+  // split segments at intron bars (assembly.cpp:475-499)
+  {
+    size_t e = 0, s = 0;
+    while (e < eb.size() && s < single_bars.size()) {
+      i64 bar = single_bars[s].first;
+      bool is_left = single_bars[s].second;
+      if (bar < eb[e].first) {
+        s++;
+      } else if (eb[e].first <= bar && bar <= eb[e].second) {
+        i64 temp = eb[e].second;
+        if (is_left) {
+          eb[e].second = bar - 1;
+          eb.insert(eb.begin() + e + 1, {bar, temp});
+        } else {
+          eb[e].second = bar;
+          eb.insert(eb.begin() + e + 1, {bar + 1, temp});
+        }
+        s++;
+      } else {
+        e++;
+      }
+    }
+  }
+  {  // drop degenerate (right <= left)
+    std::vector<std::pair<i64, i64>> kept;
+    for (auto& x : eb)
+      if (x.second > x.first) kept.push_back(x);
+    eb.swap(kept);
+  }
+
+  // remove_low_cov_exon (assembly.cpp:174-221) — incl. the cov-index skew
+  {
+    auto keys = sorted_alive();
+    auto max_support = [&](i64 el, i64 er) {
+      double sup = 0.0;
+      for (i64 k : keys) {
+        if (introns[k].l <= er && el <= introns[k].r)
+          sup = std::max(introns[k].tot, sup);
+      }
+      return sup;
+    };
+    std::vector<double> covs;
+    std::vector<double> covs_for_median;
+    for (auto& x : eb) {
+      double cov = np_sum_f32(exon_doc.data() + (x.first - l),
+                              x.second - x.first) /
+                   (double)(x.second - x.first);
+      covs.push_back(cov);
+      double sup = max_support(x.first, x.second);
+      if (cov > sup) covs_for_median.push_back(cov);
+    }
+    double med = median_f64(covs_for_median);
+    size_t i = 0, k = 0;
+    while (i < eb.size()) {
+      double sup = max_support(eb[i].first, eb[i].second);
+      if (covs[k] < sup * min_isoform_frac ||
+          covs[k] < med * min_isoform_frac) {
+        eb.erase(eb.begin() + i);
+      } else {
+        i++;
+      }
+      k++;
+    }
+  }
+
+  // filter_exon_segs (assembly.cpp:224-315)
+  {
+    std::vector<std::pair<i64, i64>> lc, rc;  // (coord, pb index)
+    for (size_t i = 0; i < paired_bars.size(); ++i) {
+      lc.push_back({paired_bars[i].first, (i64)i});
+      rc.push_back({paired_bars[i].second, (i64)i});
+    }
+    std::sort(lc.begin(), lc.end());
+    std::sort(rc.begin(), rc.end());
+    std::vector<i64> firsts, seconds, lcf, rcf;
+    for (auto& x : eb) {
+      firsts.push_back(x.first);
+      seconds.push_back(x.second);
+    }
+    for (auto& x : lc) lcf.push_back(x.first);
+    for (auto& x : rc) rcf.push_back(x.first);
+    auto lb = [](const std::vector<i64>& v, i64 x) {
+      return (size_t)(std::lower_bound(v.begin(), v.end(), x) - v.begin());
+    };
+    std::vector<size_t> dropoff;
+    for (size_t ex = 0; ex < eb.size(); ++ex) {
+      bool no_right = false;
+      size_t li = lb(lcf, eb[ex].second + 1);
+      if (li < lc.size() && lc[li].first == eb[ex].second + 1) {
+        i64 right = paired_bars[lc[li].second].second;
+        size_t j = lb(firsts, right + 1);
+        if (!(j < firsts.size() && firsts[j] == right + 1)) no_right = true;
+      } else {
+        no_right = true;
+      }
+      bool no_left = false;
+      size_t ri = lb(rcf, eb[ex].first - 1);
+      if (ri < rc.size() && rc[ri].first == eb[ex].first - 1) {
+        i64 left = paired_bars[rc[ri].second].first;
+        size_t j = lb(seconds, left - 1);
+        if (!(j < seconds.size() && seconds[j] == left - 1)) no_left = true;
+      } else {
+        no_left = true;
+      }
+      if (no_left && no_right && eb.size() > 1) {
+        if (ex == 0) {
+          if (eb[ex].second + 1 != eb[ex + 1].first) dropoff.push_back(ex);
+        } else if (ex == eb.size() - 1) {
+          if (eb[ex - 1].second + 1 != eb[ex].first) dropoff.push_back(ex);
+        } else {
+          if (eb[ex].second + 1 != eb[ex + 1].first ||
+              eb[ex].first - 1 != eb[ex - 1].second)
+            dropoff.push_back(ex);
+        }
+      }
+    }
+    for (size_t d = dropoff.size(); d-- > 0;)
+      eb.erase(eb.begin() + dropoff[d]);
+  }
+
+  // final exon list (sorted) + avg doc
+  {
+    std::vector<std::pair<i64, i64>> ex;
+    for (auto& x : eb)
+      if (x.second - x.first + 1 > 0) ex.push_back(x);
+    std::sort(ex.begin(), ex.end());
+    for (auto& x : ex) {
+      R->ex_l.push_back(x.first);
+      R->ex_r.push_back(x.second);
+      R->ex_doc.push_back(exon_avg(x.first, x.second));
+    }
+  }
+  i64 ne = (i64)R->ex_l.size();
+  R->ne = ne;
+
+  // filter_intron_by_exons (assembly.cpp:317-340): exact boundary match
+  {
+    auto keys = sorted_alive();
+    auto lb64 = [](const std::vector<i64>& v, i64 x) {
+      return (size_t)(std::lower_bound(v.begin(), v.end(), x) - v.begin());
+    };
+    for (i64 k : keys) {
+      i64 il = introns[k].l, ir = introns[k].r;
+      size_t e1 = lb64(R->ex_r, il - 1);
+      size_t e2 = lb64(R->ex_l, ir + 1);
+      if (e1 == (size_t)ne || e2 == (size_t)ne) {
+        introns[k].alive = false;
+        continue;
+      }
+      if (R->ex_r[e1] != il - 1 || R->ex_l[e2] != ir + 1)
+        introns[k].alive = false;
+    }
+  }
+
+  // ---- createNetwork (assembly.cpp:549-765) ----------------------------
+  if (ne == 1) {
+    // returns True before adding any nodes; sink_source adds 2 + circ arc
+    R->arc_src.push_back(1);
+    R->arc_dst.push_back(0);
+    R->arc_cost.push_back(0);
+    R->arc_lower.push_back(0);
+    R->M = 2;
+    R->status = 1;
+    return R;
+  }
+  auto alive_sorted = sorted_alive();
+  Graph g;
+  for (i64 i = 0; i < ne; ++i) g.add_node();  // node i == exon i
+  if (ne == 0 || alive_sorted.empty()) return R;  // status 0
+
+  std::vector<i64> arcs;  // intron + adjacency arcs, creation order
+  {
+    auto lb64 = [](const std::vector<i64>& v, i64 x) {
+      return (size_t)(std::lower_bound(v.begin(), v.end(), x) - v.begin());
+    };
+    for (i64 k : alive_sorted) {
+      i64 il = introns[k].l, ir = introns[k].r;
+      size_t e1 = lb64(R->ex_r, il - 1);
+      size_t e2 = lb64(R->ex_l, ir + 1);
+      if (e1 == (size_t)ne || e2 == (size_t)ne) continue;
+      arcs.push_back(g.add_arc((i64)e1, (i64)e2));
+    }
+    for (i64 i = 0; i + 1 < ne; ++i)
+      if (R->ex_l[i + 1] == R->ex_r[i] + 1)
+        arcs.push_back(g.add_arc(i, i + 1));
+  }
+
+  // addWeight (assembly.cpp:767-811): ArcIt order = nodes newest-first,
+  // out-arcs newest-first; costs after all supports are known
+  std::map<i64, double> supports;  // arc -> support (value-only map)
+  double max_weight = 0.0;
+  std::vector<i64> adj_arcs, adj_s, adj_e;
+  for (i64 u = (i64)g.out.size(); u-- > 0;) {
+    const auto& o = g.out[u];
+    for (size_t kk = o.size(); kk-- > 0;) {
+      i64 arc = o[kk];
+      i64 arc_s = R->ex_r[g.src[arc]];
+      i64 arc_e = R->ex_l[g.dst[arc]];
+      double support = 0.0;
+      if (arc_e - arc_s == 1) {
+        adj_arcs.push_back(arc);
+        adj_s.push_back(arc_s);
+        adj_e.push_back(arc_e);
+        supports[arc] = 0.0;
+        continue;
+      }
+      i64 il = arc_s + 1, ir = arc_e - 1;
+      for (i64 k : alive_sorted)
+        if (introns[k].l == il && introns[k].r == ir) {
+          support = introns[k].tot * intron_edge_weight;
+          break;
+        }
+      max_weight = std::max(max_weight, support);
+      supports[arc] = support;
+    }
+  }
+  // adjacency supports: ordered hit scan with early break (strawb_adj_
+  // support semantics), masses = weight_mass
+  for (size_t a = 0; a < adj_arcs.size(); ++a) {
+    double sup = 0.0;
+    i64 as = adj_s[a], ae = adj_e[a];
+    for (i64 h = 0; h < nh; ++h) {
+      i64 b = h_off[h], e = h_off[h + 1];
+      if (b == e) continue;
+      i64 mp_left = h_left[b];
+      i64 mp_right = h_left[e - 1] + h_len[e - 1] - 1;
+      if (mp_left > ae) break;
+      if (mp_right < as) continue;
+      for (i64 f = b; f < e; ++f) {
+        if (h_code[f] != 0) continue;
+        i64 fl = h_left[f], fr = fl + h_len[f] - 1;
+        if (fl <= as - min_dist_4_exon_edge &&
+            fr >= ae + min_dist_4_exon_edge)
+          sup += weight_mass[h];
+      }
+    }
+    supports[adj_arcs[a]] = sup;
+    max_weight = std::max(max_weight, sup);
+  }
+  std::map<i64, i64> cost_map, min_flow_map;
+  for (const auto& kv : supports)
+    cost_map[kv.first] = (i64)(max_weight - (double)(i64)kv.second);
+
+  // findConstraints (assembly.cpp:856-879): unique sorted >2-exon rows
+  std::vector<std::vector<i64>> constraints;
+  {
+    std::vector<std::vector<i64>> uniq;
+    {
+      std::vector<std::vector<i64>> rows;
+      std::vector<i64> row;
+      for (i64 h = 0; h < nh; ++h) {
+        row.clear();
+        for (i64 s = 0; s < ne; ++s) {
+          for (i64 f = h_off[h]; f < h_off[h + 1]; ++f) {
+            if (h_code[f] != 0) continue;
+            i64 fl = h_left[f], fr = fl + h_len[f] - 1;
+            if (fl <= R->ex_r[s] && R->ex_l[s] <= fr) {
+              row.push_back(s);
+              break;
+            }
+          }
+        }
+        if (row.size() > 2) rows.push_back(row);
+      }
+      std::sort(rows.begin(), rows.end());
+      rows.erase(std::unique(rows.begin(), rows.end()), rows.end());
+      uniq.swap(rows);
+    }
+    constraints.swap(uniq);
+  }
+
+  // subpath constraints -> path_cstrs (assembly.cpp:616-699)
+  std::vector<std::vector<i64>> path_cstrs;
+  for (const auto& c : constraints) {
+    std::vector<i64> path_cstr;
+    i64 s = c.front(), t = c.back();
+    bool is_valid = false;
+    for (size_t idx = 1; idx + 1 < c.size(); ++idx) {
+      i64 n = c[idx];
+      if (g.in[n].size() > 1 && g.out[n].size() > 1) is_valid = true;
+    }
+    if (g.find_arc(s, t) == -1 && is_valid) {
+      for (size_t i = 0; i + 1 < c.size(); ++i) {
+        i64 pre = c[i], sec = c[i + 1];
+        i64 arc_found = g.find_arc(pre, sec);
+        if (arc_found == -1) {
+          std::vector<i64> path;
+          if (g.bfs_path(pre, sec, path)) {
+            for (size_t jj = 0; jj + 1 < path.size(); ++jj) {
+              i64 a = g.find_arc(path[jj], path[jj + 1]);
+              if (a != -1) path_cstr.push_back(a);
+            }
+          }
+        } else {
+          path_cstr.push_back(arc_found);
+        }
+      }
+      if (!path_cstr.empty()) path_cstrs.push_back(path_cstr);
+    }
+  }
+
+  if (path_cstrs.empty()) {
+    for (i64 a : arcs) min_flow_map[a] = 1;
+  } else {
+    std::set<i64> one_d;
+    for (const auto& p : path_cstrs) one_d.insert(p.begin(), p.end());
+    for (i64 a : arcs)
+      if (!one_d.count(a)) path_cstrs.push_back({a});
+    for (const auto& p : path_cstrs) {
+      if (p.size() > 1) {
+        i64 cost = 0;
+        for (i64 a : p) cost += cost_map[a];
+        i64 s = g.src[p[0]], t = g.dst[p.back()];
+        if (g.find_arc(s, t) == -1) {
+          i64 a = g.add_arc(s, t);
+          cost_map[a] = cost;
+          min_flow_map[a] = 1;
+        }
+      } else {
+        min_flow_map[p[0]] = 1;
+      }
+    }
+  }
+
+  // add_sink_source (assembly.cpp:91-112): NodeIt newest-first
+  i64 source = g.add_node();
+  i64 sink = g.add_node();
+  for (i64 n = (i64)g.out.size(); n-- > 0;) {
+    if (n == source || n == sink) continue;
+    if (g.in[n].empty()) g.add_arc(source, n);
+    if (g.out[n].empty()) g.add_arc(n, sink);
+  }
+  g.add_arc(sink, source);
+
+  R->M = (i64)g.out.size();
+  R->arc_src = g.src;
+  R->arc_dst = g.dst;
+  R->arc_cost.assign(g.src.size(), 0);
+  R->arc_lower.assign(g.src.size(), 0);
+  for (const auto& kv : cost_map) R->arc_cost[kv.first] = kv.second;
+  for (const auto& kv : min_flow_map) R->arc_lower[kv.first] = kv.second;
+  for (const auto& p : path_cstrs) {
+    R->cstr_arcs.insert(R->cstr_arcs.end(), p.begin(), p.end());
+    R->cstr_off.push_back((i64)R->cstr_arcs.size());
+  }
+  R->status = 1;
+  return R;
+}
+
+i32 strawb_asm_status(StrawbAsm* r) { return r->status; }
+i64 strawb_asm_ne(StrawbAsm* r) { return r->ne; }
+i64 strawb_asm_narcs(StrawbAsm* r) { return (i64)r->arc_src.size(); }
+i64 strawb_asm_ncstr(StrawbAsm* r) { return (i64)r->cstr_off.size() - 1; }
+i64 strawb_asm_m(StrawbAsm* r) { return r->M; }
+const i64* strawb_asm_exl(StrawbAsm* r) { return r->ex_l.data(); }
+const i64* strawb_asm_exr(StrawbAsm* r) { return r->ex_r.data(); }
+const double* strawb_asm_exdoc(StrawbAsm* r) { return r->ex_doc.data(); }
+const i64* strawb_asm_src(StrawbAsm* r) { return r->arc_src.data(); }
+const i64* strawb_asm_dst(StrawbAsm* r) { return r->arc_dst.data(); }
+const i64* strawb_asm_cost(StrawbAsm* r) { return r->arc_cost.data(); }
+const i64* strawb_asm_lower(StrawbAsm* r) { return r->arc_lower.data(); }
+const i64* strawb_asm_cstroff(StrawbAsm* r) { return r->cstr_off.data(); }
+const i64* strawb_asm_cstrarcs(StrawbAsm* r) { return r->cstr_arcs.data(); }
+void strawb_asm_free(StrawbAsm* r) { delete r; }
+
+}  // extern "C"

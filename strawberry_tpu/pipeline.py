@@ -188,6 +188,17 @@ class Sample:
                         [h.mass for h in hits], np.float64)
                 except Exception:
                     hit_flat = None
+        if hit_flat is not None:
+            try:
+                from .core.fastcluster import native_asmprep
+                res = native_asmprep(cfg, l, r, self.read_len, hit_flat,
+                                     cov_mass, weight_mass)
+            except OSError:
+                res = False  # lib unavailable: fall through to oracle path
+            if res is None:
+                return task  # empty task (below-depth / unassemblable)
+            if res is not False:
+                return self._task_from_native(task, res, ref_id)
         exon_doc = np.zeros(r - l + 1, dtype=np.float32)
         intron_counter: IntronMap = {}
         if hit_flat is not None:
@@ -233,6 +244,45 @@ class Sample:
         # includes source/sink/circulation arcs (solveNetwork order kept)
         fn.add_sink_source()
         task.dense = fn.dense_problem(cost_map, min_flow_map)
+        return task
+
+    def _task_from_native(self, task, res, ref_id: int):
+        """Materialize an AsmTask from the native assembleprep result:
+        rebuild the (tiny) Graph + maps, scatter the dense problem."""
+        from .assembly.flow import FlowNetwork
+        from .assembly.splice_graph import ExonSeg
+        exl, exr, exdoc, M, src, dst, cost, lower, cstrs = res
+        fn = FlowNetwork(self.cfg)
+        g = fn.g
+        g.n_nodes = M
+        g._out = [[] for _ in range(M)]
+        g._in = [[] for _ in range(M)]
+        g.arc_src = src
+        g.arc_dst = dst
+        for a in range(len(src)):
+            g._out[src[a]].append(a)
+            g._in[dst[a]].append(a)
+        fn.source = M - 2
+        fn.sink = M - 1
+        ne = len(exl)
+        task.ref_id = ref_id
+        task.fn = fn
+        task.exons = [ExonSeg(exl[i], exr[i], exdoc[i]) for i in range(ne)]
+        task.node2exon = {i: i for i in range(ne)} if ne > 1 else {}
+        task.cost_map = {a: c for a, c in enumerate(cost) if c}
+        task.min_flow_map = {a: c for a, c in enumerate(lower) if c}
+        task.path_cstrs = cstrs
+        na = len(src)
+        cm = np.zeros((M, M), np.int64)
+        ha = np.zeros((M, M), bool)
+        lo = np.zeros((M, M), np.int64)
+        if na:
+            sa = np.asarray(src, np.int64)
+            da = np.asarray(dst, np.int64)
+            ha[sa, da] = True
+            cm[sa, da] = np.asarray(cost, np.int64)
+            lo[sa, da] = np.asarray(lower, np.int64)
+        task.dense = (cm, ha, lo)
         return task
 
     def finish_contig_task(self, task, flow_matrix) -> List[Contig]:

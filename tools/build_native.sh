@@ -5,6 +5,6 @@ cd "$(dirname "$0")/.."
 SRC=strawberry_tpu/native
 OUT=$SRC/libstrawberry_host.so
 g++ -std=c++17 -O3 -march=native -fPIC -shared -pthread \
-    $SRC/bamdecode.cc $SRC/cluster.cc $SRC/compat.cc $SRC/quantprep.cc $SRC/mcf.cc $SRC/em.cc \
+    $SRC/bamdecode.cc $SRC/cluster.cc $SRC/compat.cc $SRC/quantprep.cc $SRC/mcf.cc $SRC/em.cc $SRC/assembleprep.cc \
     -lz -o $OUT
 echo "built $OUT"
