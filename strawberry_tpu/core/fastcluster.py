@@ -68,25 +68,85 @@ def _arr(ptr, n, dtype):
                                                              copy=True)
 
 
+class _ClusterPool:
+    """Shared arrays backing every NativeCluster of one clustering run;
+    per-cluster views are cut lazily on first attribute access."""
+
+    __slots__ = ("ct_strand", "ct_orit", "ct_mass", "valid_all",
+                 "ct_featoff", "ct_fcode", "ct_fleft", "ct_flen",
+                 "gmass", "goff", "gcode", "gleft", "glen",
+                 "uniq_off", "vcum", "featoff_l", "goff_l",
+                 "seg_off", "seg_args")
+
+
 class NativeCluster:
     """Duck-typed core.cluster.HitCluster view over native outputs.
 
-    Per-read Python Contig objects are materialized LAZILY — the array-
-    native quantification path never touches them; only the assembly pass
-    and oracle/frag-context paths do."""
+    Per-read Python Contig objects — and the per-cluster array views
+    themselves — are materialized LAZILY from the shared _ClusterPool; the
+    many tiny clusters skipped by the assembly admission test never pay
+    for their flat arrays."""
 
     __slots__ = ("leftmost", "rightmost", "ref_id", "weighted_mass",
-                 "ref_mrnas", "segs", "id", "cfg", "flat", "flat_mass",
-                 "ref_indices", "_raw", "_n_uniq", "_uniq_cache")
+                 "ref_mrnas", "id", "cfg", "ref_indices",
+                 "_n_uniq", "_uniq_cache", "_pool", "_k",
+                 "_flat", "_flat_mass", "_rawc", "_segs")
 
     def __init__(self):
         self.id = -1
         self._uniq_cache = None
+        self._pool = None
+        self._flat = None
+        self._flat_mass = None
+        self._rawc = None
+        self._segs = None
 
     # the pipeline treats uniq_hits entries as opaque tokens passed back
     # through pair_to_contig; natively they ARE the contigs (or None)
     def pair_to_contig(self, c):
         return c
+
+    @property
+    def _raw(self):
+        if self._rawc is None:
+            p = self._pool
+            a0, a1 = p.uniq_off[self._k], p.uniq_off[self._k + 1]
+            featoff_k = p.ct_featoff[a0:a1 + 1]
+            f0, f1 = p.featoff_l[a0], p.featoff_l[a1]
+            self._rawc = (p.ct_strand[a0:a1], p.ct_orit[a0:a1],
+                          p.ct_mass[a0:a1], p.valid_all[a0:a1],
+                          featoff_k - f0,
+                          p.ct_fcode[f0:f1], p.ct_fleft[f0:f1],
+                          p.ct_flen[f0:f1])
+        return self._rawc
+
+    @property
+    def flat(self):
+        if self._flat is None:
+            p = self._pool
+            a0, a1 = p.uniq_off[self._k], p.uniq_off[self._k + 1]
+            v0, v1 = p.vcum[a0], p.vcum[a1]
+            s0, s1 = p.goff_l[v0], p.goff_l[v1]
+            self._flat = (p.goff[v0:v1 + 1] - s0,
+                          p.gcode[s0:s1], p.gleft[s0:s1], p.glen[s0:s1])
+        return self._flat
+
+    @property
+    def flat_mass(self):
+        if self._flat_mass is None:
+            p = self._pool
+            a0, a1 = p.uniq_off[self._k], p.uniq_off[self._k + 1]
+            self._flat_mass = p.gmass[p.vcum[a0]:p.vcum[a1]]
+        return self._flat_mass
+
+    @property
+    def segs(self):
+        if self._segs is None:
+            p = self._pool
+            self._segs = [Segment(*p.seg_args[s])
+                          for s in range(p.seg_off[self._k],
+                                         p.seg_off[self._k + 1])]
+        return self._segs
 
     @property
     def uniq_hits(self) -> List[Optional[Contig]]:
@@ -257,39 +317,43 @@ def run_native_clustering(table: HitTable, cfg: Config,
     ref_off_l = ref_off.tolist()
     ref_idx_l = ref_idx.tolist()
     uniq_off_l = uniq_off.tolist()
-    seg_off_l = seg_off.tolist()
-    seg_args = list(zip(sg_left.tolist(), sg_right.tolist(),
-                        sg_lidx.tolist(), sg_ridx.tolist(),
-                        sg_strand.tolist()))
-    vcum_l = vcum.tolist()
-    ct_featoff_l = ct_featoff.tolist()
-    goff_l = goff.tolist()
+
+    pool = _ClusterPool()
+    pool.ct_strand = ct_strand
+    pool.ct_orit = ct_orit
+    pool.ct_mass = ct_mass
+    pool.valid_all = valid_all
+    pool.ct_featoff = ct_featoff
+    pool.ct_fcode = ct_fcode
+    pool.ct_fleft = ct_fleft
+    pool.ct_flen = ct_flen
+    pool.gmass = gmass
+    pool.goff = goff
+    pool.gcode = gcode
+    pool.gleft = gleft
+    pool.glen = glen
+    pool.uniq_off = uniq_off_l
+    pool.vcum = vcum.tolist()
+    pool.featoff_l = ct_featoff.tolist()
+    pool.goff_l = goff.tolist()
+    pool.seg_off = seg_off.tolist()
+    pool.seg_args = list(zip(sg_left.tolist(), sg_right.tolist(),
+                             sg_lidx.tolist(), sg_ridx.tolist(),
+                             sg_strand.tolist()))
 
     clusters: List[NativeCluster] = []
     for k in range(int(n)):
         c = NativeCluster()
         c.cfg = cfg
+        c._pool = pool
+        c._k = k
         c.leftmost = cl_left_l[k]
         c.rightmost = cl_right_l[k]
         c.ref_id = cl_refid_l[k]
         c.weighted_mass = cl_wmass_l[k]
         c.ref_indices = ref_idx_l[ref_off_l[k]:ref_off_l[k + 1]]
         c.ref_mrnas = [ref_mrnas[i] for i in c.ref_indices]
-        a0, a1 = uniq_off_l[k], uniq_off_l[k + 1]
-        featoff_k = ct_featoff[a0:a1 + 1]
-        f0, f1 = ct_featoff_l[a0], ct_featoff_l[a1]
-        c._raw = (ct_strand[a0:a1], ct_orit[a0:a1], ct_mass[a0:a1],
-                  valid_all[a0:a1],
-                  featoff_k - f0,
-                  ct_fcode[f0:f1], ct_fleft[f0:f1], ct_flen[f0:f1])
-        c._n_uniq = a1 - a0
-        v0, v1 = vcum_l[a0], vcum_l[a1]
-        c.flat_mass = gmass[v0:v1]
-        s0, s1 = goff_l[v0], goff_l[v1]
-        c.flat = (goff[v0:v1 + 1] - s0,
-                  gcode[s0:s1], gleft[s0:s1], glen[s0:s1])
-        c.segs = [Segment(*seg_args[s])
-                  for s in range(seg_off_l[k], seg_off_l[k + 1])]
+        c._n_uniq = uniq_off_l[k + 1] - uniq_off_l[k]
         clusters.append(c)
     return clusters
 
