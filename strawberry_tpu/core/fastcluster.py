@@ -333,9 +333,12 @@ def run_native_clustering(table: HitTable, cfg: Config,
     pool.gleft = gleft
     pool.glen = glen
     pool.uniq_off = uniq_off_l
-    pool.vcum = vcum.tolist()
-    pool.featoff_l = ct_featoff.tolist()
-    pool.goff_l = goff.tolist()
+    # only per-cluster BOUNDARY values are ever looked up — gather those
+    # (n+1 ints) instead of tolist()ing the full per-contig arrays
+    vcum_at = vcum[uniq_off]
+    pool.vcum = dict(zip(uniq_off_l, vcum_at.tolist()))
+    pool.featoff_l = dict(zip(uniq_off_l, ct_featoff[uniq_off].tolist()))
+    pool.goff_l = dict(zip(vcum_at.tolist(), goff[vcum_at].tolist()))
     pool.seg_off = seg_off.tolist()
     pool.seg_args = list(zip(sg_left.tolist(), sg_right.tolist(),
                              sg_lidx.tolist(), sg_ridx.tolist(),

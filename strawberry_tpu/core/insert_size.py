@@ -30,15 +30,19 @@ class InsertSize:
             self.total_reads = len(frag_lens)
             if self.total_reads < 1:
                 raise NotEnoughReads()
-            s = float(sum(frag_lens))
+            # integer sums, vectorized — bit-identical to the scalar loops
+            import numpy as np
+            fl = np.asarray(frag_lens, dtype=np.int64)
+            s = float(int(fl.sum()))
             self.mean = s / len(frag_lens)
-            sq = float(sum(v * v for v in frag_lens))
+            sq = float(int((fl * fl).sum()))
             self.sd = math.sqrt(sq / len(frag_lens) - self.mean * self.mean)
-            self.start_offset = min(frag_lens)
-            self.end_offset = max(frag_lens)
-            self.emp_dist = [0.0] * (self.end_offset - self.start_offset + 1)
-            for v in frag_lens:
-                self.emp_dist[v - self.start_offset] += 1
+            self.start_offset = int(fl.min())
+            self.end_offset = int(fl.max())
+            counts = np.bincount(fl - self.start_offset,
+                                 minlength=self.end_offset
+                                 - self.start_offset + 1)
+            self.emp_dist = [float(c) for c in counts.tolist()]
         else:
             self.use_emp = False
             self.total_reads = 0
