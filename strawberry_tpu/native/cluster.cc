@@ -107,6 +107,13 @@ struct Out {
   std::string error;
 };
 
+// open-mate chain: inline first element (the overwhelmingly common case —
+// one open pair per read id) avoids a heap allocation per read
+struct Chain {
+  PH first;
+  std::vector<PH> rest;
+};
+
 struct Cluster {
   i64 leftmost = UINT_MAX64;
   i64 rightmost = 0;
@@ -115,12 +122,26 @@ struct Cluster {
   bool gene_assigned = false;
   std::vector<PH> hits;
   std::vector<PH> uniq;
-  std::unordered_map<uint64_t, std::vector<PH>> open;
+  std::unordered_map<uint64_t, Chain> open;
   std::vector<i64> spans;
   std::vector<i32> refs;
   double wmass = 0.0;
 
   int size() const { return (int)hits.size(); }
+
+  void reset() {  // reuse capacity across clusters
+    leftmost = UINT_MAX64;
+    rightmost = 0;
+    ref_id = -1;
+    gene = -2;
+    gene_assigned = false;
+    hits.clear();
+    uniq.clear();
+    open.clear();
+    spans.clear();
+    refs.clear();
+    wmass = 0.0;
+  }
 };
 
 static double phi_as(double x) {
@@ -224,12 +245,13 @@ class Runner {
       if (hpp > hl) p.a = i;
       else if (hpp < hl) p.b = i;
       else return false;
-      c.open[hid].push_back(p);
+      c.open.emplace(hid, Chain{p, {}});
       return true;
     }
     auto& chain = it->second;
-    for (size_t k = 0; k < chain.size(); ++k) {
-      PH& op = chain[k];
+    size_t chain_len = 1 + chain.rest.size();
+    for (size_t k = 0; k < chain_len; ++k) {
+      PH& op = k == 0 ? chain.first : chain.rest[k - 1];
       int8_t os = pair_strand(op);
       bool strand_agree = os == hs || hs == 0 || os == 0;
       i64 expected = (op.b >= 0) ? h_.mate_pos[op.b] : h_.mate_pos[op.a];
@@ -239,8 +261,16 @@ class Runner {
         if (op.a < 0 && op.b >= 0) op.a = i;
         else if (op.b < 0 && op.a >= 0) op.b = i;
         c.hits.push_back(op);
-        chain.erase(chain.begin() + k);
-        if (chain.empty()) c.open.erase(it);
+        if (k == 0) {
+          if (chain.rest.empty()) {
+            c.open.erase(it);
+          } else {
+            chain.first = chain.rest.front();
+            chain.rest.erase(chain.rest.begin());
+          }
+        } else {
+          chain.rest.erase(chain.rest.begin() + (k - 1));
+        }
         return true;
       }
     }
@@ -248,7 +278,7 @@ class Runner {
     if (hpp > hl) p.a = i;
     else if (hpp < hl) p.b = i;
     else return false;
-    chain.push_back(p);
+    chain.rest.push_back(p);
     return true;
   }
 
@@ -612,8 +642,9 @@ class Runner {
     o.cl_uniq_off.push_back(0);
     o.cl_seg_off.push_back(0);
     o.ct_feat_off.push_back(0);
+    Cluster c;
     while (true) {
-      Cluster c;
+      c.reset();
       int rc = cfg_.mode == 1 ? next_cluster_ref_demand(c)
                               : next_cluster_refguide(c);
       if (rc == -1) break;
