@@ -25,6 +25,8 @@
 #include <limits>
 #include <string>
 #include <unordered_map>
+#include <thread>
+#include <atomic>
 #include <vector>
 
 namespace {
@@ -159,7 +161,20 @@ static double phi_as(double x) {
 class Runner {
  public:
   Runner(const Cfg& cfg, const HitsIn& h, const RefsIn& r)
-      : cfg_(cfg), h_(h), r_(r) {}
+      : cfg_(cfg), h_(h), r_(r) {
+    h_end_ = h.n;
+    r_end_ = r.n;
+  }
+
+  // run one (hits, refs) partition — index bounds into the GLOBAL arrays
+  void run_range(Out& o, i64 h0, i64 h1, i64 r0, i64 r1) {
+    cursor_ = h0;
+    h_end_ = h1;
+    ref_off_ = r0;
+    r_end_ = r1;
+    has_load_all_refs_ = false;
+    run(o);
+  }
 
   // ---- per-hit helpers --------------------------------------------------
   bool is_singleton(i32 i) const {
@@ -482,7 +497,7 @@ class Runner {
 
   // ---- reference loading (addRef2Cluster, alignments.cpp:1025-1079) -----
   int add_ref_to_cluster(Cluster& c) {
-    if (ref_off_ >= r_.n) {
+    if (ref_off_ >= r_end_) {
       has_load_all_refs_ = true;
       return 0;
     }
@@ -490,16 +505,16 @@ class Runner {
     c.gene_assigned = true;
     add_ref_contig(c, (i32)ref_off_);
     ref_off_++;
-    if (ref_off_ >= r_.n) {
+    if (ref_off_ >= r_end_) {
       has_load_all_refs_ = true;
       return 1;
     }
     if (c.gene != -1) {  // non-empty gene id
-      while (ref_off_ < r_.n && r_.gene[ref_off_] == c.gene) {
+      while (ref_off_ < r_end_ && r_.gene[ref_off_] == c.gene) {
         add_ref_contig(c, (i32)ref_off_);
         ref_off_++;
       }
-      if (ref_off_ == r_.n) {
+      if (ref_off_ == r_end_) {
         has_load_all_refs_ = true;
         return (int)c.refs.size();
       }
@@ -525,7 +540,7 @@ class Runner {
         if (dir_olap) {
           add_ref_contig(c, nx);
           ref_off_++;
-          if (ref_off_ >= r_.n) {
+          if (ref_off_ >= r_end_) {
             has_load_all_refs_ = true;
             return (int)c.refs.size();
           }
@@ -566,9 +581,9 @@ class Runner {
 
   int next_cluster_denovo(Cluster& c, i64 next_pos = std::numeric_limits<i64>::max(),
                           i64 next_ref = std::numeric_limits<i32>::max()) {
-    if (cursor_ >= h_.n) return -1;
+    if (cursor_ >= h_end_) return -1;
     while (true) {
-      if (cursor_ >= h_.n) return c.size();
+      if (cursor_ >= h_end_) return c.size();
       i32 i = (i32)cursor_++;
       if (h_.ref_id[i] > next_ref ||
           (h_.ref_id[i] == next_ref && h_.right[i] >= next_pos)) {
@@ -590,12 +605,12 @@ class Runner {
   }
 
   int next_cluster_refguide(Cluster& c) {
-    if (cursor_ >= h_.n) return -1;
+    if (cursor_ >= h_end_) return -1;
     if (r_.n == 0) return next_cluster_denovo(c);
     int num_added = add_ref_to_cluster(c);
     if (num_added == 0) return next_cluster_denovo(c);
     while (true) {
-      if (cursor_ >= h_.n) break;
+      if (cursor_ >= h_end_) break;
       i32 i = (i32)cursor_++;
       if (hit_lt_cluster(i, c, cfg_.max_olap_dist)) {
         cursor_--;
@@ -618,12 +633,12 @@ class Runner {
   }
 
   int next_cluster_ref_demand(Cluster& c) {
-    if (cursor_ >= h_.n) return -1;
+    if (cursor_ >= h_end_) return -1;
     int num_added = add_ref_to_cluster(c);
     if (num_added == 0) return -1;
     int8_t ref_strand = c.refs.empty() ? 0 : r_.strand[c.refs[0]];
     while (true) {
-      if (cursor_ >= h_.n) break;
+      if (cursor_ >= h_end_) break;
       i32 i = (i32)cursor_++;
       if (hit_lt_cluster(i, c, 0)) {
       } else if (hit_gt_cluster(i, c, 0)) {
@@ -694,6 +709,8 @@ class Runner {
   RefsIn r_;
   i64 cursor_ = 0;
   i64 ref_off_ = 0;
+  i64 h_end_ = 0;
+  i64 r_end_ = 0;
   bool has_load_all_refs_ = false;
 };
 
@@ -725,8 +742,110 @@ StrawbClusters* strawb_cluster_run(
   Cfg cfg{max_olap_dist, max_intron_length, max_frag_span,
           enforce_ref_models, utilize_ref_models, min_read_for_assemb, mode};
   auto* out = new StrawbClusters();
-  Runner runner(cfg, h, r);
-  runner.run(out->o);
+
+  // chromosome partitions: clusters never span ref_ids, so each
+  // hit-bearing chromosome (plus any preceding ref-only chromosomes'
+  // refs) runs independently; partitions whose boundary refs share a
+  // gene code are merged (addRef2Cluster's same-gene loop has no ref_id
+  // check, so the sequential run could group such refs together)
+  struct Part {
+    i64 h0, h1, r0, r1;
+  };
+  std::vector<Part> parts;
+  {
+    i64 rcur = 0;
+    i64 i = 0;
+    while (i < n) {
+      i64 j = i;
+      while (j < n && ref_id[j] == ref_id[i]) j++;
+      i64 re = rcur;
+      while (re < nref && rref_id[re] <= ref_id[i]) re++;
+      parts.push_back({i, j, rcur, re});
+      rcur = re;
+      i = j;
+    }
+    // merge partitions linked by a shared boundary gene code
+    std::vector<Part> merged;
+    for (const Part& p : parts) {
+      if (!merged.empty()) {
+        Part& q = merged.back();
+        bool link = q.r1 > q.r0 && p.r1 > p.r0 &&
+                    rgene[q.r1 - 1] != -1 &&
+                    rgene[q.r1 - 1] == rgene[p.r0];
+        if (link) {
+          q.h1 = p.h1;
+          q.r1 = p.r1;
+          continue;
+        }
+      }
+      merged.push_back(p);
+    }
+    parts.swap(merged);
+  }
+
+  unsigned hw = std::thread::hardware_concurrency();
+  i64 n_threads = hw > 1 ? 2 : 1;
+  if (parts.size() <= 1 || n_threads <= 1) {
+    Runner runner(cfg, h, r);
+    runner.run(out->o);
+    return out;
+  }
+
+  std::vector<Out> pouts(parts.size());
+  std::atomic<size_t> next{0};
+  auto work = [&]() {
+    for (;;) {
+      size_t k = next.fetch_add(1);
+      if (k >= parts.size()) break;
+      Runner runner(cfg, h, r);
+      runner.run_range(pouts[k], parts[k].h0, parts[k].h1, parts[k].r0,
+                       parts[k].r1);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (i64 t = 0; t < n_threads; ++t) ts.emplace_back(work);
+  for (auto& t : ts) t.join();
+
+  // ordered concatenation (offset vectors rebase on the running totals)
+  Out& o = out->o;
+  o.cl_ref_off.push_back(0);
+  o.cl_uniq_off.push_back(0);
+  o.cl_seg_off.push_back(0);
+  o.ct_feat_off.push_back(0);
+  for (const Out& p : pouts) {
+    auto app = [](auto& d, const auto& s) {
+      d.insert(d.end(), s.begin(), s.end());
+    };
+    app(o.cl_left, p.cl_left);
+    app(o.cl_right, p.cl_right);
+    app(o.cl_ref_id, p.cl_ref_id);
+    app(o.cl_wmass, p.cl_wmass);
+    app(o.flat_ref_idx, p.flat_ref_idx);
+    app(o.ct_strand, p.ct_strand);
+    app(o.ct_orit, p.ct_orit);
+    app(o.ct_mass, p.ct_mass);
+    app(o.ct_valid, p.ct_valid);
+    app(o.ct_fcode, p.ct_fcode);
+    app(o.ct_fleft, p.ct_fleft);
+    app(o.ct_flen, p.ct_flen);
+    app(o.sg_left, p.sg_left);
+    app(o.sg_right, p.sg_right);
+    app(o.sg_lidx, p.sg_lidx);
+    app(o.sg_ridx, p.sg_ridx);
+    app(o.sg_strand, p.sg_strand);
+    i64 rb = o.cl_ref_off.back();
+    for (size_t k = 1; k < p.cl_ref_off.size(); ++k)
+      o.cl_ref_off.push_back(p.cl_ref_off[k] + rb);
+    i64 ub = o.cl_uniq_off.back();
+    for (size_t k = 1; k < p.cl_uniq_off.size(); ++k)
+      o.cl_uniq_off.push_back(p.cl_uniq_off[k] + ub);
+    i64 sb = o.cl_seg_off.back();
+    for (size_t k = 1; k < p.cl_seg_off.size(); ++k)
+      o.cl_seg_off.push_back(p.cl_seg_off[k] + sb);
+    i64 fb = o.ct_feat_off.back();
+    for (size_t k = 1; k < p.ct_feat_off.size(); ++k)
+      o.ct_feat_off.push_back(p.ct_feat_off[k] + fb);
+  }
   return out;
 }
 
