@@ -569,16 +569,27 @@ def native_asmprep(cfg, l, r, read_len, hit_flat, cov_mass, weight_mass):
             fn = getattr(lib, f"strawb_asm_{name}")
             fn.restype = rt
             fn.argtypes = [C.c_void_p]
+        lib.strawb_asmprep_submit.restype = C.c_void_p
+        lib.strawb_asmprep_submit.argtypes = lib.strawb_asmprep.argtypes
+        lib.strawb_asm_wait.restype = C.c_void_p
+        lib.strawb_asm_wait.argtypes = [C.c_void_p]
         lib.strawb_asm_free.restype = None
         lib.strawb_asm_free.argtypes = [C.c_void_p]
         _asm_bound = True
+    h = lib.strawb_asmprep(*_asm_args(cfg, l, r, read_len, hit_flat,
+                                      cov_mass, weight_mass)[0])
+    return _asm_result(lib, h)
+
+
+def _asm_args(cfg, l, r, read_len, hit_flat, cov_mass, weight_mass):
+    """(ctypes arg tuple, keepalive arrays) for strawb_asmprep/submit."""
     h_off, h_code, h_left, h_len = hit_flat
     nh = len(h_off) - 1
     ka = [np.ascontiguousarray(x) for x in
           (h_off, h_code, h_left, h_len)]
     cm = np.ascontiguousarray(cov_mass, np.float64)
     wm = np.ascontiguousarray(weight_mass, np.float64)
-    h = lib.strawb_asmprep(
+    args = (
         l, r, read_len,
         nh, ka[0].ctypes.data_as(C.POINTER(C.c_int64)),
         ka[1].ctypes.data_as(C.POINTER(C.c_int8)),
@@ -593,6 +604,38 @@ def native_asmprep(cfg, l, r, read_len, hit_flat, cov_mass, weight_mass):
         float(cfg.binomial_overhang_alpha),
         cfg.max_cover_gap1, cfg.max_cover_gap2,
         float(cfg.intron_edge_weight), cfg.min_dist_4_exon_edge)
+    return args, (ka, cm, wm)
+
+
+def native_asmprep_submit(cfg, l, r, read_len, hit_flat, cov_mass,
+                          weight_mass):
+    """Queue the per-locus prep on the native worker pool; returns an
+    opaque (job, keepalive) pending token for native_asmprep_result."""
+    global _asm_bound
+    from ..io.native import get_lib
+    lib = get_lib()
+    if not _asm_bound:
+        native_asmprep(cfg, 0, 0, read_len,
+                       (np.zeros(1, np.int64), np.zeros(0, np.int8),
+                        np.zeros(0, np.int64), np.zeros(0, np.int32)),
+                       np.zeros(0), np.zeros(0))  # force binding
+    args, keep = _asm_args(cfg, l, r, read_len, hit_flat, cov_mass,
+                           weight_mass)
+    job = lib.strawb_asmprep_submit(*args)
+    return (job, keep)
+
+
+def native_asmprep_result(pending):
+    """Block for a submitted job and decode its result (as native_asmprep
+    would have returned)."""
+    from ..io.native import get_lib
+    lib = get_lib()
+    job, _keep = pending
+    h = lib.strawb_asm_wait(job)
+    return _asm_result(lib, h)
+
+
+def _asm_result(lib, h):
     try:
         if not lib.strawb_asm_status(h):
             return None

@@ -18,11 +18,18 @@
 // flowDecompose/reconstruct unchanged.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstddef>
 #include <cstdint>
+#include <deque>
 #include <map>
+#include <mutex>
+#include <new>
+#include <pthread.h>
 #include <set>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -747,6 +754,133 @@ StrawbAsm* strawb_asmprep(
   }
   R->status = 1;
   return R;
+}
+
+// ---- async submission: a small worker pool overlaps per-locus prep with
+// the Python-side orchestration loop (caller keeps input arrays alive
+// until strawb_asm_wait returns the result handle) ---------------------
+struct AsmJob;
+namespace {
+struct AsmPool {
+  std::mutex mu;
+  std::condition_variable cv;
+  std::deque<AsmJob*> q;
+  std::vector<std::thread> workers;
+  bool started = false;
+};
+}  // namespace
+
+struct AsmJob {
+  // captured arguments
+  i64 l, r, read_len, nh;
+  const i64* h_off;
+  const i8* h_code;
+  const i64* h_left;
+  const i32* h_len;
+  const double* cov_mass;
+  const double* weight_mass;
+  double small_overhang, min_depth_4_locus, min_isoform_frac,
+      min_junc_support;
+  i64 long_junc_length;
+  double min_support_for_long_junc;
+  i32 enforce_ref_models;
+  double binomial_overhang_alpha;
+  i64 max_cover_gap1, max_cover_gap2;
+  double intron_edge_weight;
+  i64 min_dist_4_exon_edge;
+  // result
+  StrawbAsm* result = nullptr;
+  std::atomic<int> done{0};
+};
+
+static AsmPool& pool() {
+  // intentionally leaked: destroying the mutex/cv at exit while detached
+  // workers wait on them hangs process teardown
+  static AsmPool* p = new AsmPool();
+  return *p;
+}
+
+// forked children (-p workers) inherit started=true but no worker
+// threads; reinitialize the pool state in the child
+static void pool_child_reset() {
+  AsmPool& p = pool();
+  new (&p.mu) std::mutex();
+  new (&p.cv) std::condition_variable();
+  p.q.clear();
+  p.workers.clear();
+  p.started = false;
+}
+
+static void pool_worker() {
+  AsmPool& p = pool();
+  for (;;) {
+    AsmJob* j;
+    {
+      std::unique_lock<std::mutex> lk(p.mu);
+      p.cv.wait(lk, [&] { return !p.q.empty(); });
+      j = p.q.front();
+      p.q.pop_front();
+    }
+    j->result = strawb_asmprep(
+        j->l, j->r, j->read_len, j->nh, j->h_off, j->h_code, j->h_left,
+        j->h_len, j->cov_mass, j->weight_mass, j->small_overhang,
+        j->min_depth_4_locus, j->min_isoform_frac, j->min_junc_support,
+        j->long_junc_length, j->min_support_for_long_junc,
+        j->enforce_ref_models, j->binomial_overhang_alpha,
+        j->max_cover_gap1, j->max_cover_gap2, j->intron_edge_weight,
+        j->min_dist_4_exon_edge);
+    j->done.store(1, std::memory_order_release);
+  }
+}
+
+AsmJob* strawb_asmprep_submit(
+    i64 l, i64 r, i64 read_len,
+    i64 nh, const i64* h_off, const i8* h_code, const i64* h_left,
+    const i32* h_len, const double* cov_mass, const double* weight_mass,
+    double small_overhang, double min_depth_4_locus,
+    double min_isoform_frac, double min_junc_support, i64 long_junc_length,
+    double min_support_for_long_junc, i32 enforce_ref_models,
+    double binomial_overhang_alpha, i64 max_cover_gap1, i64 max_cover_gap2,
+    double intron_edge_weight, i64 min_dist_4_exon_edge) {
+  AsmPool& p = pool();
+  {
+    std::lock_guard<std::mutex> lk(p.mu);
+    if (!p.started) {
+      p.started = true;
+      pthread_atfork(nullptr, nullptr, pool_child_reset);
+      unsigned hw = std::thread::hardware_concurrency();
+      unsigned nth = hw > 1 ? hw : 1;
+      if (nth > 4) nth = 4;
+      for (unsigned t = 0; t < nth; ++t) {
+        p.workers.emplace_back(pool_worker);
+        p.workers.back().detach();
+      }
+    }
+  }
+  auto* j = new AsmJob{l, r, read_len, nh, h_off, h_code, h_left, h_len,
+                       cov_mass, weight_mass, small_overhang,
+                       min_depth_4_locus, min_isoform_frac,
+                       min_junc_support, long_junc_length,
+                       min_support_for_long_junc, enforce_ref_models,
+                       binomial_overhang_alpha, max_cover_gap1,
+                       max_cover_gap2, intron_edge_weight,
+                       min_dist_4_exon_edge};
+  {
+    std::lock_guard<std::mutex> lk(p.mu);
+    p.q.push_back(j);
+  }
+  p.cv.notify_one();
+  return j;
+}
+
+// blocks until the job finishes; returns the result handle (caller frees
+// it with strawb_asm_free) and deletes the job
+StrawbAsm* strawb_asm_wait(AsmJob* j) {
+  while (!j->done.load(std::memory_order_acquire))
+    std::this_thread::yield();
+  StrawbAsm* r = j->result;
+  delete j;
+  return r;
 }
 
 i32 strawb_asm_status(StrawbAsm* r) { return r->status; }

@@ -50,6 +50,7 @@ class AsmTask:
     min_flow_map: dict = field(default_factory=dict)
     path_cstrs: list = field(default_factory=list)
     dense: tuple = None
+    pending: object = None  # in-flight native_asmprep job (resolve first)
 
 
 class Sample:
@@ -190,15 +191,17 @@ class Sample:
                     hit_flat = None
         if hit_flat is not None:
             try:
-                from .core.fastcluster import native_asmprep
-                res = native_asmprep(cfg, l, r, self.read_len, hit_flat,
-                                     cov_mass, weight_mass)
+                from .core.fastcluster import native_asmprep_submit
+                # queue on the native worker pool; the result is decoded
+                # lazily via _resolve_task so C++ prep overlaps the
+                # Python-side cluster orchestration
+                task.pending = native_asmprep_submit(
+                    cfg, l, r, self.read_len, hit_flat, cov_mass,
+                    weight_mass)
+                task.ref_id = ref_id
+                return task
             except OSError:
-                res = False  # lib unavailable: fall through to oracle path
-            if res is None:
-                return task  # empty task (below-depth / unassemblable)
-            if res is not False:
-                return self._task_from_native(task, res, ref_id)
+                pass  # lib unavailable: fall through to oracle path
         exon_doc = np.zeros(r - l + 1, dtype=np.float32)
         intron_counter: IntronMap = {}
         if hit_flat is not None:
@@ -245,6 +248,25 @@ class Sample:
         fn.add_sink_source()
         task.dense = fn.dense_problem(cost_map, min_flow_map)
         return task
+
+    def _resolve_task(self, task):
+        """Materialize a pending native assembly-prep job (no-op if the
+        task was built synchronously)."""
+        if task is None or task.pending is None:
+            return task
+        from .core.fastcluster import native_asmprep_result
+        pending, task.pending = task.pending, None
+        res = native_asmprep_result(pending)
+        if res is None:
+            task.ref_id = -1
+            return task  # empty task (below-depth / unassemblable)
+        return self._task_from_native(task, res, task.ref_id)
+
+    def _resolve_units(self, units):
+        if units:
+            for (_k, t) in units:
+                self._resolve_task(t)
+        return units
 
     def _task_from_native(self, task, res, ref_id: int):
         """Materialize an AsmTask from the native assembleprep result:
@@ -307,7 +329,8 @@ class Sample:
                         hits: List[Contig]) -> List[Contig]:
         """Sample::assembleContig (alignments.cpp:64-117), host solve."""
         from .assembly.mincostflow import solve_dense
-        task = self.prepare_contig_task(l, r, strand, hits)
+        task = self._resolve_task(self.prepare_contig_task(l, r, strand,
+                                                            hits))
         if task.fn is None:
             return []
         fm = solve_dense(*task.dense)
@@ -427,7 +450,7 @@ class Sample:
                          ) -> List[Contig]:
         """Sample::assembleCluster (alignments.cpp:1429-1507), host solve."""
         from .assembly.mincostflow import solve_dense
-        units = self.prepare_cluster_assembly(cluster)
+        units = self._resolve_units(self.prepare_cluster_assembly(cluster))
         if units is None:
             return []
         flows = [solve_dense(*t.dense) if t.fn is not None else None
@@ -457,6 +480,8 @@ class Sample:
         collected = []
         for cluster in self.iter_clusters("refguide"):
             collected.append((cluster, self.prepare_cluster_assembly(cluster)))
+        for _cluster, units in collected:
+            self._resolve_units(units)
 
         problems = []
         index = []
