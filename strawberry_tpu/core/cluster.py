@@ -279,14 +279,42 @@ class HitCluster:
         return True
 
     # ---- finalization ------------------------------------------------------
+    def _sort_hits_like_reference(self):
+        try:
+            import ctypes as C
+            from ..io.native import get_lib
+            lib = get_lib()
+            if not getattr(lib, "_sortpairs_bound", False):
+                p64 = C.POINTER(C.c_int64)
+                lib.strawb_sort_pairs.restype = None
+                lib.strawb_sort_pairs.argtypes = [C.c_int64, p64, p64, p64]
+                lib._sortpairs_bound = True
+            n = len(self.hits)
+            lefts = np.array([self.pair_left_pos(ph) for ph in self.hits],
+                             np.int64)
+            rights = np.array([self.pair_right_pos(ph) for ph in self.hits],
+                              np.int64)
+            idx = np.arange(n, dtype=np.int64)
+            p64 = C.POINTER(C.c_int64)
+            lib.strawb_sort_pairs(n, lefts.ctypes.data_as(p64),
+                                  rights.ctypes.data_as(p64),
+                                  idx.ctypes.data_as(p64))
+            self.hits = [self.hits[i] for i in idx.tolist()]
+        except OSError:
+            self.hits.sort(key=lambda ph: (self.pair_left_pos(ph),
+                                           self.pair_right_pos(ph)))
+
     def collapse_and_filter_hits(self) -> int:
         """Sort, 5-sigma span-outlier filter, duplicate collapse
         (alignments.cpp:658-703)."""
         assert self.hits
         assert not self.uniq_hits
         t = self._table
-        self.hits.sort(key=lambda ph: (self.pair_left_pos(ph),
-                                       self.pair_right_pos(ph)))
+        # the reference sorts with UNSTABLE std::sort (alignments.cpp:662)
+        # and tie order is observable downstream (collapse-mass runs +
+        # the frag-set first-insert rule); reproduce libstdc++'s introsort
+        # permutation via the native helper, stable-sort fallback
+        self._sort_hits_like_reference()
         # getMeanAndSd (common.h:101-110) accumulates sequentially; keep
         # that exact float order (numpy's pairwise reduction differs in the
         # last bits and the 5-sigma phi test sits downstream)

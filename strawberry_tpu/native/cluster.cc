@@ -300,12 +300,16 @@ class Runner {
   // ---- collapse (alignments.cpp:658-703) --------------------------------
   void collapse(Cluster& c) {
     if (c.hits.empty()) return;
-    std::stable_sort(c.hits.begin(), c.hits.end(),
-                     [&](const PH& x, const PH& y) {
-                       i64 lx = pair_left(x), ly = pair_left(y);
-                       if (lx != ly) return lx < ly;
-                       return pair_right(x) < pair_right(y);
-                     });
+    // the reference uses UNSTABLE std::sort (alignments.cpp:662) with
+    // PairedHit::operator< == (left_pos, right_pos); ties permute per
+    // libstdc++'s introsort, which downstream collapse-mass runs and the
+    // frag-set first-insert rule observe — so we must sort the same way
+    std::sort(c.hits.begin(), c.hits.end(),
+              [&](const PH& x, const PH& y) {
+                i64 lx = pair_left(x), ly = pair_left(y);
+                if (lx != ly) return lx < ly;
+                return pair_right(x) < pair_right(y);
+              });
     size_t n = c.spans.size();
     double mean = 0.0, sd = 0.0;
     if (n) {
@@ -847,6 +851,17 @@ StrawbClusters* strawb_cluster_run(
       o.ct_feat_off.push_back(p.ct_feat_off[k] + fb);
   }
   return out;
+}
+
+// std::sort permutation oracle: sorts idx (pre-filled 0..n-1) by
+// (left[i], right[i]) with the SAME libstdc++ introsort the reference's
+// collapseAndFilterHits uses, so the Python oracle can reproduce the
+// unstable tie order exactly.
+void strawb_sort_pairs(i64 n, const i64* left, const i64* right, i64* idx) {
+  std::sort(idx, idx + n, [&](i64 a, i64 b) {
+    if (left[a] != left[b]) return left[a] < left[b];
+    return right[a] < right[b];
+  });
 }
 
 i64 strawb_cluster_n(StrawbClusters* s) { return (i64)s->o.cl_left.size(); }
