@@ -176,41 +176,50 @@ static uint16_t rd_u16(const uint8_t* p) {
   return v;
 }
 
-static bool decode_records(const uint8_t* buf, size_t n, const Config& cfg,
-                           Result& R) {
-  if (getenv("STRAWB_NATIVE_DEBUG"))
-    fprintf(stderr, "[native] inflated %zu bytes\n", n);
-  if (n < 12 || memcmp(buf, "BAM\1", 4) != 0) {
-    R.error = "not a BAM file";
-    return false;
-  }
-  size_t pos = 4;
-  int32_t l_text = rd_i32(buf + pos);
-  pos += 4 + l_text;
-  int32_t n_ref = rd_i32(buf + pos);
-  pos += 4;
-  for (int32_t i = 0; i < n_ref; ++i) {
-    int32_t l_name = rd_i32(buf + pos);
-    pos += 4;
-    R.names_blob.append((const char*)(buf + pos), l_name - 1);
-    R.names_blob.push_back('\n');
-    pos += l_name;
-    R.ref_len.push_back(rd_i32(buf + pos));
-    pos += 4;
-  }
+// Per-chunk output of the parallel record decode. Records are fully
+// independent (the only cross-record state in the reference's loop is the
+// read-length histogram over the first kMaxReadNum4RL ACCEPTED hits, which
+// the merge step reconstructs from per-chunk accepted seq-lens in order).
+struct Partial {
+  std::vector<int32_t> ref_id;
+  std::vector<int64_t> left, right;
+  std::vector<int8_t> strand;
+  std::vector<uint16_t> flag;
+  std::vector<int32_t> mate_ref;
+  std::vector<int64_t> mate_pos;
+  std::vector<int32_t> nh;
+  std::vector<uint64_t> read_id, cigar_hash;
+  std::vector<int64_t> nfeat;  // per accepted hit
+  std::vector<int8_t> feat_code;
+  std::vector<int64_t> feat_left;
+  std::vector<int32_t> feat_len;
+  std::vector<int32_t> seqlens;  // accepted-hit seq lens (capped at max_hist)
+  int32_t paired_end = 0;
+};
 
-  std::vector<int32_t> hist;  // indexed by seq_len (bounded)
-  int n_hist = 0;
-  R.feat_off.push_back(0);
+static void decode_range(const uint8_t* buf, const std::vector<size_t>& offs,
+                         size_t lo, size_t hi, const Config& cfg, Partial& R) {
+  size_t cnt = hi - lo;
+  R.ref_id.reserve(cnt);
+  R.left.reserve(cnt);
+  R.right.reserve(cnt);
+  R.strand.reserve(cnt);
+  R.flag.reserve(cnt);
+  R.mate_ref.reserve(cnt);
+  R.mate_pos.reserve(cnt);
+  R.nh.reserve(cnt);
+  R.read_id.reserve(cnt);
+  R.cigar_hash.reserve(cnt);
+  R.nfeat.reserve(cnt);
+  R.feat_code.reserve(cnt * 2);
+  R.feat_left.reserve(cnt * 2);
+  R.feat_len.reserve(cnt * 2);
   std::vector<std::pair<uint8_t, uint32_t>> ops;
   ops.reserve(64);
 
-  while (pos + 4 <= n) {
-    int32_t block_size = rd_i32(buf + pos);
-    size_t rec = pos + 4;
-    size_t rec_end = rec + block_size;
-    if (rec_end > n) break;
-    pos = rec_end;
+  for (size_t ri = lo; ri < hi; ++ri) {
+    size_t rec = offs[ri] + 4;
+    size_t rec_end = rec + (size_t)rd_i32(buf + offs[ri]);
 
     int32_t tid = rd_i32(buf + rec);
     int32_t p0 = rd_i32(buf + rec + 4);
@@ -378,21 +387,119 @@ static bool decode_records(const uint8_t* buf, size_t n, const Config& cfg,
     R.nh.push_back(nh);
     R.read_id.push_back(fnv1(qname));
     R.cigar_hash.push_back(chash);
-    R.feat_off.push_back((int64_t)R.feat_code.size());
+    R.nfeat.push_back((int64_t)(R.feat_code.size() - nf0));
 
-    if (n_hist < cfg.max_read_num_4_rl) {
-      if ((size_t)seq_len >= hist.size()) hist.resize(seq_len + 1, 0);
-      hist[seq_len]++;
+    if ((int64_t)R.seqlens.size() < cfg.max_read_num_4_rl)
+      R.seqlens.push_back((int32_t)seq_len);
+  }
+}
+
+template <class T>
+static void concat(std::vector<T>& dst, std::vector<Partial>& parts,
+                   std::vector<T> Partial::*m) {
+  size_t total = 0;
+  for (auto& p : parts) total += (p.*m).size();
+  dst.reserve(total);
+  for (auto& p : parts) {
+    dst.insert(dst.end(), (p.*m).begin(), (p.*m).end());
+    std::vector<T>().swap(p.*m);  // free as we go
+  }
+}
+
+static bool decode_records(const uint8_t* buf, size_t n, const Config& cfg,
+                           Result& R, int n_threads) {
+  if (getenv("STRAWB_NATIVE_DEBUG"))
+    fprintf(stderr, "[native] inflated %zu bytes\n", n);
+  if (n < 12 || memcmp(buf, "BAM\1", 4) != 0) {
+    R.error = "not a BAM file";
+    return false;
+  }
+  size_t pos = 4;
+  int32_t l_text = rd_i32(buf + pos);
+  pos += 4 + l_text;
+  int32_t n_ref = rd_i32(buf + pos);
+  pos += 4;
+  for (int32_t i = 0; i < n_ref; ++i) {
+    int32_t l_name = rd_i32(buf + pos);
+    pos += 4;
+    R.names_blob.append((const char*)(buf + pos), l_name - 1);
+    R.names_blob.push_back('\n');
+    pos += l_name;
+    R.ref_len.push_back(rd_i32(buf + pos));
+    pos += 4;
+  }
+
+  // boundary scan: record start offsets (cheap block_size hopping)
+  std::vector<size_t> offs;
+  offs.reserve(n / 96);
+  while (pos + 4 <= n) {
+    int32_t block_size = rd_i32(buf + pos);
+    if (pos + 4 + (size_t)block_size > n) break;
+    offs.push_back(pos);
+    pos += 4 + (size_t)block_size;
+  }
+
+  if (n_threads < 1) n_threads = 1;
+  size_t nrec = offs.size();
+  size_t T = (size_t)n_threads;
+  if (nrec < 4096) T = 1;
+  std::vector<Partial> parts(T);
+  if (T == 1) {
+    decode_range(buf, offs, 0, nrec, cfg, parts[0]);
+  } else {
+    std::vector<std::thread> pool;
+    for (size_t t = 0; t < T; ++t) {
+      size_t lo = nrec * t / T, hi = nrec * (t + 1) / T;
+      pool.emplace_back([&, lo, hi, t]() {
+        decode_range(buf, offs, lo, hi, cfg, parts[t]);
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+
+  // merge (chunk order == file order)
+  for (auto& p : parts) R.paired_end |= p.paired_end;
+  std::vector<int32_t> hist;
+  int n_hist = 0;
+  for (auto& p : parts) {
+    for (int32_t sl : p.seqlens) {
+      if (n_hist >= cfg.max_read_num_4_rl) break;
+      if ((size_t)sl >= hist.size()) hist.resize(sl + 1, 0);
+      hist[sl]++;
       n_hist++;
     }
   }
-
   for (size_t l = 0; l < hist.size(); ++l) {
     if (hist[l]) {
       R.hist_len.push_back((int32_t)l);
       R.hist_count.push_back(hist[l]);
     }
   }
+  {
+    size_t total = 0;
+    for (auto& p : parts) total += p.nfeat.size();
+    R.feat_off.reserve(total + 1);
+    R.feat_off.push_back(0);
+    int64_t acc = 0;
+    for (auto& p : parts)
+      for (int64_t k : p.nfeat) {
+        acc += k;
+        R.feat_off.push_back(acc);
+      }
+  }
+  concat(R.ref_id, parts, &Partial::ref_id);
+  concat(R.left, parts, &Partial::left);
+  concat(R.right, parts, &Partial::right);
+  concat(R.strand, parts, &Partial::strand);
+  concat(R.flag, parts, &Partial::flag);
+  concat(R.mate_ref, parts, &Partial::mate_ref);
+  concat(R.mate_pos, parts, &Partial::mate_pos);
+  concat(R.nh, parts, &Partial::nh);
+  concat(R.read_id, parts, &Partial::read_id);
+  concat(R.cigar_hash, parts, &Partial::cigar_hash);
+  concat(R.feat_code, parts, &Partial::feat_code);
+  concat(R.feat_left, parts, &Partial::feat_left);
+  concat(R.feat_len, parts, &Partial::feat_len);
   return true;
 }
 
@@ -434,7 +541,7 @@ StrawbBam* strawb_bam_load(const char* path, int32_t max_intron,
   cfg.fr_strand = fr;
   cfg.rf_strand = rf;
   cfg.max_read_num_4_rl = max_hist;
-  decode_records(buf.data(), buf.size(), cfg, h->r);
+  decode_records(buf.data(), buf.size(), cfg, h->r, n_threads);
   return h;
 }
 

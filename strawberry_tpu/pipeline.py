@@ -74,9 +74,10 @@ class Sample:
     def sample_name(self) -> str:
         return os.path.basename(self.bam_path).split(".")[0]
 
-    def load_ref_gtf(self, gtf_path: str):
-        reader = GffReader(gtf_path)
-        reader.read_all()
+    def load_ref_gtf(self, gtf_path: str, reader: Optional[GffReader] = None):
+        if reader is None:
+            reader = GffReader(gtf_path)
+            reader.read_all()
         name2id = {n: i for i, n in enumerate(self.table.ref_names)}
         self.factory.set_ref_mrnas(load_ref_mrnas(reader, name2id))
 
@@ -691,6 +692,23 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
         from .utils import profiling
         profiling.enable()
     PROF.start_trace()
+    # the GTF parse is pure Python and independent of the BAM header; run it
+    # on a side thread while the native decoder (which releases the GIL for
+    # the duration of the ctypes call) chews through the BAM
+    gtf_thread = gtf_box = None
+    if cfg.ref_gtf_filename:
+        import threading
+        gtf_box = {}
+
+        def _read_gtf():
+            try:
+                r = GffReader(cfg.ref_gtf_filename)
+                r.read_all()
+                gtf_box["reader"] = r
+            except Exception as e:  # surfaced on the main thread below
+                gtf_box["error"] = e
+        gtf_thread = threading.Thread(target=_read_gtf, daemon=True)
+        gtf_thread.start()
     with PROF.phase("bam_decode"):
         try:
             from .io.native import load_bam_native
@@ -698,8 +716,11 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
         except Exception:
             table = load_bam(bam_path, cfg)  # portable fallback
     sample = Sample(table, cfg, bam_path)
-    if cfg.ref_gtf_filename:
-        sample.load_ref_gtf(cfg.ref_gtf_filename)
+    if gtf_thread is not None:
+        gtf_thread.join()
+        if "error" in gtf_box:
+            raise gtf_box["error"]
+        sample.load_ref_gtf(cfg.ref_gtf_filename, reader=gtf_box["reader"])
     sample.long_read_sample = table.is_long_read_sample(cfg.long_read_len) \
         or cfg.long_read_sample
     if cfg.bias_correction and cfg.ref_fasta_file:
