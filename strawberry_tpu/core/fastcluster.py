@@ -32,11 +32,20 @@ def _bind(lib):
     u64p = C.POINTER(C.c_uint64)
     dp = C.POINTER(C.c_double)
     lib.strawb_cluster_run.restype = C.c_void_p
-    lib.strawb_cluster_run.argtypes = (
+    run_args = (
         [C.c_int64] + [i32p, i64p, i64p, i8p, u16p, i32p, i64p, i32p,
                        u64p, u64p, i64p, i8p, i64p, i32p]
         + [C.c_int64, i32p, i64p, i64p, i32p, i8p]
         + [C.c_int64] * 3 + [C.c_int32] * 4)
+    lib.strawb_cluster_run.argtypes = run_args
+    lib.strawb_cluster_start.restype = C.c_void_p
+    lib.strawb_cluster_start.argtypes = run_args + [C.c_int32]
+    lib.strawb_cluster_job_parts.restype = C.c_int64
+    lib.strawb_cluster_job_parts.argtypes = [C.c_void_p]
+    lib.strawb_cluster_job_wait.restype = C.c_void_p
+    lib.strawb_cluster_job_wait.argtypes = [C.c_void_p, C.c_int64]
+    lib.strawb_cluster_job_free.restype = None
+    lib.strawb_cluster_job_free.argtypes = [C.c_void_p]
     for name, rt in [("n", C.c_int64), ("nct", C.c_int64),
                      ("nfeat", C.c_int64), ("nrefidx", C.c_int64),
                      ("nseg", C.c_int64)]:
@@ -197,13 +206,11 @@ class NativeCluster:
         return self._n_uniq
 
 
-def run_native_clustering(table: HitTable, cfg: Config,
-                          ref_mrnas: List[Contig],
-                          mode: str) -> List[NativeCluster]:
-    """mode: 'refguide' (pass 1) or 'refdemand' (pass 2)."""
-    from ..io.native import get_lib
-    lib = _bind(get_lib())
-
+def _pack_cluster_inputs(table: HitTable, cfg: Config,
+                         ref_mrnas: List[Contig], mode: str):
+    """Marshal (hits, refs, cfg) into the flat ctypes argument list shared
+    by strawb_cluster_run and strawb_cluster_start. Returns (args, keep)
+    where `keep` holds the numpy arrays alive for the call's duration."""
     gene_codes: Dict[str, int] = {}
     rgene = np.empty(len(ref_mrnas), np.int32)
     rref = np.empty(len(ref_mrnas), np.int32)
@@ -238,7 +245,7 @@ def run_native_clustering(table: HitTable, cfg: Config,
         keep.append(arr)
         return ptr
 
-    h = lib.strawb_cluster_run(
+    args = [
         len(t),
         q(t.ref_id, C.c_int32), q(t.left, C.c_int64), q(t.right, C.c_int64),
         q(t.strand, C.c_int8), q(t.flag, C.c_uint16),
@@ -253,7 +260,45 @@ def run_native_clustering(table: HitTable, cfg: Config,
         1 if cfg.enforce_ref_models else 0,
         1 if cfg.utilize_ref_models else 0,
         cfg.min_read_for_assemb,
-        1 if mode == "refdemand" else 0)
+        1 if mode == "refdemand" else 0]
+    return args, keep
+
+
+def run_native_clustering(table: HitTable, cfg: Config,
+                          ref_mrnas: List[Contig],
+                          mode: str) -> List[NativeCluster]:
+    """mode: 'refguide' (pass 1) or 'refdemand' (pass 2)."""
+    from ..io.native import get_lib
+    lib = _bind(get_lib())
+    args, keep = _pack_cluster_inputs(table, cfg, ref_mrnas, mode)
+    h = lib.strawb_cluster_run(*args)
+    del keep
+    return _decode_cluster_handle(lib, h, cfg, ref_mrnas)
+
+
+def stream_native_clustering(table: HitTable, cfg: Config,
+                             ref_mrnas: List[Contig], mode: str):
+    """Streaming variant: yields NativeClusters per chromosome partition
+    while the native workers are still clustering later partitions (the
+    blocking wait releases the GIL)."""
+    from ..io.native import get_lib
+    lib = _bind(get_lib())
+    args, keep = _pack_cluster_inputs(table, cfg, ref_mrnas, mode)
+    job = lib.strawb_cluster_start(*args, 0)
+    try:
+        nparts = lib.strawb_cluster_job_parts(job)
+        for k in range(nparts):
+            h = lib.strawb_cluster_job_wait(job, k)
+            yield from _decode_cluster_handle(lib, h, cfg, ref_mrnas)
+    finally:
+        lib.strawb_cluster_job_free(job)
+        del keep
+
+
+def _decode_cluster_handle(lib, h, cfg: Config, ref_mrnas: List[Contig]
+                           ) -> List[NativeCluster]:
+    """Copy one StrawbClusters handle out into a _ClusterPool + per-cluster
+    NativeCluster views (frees the handle)."""
     try:
         n = lib.strawb_cluster_n(h)
         nct = lib.strawb_cluster_nct(h)

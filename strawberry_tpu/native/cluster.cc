@@ -27,6 +27,8 @@
 #include <unordered_map>
 #include <thread>
 #include <atomic>
+#include <mutex>
+#include <condition_variable>
 #include <vector>
 
 namespace {
@@ -718,6 +720,46 @@ class Runner {
   bool has_load_all_refs_ = false;
 };
 
+// One (hits, refs) chromosome partition. Clusters never span ref_ids, so
+// each hit-bearing chromosome (plus any preceding ref-only chromosomes'
+// refs) runs independently; partitions whose boundary refs share a gene
+// code are merged (addRef2Cluster's same-gene loop has no ref_id check, so
+// the sequential run could group such refs together).
+struct Part {
+  i64 h0, h1, r0, r1;
+};
+
+static std::vector<Part> compute_parts(const HitsIn& h, const RefsIn& r) {
+  std::vector<Part> parts;
+  i64 rcur = 0;
+  i64 i = 0;
+  while (i < h.n) {
+    i64 j = i;
+    while (j < h.n && h.ref_id[j] == h.ref_id[i]) j++;
+    i64 re = rcur;
+    while (re < r.n && r.ref_id[re] <= h.ref_id[i]) re++;
+    parts.push_back({i, j, rcur, re});
+    rcur = re;
+    i = j;
+  }
+  // merge partitions linked by a shared boundary gene code
+  std::vector<Part> merged;
+  for (const Part& p : parts) {
+    if (!merged.empty()) {
+      Part& q = merged.back();
+      bool link = q.r1 > q.r0 && p.r1 > p.r0 && r.gene[q.r1 - 1] != -1 &&
+                  r.gene[q.r1 - 1] == r.gene[p.r0];
+      if (link) {
+        q.h1 = p.h1;
+        q.r1 = p.r1;
+        continue;
+      }
+    }
+    merged.push_back(p);
+  }
+  return merged;
+}
+
 }  // namespace
 
 extern "C" {
@@ -725,6 +767,96 @@ extern "C" {
 struct StrawbClusters {
   Out o;
 };
+
+// Streaming clusterizer: workers chew chromosome partitions in order while
+// the caller consumes finished partitions (strawb_cluster_job_wait blocks
+// with the GIL released on the Python side, so cluster decode + downstream
+// prep overlap the clustering of later chromosomes).
+struct StrawbClusterJob {
+  Cfg cfg;
+  HitsIn h;
+  RefsIn r;
+  std::vector<Part> parts;
+  std::vector<StrawbClusters*> outs;
+  std::vector<char> done;
+  std::vector<std::thread> threads;
+  std::mutex mu;
+  std::condition_variable cv;
+  std::atomic<size_t> next{0};
+
+  ~StrawbClusterJob() {
+    for (auto& t : threads)
+      if (t.joinable()) t.join();
+    for (auto* p : outs) delete p;
+  }
+};
+
+StrawbClusterJob* strawb_cluster_start(
+    // hits
+    i64 n, const i32* ref_id, const i64* left, const i64* right,
+    const int8_t* strand, const uint16_t* flag, const i32* mate_ref,
+    const i64* mate_pos, const i32* nh, const uint64_t* read_id,
+    const uint64_t* cigar_hash, const i64* feat_off, const int8_t* feat_code,
+    const i64* feat_left, const i32* feat_len,
+    // refs
+    i64 nref, const i32* rref_id, const i64* rleft, const i64* rright,
+    const i32* rgene, const int8_t* rstrand,
+    // cfg
+    i64 max_olap_dist, i64 max_intron_length, i64 max_frag_span,
+    i32 enforce_ref_models, i32 utilize_ref_models, i32 min_read_for_assemb,
+    i32 mode, i32 n_threads) {
+  auto* job = new StrawbClusterJob();
+  job->h = HitsIn{n, ref_id, left, right, strand, flag, mate_ref, mate_pos,
+                  nh, read_id, cigar_hash, feat_off, feat_code, feat_left,
+                  feat_len};
+  job->r = RefsIn{nref, rref_id, rleft, rright, rgene, rstrand};
+  job->cfg = Cfg{max_olap_dist, max_intron_length, max_frag_span,
+                 enforce_ref_models, utilize_ref_models, min_read_for_assemb,
+                 mode};
+  job->parts = compute_parts(job->h, job->r);
+  size_t np = job->parts.size();
+  job->outs.assign(np, nullptr);
+  job->done.assign(np, 0);
+  if (np == 0) return job;
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t T = n_threads > 0 ? (size_t)n_threads : (hw > 1 ? 2 : 1);
+  if (T > np) T = np;
+  for (size_t t = 0; t < T; ++t) {
+    job->threads.emplace_back([job]() {
+      for (;;) {
+        size_t k = job->next.fetch_add(1);
+        if (k >= job->parts.size()) break;
+        auto* out = new StrawbClusters();
+        Runner runner(job->cfg, job->h, job->r);
+        const Part& p = job->parts[k];
+        runner.run_range(out->o, p.h0, p.h1, p.r0, p.r1);
+        {
+          std::lock_guard<std::mutex> g(job->mu);
+          job->outs[k] = out;
+          job->done[k] = 1;
+        }
+        job->cv.notify_all();
+      }
+    });
+  }
+  return job;
+}
+
+i64 strawb_cluster_job_parts(StrawbClusterJob* job) {
+  return (i64)job->parts.size();
+}
+
+// Blocks until partition k is clustered; transfers ownership of its
+// StrawbClusters handle to the caller (free with strawb_cluster_free).
+StrawbClusters* strawb_cluster_job_wait(StrawbClusterJob* job, i64 k) {
+  std::unique_lock<std::mutex> g(job->mu);
+  job->cv.wait(g, [&] { return job->done[k] != 0; });
+  StrawbClusters* out = job->outs[k];
+  job->outs[k] = nullptr;
+  return out;
+}
+
+void strawb_cluster_job_free(StrawbClusterJob* job) { delete job; }
 
 StrawbClusters* strawb_cluster_run(
     // hits
@@ -747,45 +879,7 @@ StrawbClusters* strawb_cluster_run(
           enforce_ref_models, utilize_ref_models, min_read_for_assemb, mode};
   auto* out = new StrawbClusters();
 
-  // chromosome partitions: clusters never span ref_ids, so each
-  // hit-bearing chromosome (plus any preceding ref-only chromosomes'
-  // refs) runs independently; partitions whose boundary refs share a
-  // gene code are merged (addRef2Cluster's same-gene loop has no ref_id
-  // check, so the sequential run could group such refs together)
-  struct Part {
-    i64 h0, h1, r0, r1;
-  };
-  std::vector<Part> parts;
-  {
-    i64 rcur = 0;
-    i64 i = 0;
-    while (i < n) {
-      i64 j = i;
-      while (j < n && ref_id[j] == ref_id[i]) j++;
-      i64 re = rcur;
-      while (re < nref && rref_id[re] <= ref_id[i]) re++;
-      parts.push_back({i, j, rcur, re});
-      rcur = re;
-      i = j;
-    }
-    // merge partitions linked by a shared boundary gene code
-    std::vector<Part> merged;
-    for (const Part& p : parts) {
-      if (!merged.empty()) {
-        Part& q = merged.back();
-        bool link = q.r1 > q.r0 && p.r1 > p.r0 &&
-                    rgene[q.r1 - 1] != -1 &&
-                    rgene[q.r1 - 1] == rgene[p.r0];
-        if (link) {
-          q.h1 = p.h1;
-          q.r1 = p.r1;
-          continue;
-        }
-      }
-      merged.push_back(p);
-    }
-    parts.swap(merged);
-  }
+  std::vector<Part> parts = compute_parts(h, r);
 
   unsigned hw = std::thread::hardware_concurrency();
   i64 n_threads = hw > 1 ? 2 : 1;

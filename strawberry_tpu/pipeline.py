@@ -90,11 +90,12 @@ class Sample:
         use_native = getattr(self.cfg, "native_cluster", True)
         if use_native:
             try:
-                from .core.fastcluster import run_native_clustering
+                from .core.fastcluster import stream_native_clustering
+                # streaming: cluster decode + downstream per-locus prep run
+                # while the native workers cluster later chromosomes
                 with PROF.phase("native_cluster"):
-                    clusters = run_native_clustering(
+                    yield from stream_native_clustering(
                         self.table, self.cfg, self.factory.ref_mrnas, mode)
-                yield from clusters
                 return
             except OSError:
                 pass  # native lib unavailable; fall through
