@@ -297,37 +297,38 @@ def stream_native_clustering(table: HitTable, cfg: Config,
 
 def _decode_cluster_handle(lib, h, cfg: Config, ref_mrnas: List[Contig]
                            ) -> List[NativeCluster]:
-    """Copy one StrawbClusters handle out into a _ClusterPool + per-cluster
-    NativeCluster views (frees the handle)."""
-    try:
-        n = lib.strawb_cluster_n(h)
-        nct = lib.strawb_cluster_nct(h)
-        nfeat = lib.strawb_cluster_nfeat(h)
-        nrefidx = lib.strawb_cluster_nrefidx(h)
-        nseg = lib.strawb_cluster_nseg(h)
-        cl_left = _arr(lib.strawb_cluster_left(h), n, np.int64)
-        cl_right = _arr(lib.strawb_cluster_right(h), n, np.int64)
-        cl_refid = _arr(lib.strawb_cluster_refid(h), n, np.int32)
-        cl_wmass = _arr(lib.strawb_cluster_wmass(h), n, np.float64)
-        ref_off = _arr(lib.strawb_cluster_refoff(h), n + 1, np.int64)
-        ref_idx = _arr(lib.strawb_cluster_refidx(h), nrefidx, np.int32)
-        uniq_off = _arr(lib.strawb_cluster_uniqoff(h), n + 1, np.int64)
-        seg_off = _arr(lib.strawb_cluster_segoff(h), n + 1, np.int64)
-        ct_strand = _arr(lib.strawb_cluster_ctstrand(h), nct, np.int8)
-        ct_orit = _arr(lib.strawb_cluster_ctorit(h), nct, np.int8)
-        ct_mass = _arr(lib.strawb_cluster_ctmass(h), nct, np.float64)
-        ct_valid = _arr(lib.strawb_cluster_ctvalid(h), nct, np.int8)
-        ct_featoff = _arr(lib.strawb_cluster_ctfeatoff(h), nct + 1, np.int64)
-        ct_fcode = _arr(lib.strawb_cluster_ctfcode(h), nfeat, np.int8)
-        ct_fleft = _arr(lib.strawb_cluster_ctfleft(h), nfeat, np.int64)
-        ct_flen = _arr(lib.strawb_cluster_ctflen(h), nfeat, np.int32)
-        sg_left = _arr(lib.strawb_cluster_segleft(h), nseg, np.int64)
-        sg_right = _arr(lib.strawb_cluster_segright(h), nseg, np.int64)
-        sg_lidx = _arr(lib.strawb_cluster_seglidx(h), nseg, np.int64)
-        sg_ridx = _arr(lib.strawb_cluster_segridx(h), nseg, np.int64)
-        sg_strand = _arr(lib.strawb_cluster_segstrand(h), nseg, np.int8)
-    finally:
-        lib.strawb_cluster_free(h)
+    """Wrap one StrawbClusters handle as a _ClusterPool + per-cluster
+    NativeCluster views. The big per-contig arrays are zero-copy views
+    whose owner frees the handle when the pool is collected."""
+    from ..io.native import _Owner, _view
+    owner = _Owner(lib.strawb_cluster_free, h)
+    n = lib.strawb_cluster_n(h)
+    nct = lib.strawb_cluster_nct(h)
+    nfeat = lib.strawb_cluster_nfeat(h)
+    nrefidx = lib.strawb_cluster_nrefidx(h)
+    nseg = lib.strawb_cluster_nseg(h)
+    cl_left = _view(lib.strawb_cluster_left(h), n, np.int64, owner)
+    cl_right = _view(lib.strawb_cluster_right(h), n, np.int64, owner)
+    cl_refid = _view(lib.strawb_cluster_refid(h), n, np.int32, owner)
+    cl_wmass = _view(lib.strawb_cluster_wmass(h), n, np.float64, owner)
+    ref_off = _view(lib.strawb_cluster_refoff(h), n + 1, np.int64, owner)
+    ref_idx = _view(lib.strawb_cluster_refidx(h), nrefidx, np.int32, owner)
+    uniq_off = _view(lib.strawb_cluster_uniqoff(h), n + 1, np.int64, owner)
+    seg_off = _view(lib.strawb_cluster_segoff(h), n + 1, np.int64, owner)
+    ct_strand = _view(lib.strawb_cluster_ctstrand(h), nct, np.int8, owner)
+    ct_orit = _view(lib.strawb_cluster_ctorit(h), nct, np.int8, owner)
+    ct_mass = _view(lib.strawb_cluster_ctmass(h), nct, np.float64, owner)
+    ct_valid = _view(lib.strawb_cluster_ctvalid(h), nct, np.int8, owner)
+    ct_featoff = _view(lib.strawb_cluster_ctfeatoff(h), nct + 1, np.int64,
+                       owner)
+    ct_fcode = _view(lib.strawb_cluster_ctfcode(h), nfeat, np.int8, owner)
+    ct_fleft = _view(lib.strawb_cluster_ctfleft(h), nfeat, np.int64, owner)
+    ct_flen = _view(lib.strawb_cluster_ctflen(h), nfeat, np.int32, owner)
+    sg_left = _view(lib.strawb_cluster_segleft(h), nseg, np.int64, owner)
+    sg_right = _view(lib.strawb_cluster_segright(h), nseg, np.int64, owner)
+    sg_lidx = _view(lib.strawb_cluster_seglidx(h), nseg, np.int64, owner)
+    sg_ridx = _view(lib.strawb_cluster_segridx(h), nseg, np.int64, owner)
+    sg_strand = _view(lib.strawb_cluster_segstrand(h), nseg, np.int8, owner)
 
     # one GLOBAL valid-contig gather; every cluster's flat RLE arrays are
     # then contiguous views into it (no per-cluster repeat/arange)

@@ -68,6 +68,39 @@ def get_lib():
     return lib
 
 
+class _Owner:
+    """Keeps a native handle alive for the lifetime of the numpy views
+    wrapping its buffers (zero-copy marshaling)."""
+
+    __slots__ = ("_free", "_h")
+
+    def __init__(self, free_fn, handle):
+        self._free = free_fn
+        self._h = handle
+
+    def __del__(self):
+        if self._h:
+            self._free(self._h)
+            self._h = None
+
+
+class _OwnedArray(np.ndarray):
+    """ndarray subclass that can carry the native-handle owner; slices keep
+    it alive through their .base chain."""
+
+
+def _view(ptr, n, dtype, owner):
+    """Zero-copy numpy view over a native buffer; `owner` keeps the
+    backing allocation alive via the returned array's .base chain."""
+    if n == 0:
+        return np.zeros(0, dtype)
+    a = np.ctypeslib.as_array(ptr, shape=(int(n),))
+    assert a.dtype == np.dtype(dtype)
+    v = a.view(_OwnedArray)
+    v._owner = owner
+    return v
+
+
 def _arr(ptr, n, dtype):
     if n == 0:
         return np.zeros(0, dtype)
@@ -91,35 +124,37 @@ def load_bam_native(path: str, config: Optional[Config] = None,
         err = lib.strawb_bam_error(h)
         if err:
             raise IOError(f"{path}: {err.decode()}")
-        n = lib.strawb_bam_num_hits(h)
-        nf = lib.strawb_bam_num_feats(h)
-        names = lib.strawb_bam_ref_names(h).decode().split("\n")[:-1]
-        nref = lib.strawb_bam_num_refs(h)
-        hist_n = lib.strawb_bam_hist_size(h)
-        hist = dict(zip(
-            _arr(lib.strawb_bam_hist_len(h), hist_n, np.int32).tolist(),
-            _arr(lib.strawb_bam_hist_count(h), hist_n, np.int32).tolist()))
-        return HitTable(
-            ref_id=_arr(lib.strawb_bam_ref_id(h), n, np.int32),
-            left=_arr(lib.strawb_bam_left(h), n, np.int64),
-            right=_arr(lib.strawb_bam_right(h), n, np.int64),
-            strand=_arr(lib.strawb_bam_strand(h), n, np.int8),
-            flag=_arr(lib.strawb_bam_flag(h), n, np.uint16),
-            mate_ref=_arr(lib.strawb_bam_mate_ref(h), n, np.int32),
-            mate_pos=_arr(lib.strawb_bam_mate_pos(h), n, np.int64),
-            nh=_arr(lib.strawb_bam_nh(h), n, np.int32),
-            read_id=_arr(lib.strawb_bam_read_id(h), n, np.uint64),
-            cigar_hash=_arr(lib.strawb_bam_cigar_hash(h), n, np.uint64),
-            feat_off=_arr(lib.strawb_bam_feat_off(h), n + 1, np.int64),
-            feat_code=_arr(lib.strawb_bam_feat_code(h), nf, np.int8),
-            feat_left=_arr(lib.strawb_bam_feat_left(h), nf, np.int64),
-            feat_len=_arr(lib.strawb_bam_feat_len(h), nf, np.int32),
-            ref_names=[x.lower() for x in names],
-            ref_real_names=names,
-            ref_lens=_arr(lib.strawb_bam_ref_lens(h), nref,
-                          np.int32).tolist(),
-            read_len_hist=hist,
-            paired_end=bool(lib.strawb_bam_paired(h)),
-        )
-    finally:
+    except Exception:
         lib.strawb_bam_free(h)
+        raise
+    owner = _Owner(lib.strawb_bam_free, h)
+    n = lib.strawb_bam_num_hits(h)
+    nf = lib.strawb_bam_num_feats(h)
+    names = lib.strawb_bam_ref_names(h).decode().split("\n")[:-1]
+    nref = lib.strawb_bam_num_refs(h)
+    hist_n = lib.strawb_bam_hist_size(h)
+    hist = dict(zip(
+        _arr(lib.strawb_bam_hist_len(h), hist_n, np.int32).tolist(),
+        _arr(lib.strawb_bam_hist_count(h), hist_n, np.int32).tolist()))
+    return HitTable(
+        ref_id=_view(lib.strawb_bam_ref_id(h), n, np.int32, owner),
+        left=_view(lib.strawb_bam_left(h), n, np.int64, owner),
+        right=_view(lib.strawb_bam_right(h), n, np.int64, owner),
+        strand=_view(lib.strawb_bam_strand(h), n, np.int8, owner),
+        flag=_view(lib.strawb_bam_flag(h), n, np.uint16, owner),
+        mate_ref=_view(lib.strawb_bam_mate_ref(h), n, np.int32, owner),
+        mate_pos=_view(lib.strawb_bam_mate_pos(h), n, np.int64, owner),
+        nh=_view(lib.strawb_bam_nh(h), n, np.int32, owner),
+        read_id=_view(lib.strawb_bam_read_id(h), n, np.uint64, owner),
+        cigar_hash=_view(lib.strawb_bam_cigar_hash(h), n, np.uint64, owner),
+        feat_off=_view(lib.strawb_bam_feat_off(h), n + 1, np.int64, owner),
+        feat_code=_view(lib.strawb_bam_feat_code(h), nf, np.int8, owner),
+        feat_left=_view(lib.strawb_bam_feat_left(h), nf, np.int64, owner),
+        feat_len=_view(lib.strawb_bam_feat_len(h), nf, np.int32, owner),
+        ref_names=[x.lower() for x in names],
+        ref_real_names=names,
+        ref_lens=_arr(lib.strawb_bam_ref_lens(h), nref,
+                      np.int32).tolist(),
+        read_len_hist=hist,
+        paired_end=bool(lib.strawb_bam_paired(h)),
+    )

@@ -25,6 +25,7 @@
 #include <unordered_map>
 #include <unordered_set>
 #include <utility>
+#include <thread>
 #include <vector>
 
 using std::size_t;
@@ -198,6 +199,10 @@ StrawbQuant* strawb_quant_batch(
   Q->bin_off.push_back(0);
   Q->alpha_off.push_back(0);
 
+  // loci are independent: process contiguous ranges on a small pool and
+  // concatenate partial outputs in locus order (split points balanced by
+  // hit count, the dominant cost driver)
+  auto process_range = [&](i64 L_lo, i64 L_hi, StrawbQuant& P) {
   std::vector<i64> seg_l, seg_r;
   std::vector<std::vector<i64>> iso_exons;   // per iso: exon feat indices
   std::vector<std::vector<i64>> iso_segs;    // per iso: compatible seg ids
@@ -205,7 +210,7 @@ StrawbQuant* strawb_quant_batch(
   std::vector<double> counts;
   std::vector<std::vector<uint8_t>> bin_hit_iso;
 
-  for (i64 L = 0; L < n_loci; ++L) {
+  for (i64 L = L_lo; L < L_hi; ++L) {
     i64 hbeg = hit_loc_off[L], hend = hit_loc_off[L + 1];
     i64 tbeg = iso_loc_off[L], tend = iso_loc_off[L + 1];
     i64 nh = hend - hbeg, ni = tend - tbeg;
@@ -408,11 +413,49 @@ StrawbQuant* strawb_quant_batch(
       }
     }
 
-    for (i64 b = 0; b < nbins; ++b) Q->counts.push_back(counts[b]);
-    Q->alpha.insert(Q->alpha.end(), alpha.begin(), alpha.end());
-    Q->nbins.push_back(nbins);
-    Q->bin_off.push_back((i64)Q->counts.size());
-    Q->alpha_off.push_back((i64)Q->alpha.size());
+    for (i64 b = 0; b < nbins; ++b) P.counts.push_back(counts[b]);
+    P.alpha.insert(P.alpha.end(), alpha.begin(), alpha.end());
+    P.nbins.push_back(nbins);
+  }
+  };  // process_range
+
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t TN = hw > 1 ? (hw < 8 ? hw : 8) : 1;
+  if (n_loci < 64) TN = 1;
+  std::vector<StrawbQuant> parts(TN);
+  if (TN == 1) {
+    process_range(0, n_loci, parts[0]);
+  } else {
+    // split points ~equal in total hits
+    i64 total_h = hit_loc_off[n_loci];
+    std::vector<i64> cut(TN + 1, n_loci);
+    cut[0] = 0;
+    {
+      i64 L = 0;
+      for (size_t t = 1; t < TN; ++t) {
+        i64 want = total_h * (i64)t / (i64)TN;
+        while (L < n_loci && hit_loc_off[L] < want) ++L;
+        cut[t] = L;
+      }
+    }
+    std::vector<std::thread> pool;
+    for (size_t t = 0; t < TN; ++t)
+      pool.emplace_back([&, t]() { process_range(cut[t], cut[t + 1],
+                                                 parts[t]); });
+    for (auto& th : pool) th.join();
+  }
+
+  for (size_t t = 0; t < TN; ++t) {
+    StrawbQuant& P = parts[t];
+    Q->counts.insert(Q->counts.end(), P.counts.begin(), P.counts.end());
+    Q->alpha.insert(Q->alpha.end(), P.alpha.begin(), P.alpha.end());
+    i64 Lbase = (i64)Q->nbins.size();
+    for (size_t k = 0; k < P.nbins.size(); ++k) {
+      i64 ni = iso_loc_off[Lbase + (i64)k + 1] - iso_loc_off[Lbase + (i64)k];
+      Q->bin_off.push_back(Q->bin_off.back() + P.nbins[k]);
+      Q->alpha_off.push_back(Q->alpha_off.back() + P.nbins[k] * ni);
+      Q->nbins.push_back(P.nbins[k]);
+    }
   }
   return Q;
 }
