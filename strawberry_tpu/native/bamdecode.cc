@@ -18,6 +18,7 @@
 //
 // Build: tools/build_native.sh -> strawberry_tpu/native/libstrawberry_host.so
 
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -27,6 +28,12 @@
 #include <vector>
 
 #include <zlib.h>
+#if defined(__has_include)
+#if __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define STRAWB_HAVE_LIBDEFLATE 1
+#endif
+#endif
 
 namespace {
 
@@ -103,12 +110,27 @@ static bool bgzf_inflate_all(const uint8_t* data, size_t n,
   size_t nb = blocks.size();
   for (int t = 0; t < n_threads; ++t) {
     pool.emplace_back([&, t]() {
+#ifdef STRAWB_HAVE_LIBDEFLATE
+      libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+#endif
       for (size_t i = t; i < nb; i += n_threads) {
         const BlockRef& b = blocks[i];
+#ifdef STRAWB_HAVE_LIBDEFLATE
+        size_t actual = 0;
+        if (libdeflate_deflate_decompress(d, data + b.comp_off, b.comp_len,
+                                          out.data() + b.out_off, b.isize,
+                                          &actual) != LIBDEFLATE_SUCCESS ||
+            actual != b.isize)
+          ok[t] = 0;
+#else
         if (!inflate_block(data + b.comp_off, b.comp_len,
                            out.data() + b.out_off, b.isize))
           ok[t] = 0;
+#endif
       }
+#ifdef STRAWB_HAVE_LIBDEFLATE
+      libdeflate_free_decompressor(d);
+#endif
     });
   }
   for (auto& th : pool) th.join();
@@ -516,6 +538,13 @@ StrawbBam* strawb_bam_load(const char* path, int32_t max_intron,
                            int32_t min_intron, int32_t unique_only,
                            int32_t fr, int32_t rf, int32_t max_hist,
                            int32_t n_threads) {
+  const bool dbg = getenv("STRAWB_NATIVE_DEBUG") != nullptr;
+  auto now = [] {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  double t0 = dbg ? now() : 0.0;
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
   fseek(f, 0, SEEK_END);
@@ -530,10 +559,12 @@ StrawbBam* strawb_bam_load(const char* path, int32_t max_intron,
 
   auto* h = new StrawbBam();
   std::vector<uint8_t> buf;
+  double t1 = dbg ? now() : 0.0;
   if (!bgzf_inflate_all(raw.data(), raw.size(), buf, n_threads)) {
     h->r.error = "BGZF inflate failed";
     return h;
   }
+  double t2 = dbg ? now() : 0.0;
   Config cfg;
   cfg.max_intron_length = max_intron;
   cfg.min_intron_length = min_intron;
@@ -542,6 +573,9 @@ StrawbBam* strawb_bam_load(const char* path, int32_t max_intron,
   cfg.rf_strand = rf;
   cfg.max_read_num_4_rl = max_hist;
   decode_records(buf.data(), buf.size(), cfg, h->r, n_threads);
+  if (dbg)
+    fprintf(stderr, "[native] bam_load read=%.3fs inflate=%.3fs parse=%.3fs\n",
+            t1 - t0, t2 - t1, now() - t2);
   return h;
 }
 
