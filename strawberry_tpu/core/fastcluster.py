@@ -46,6 +46,19 @@ def _bind(lib):
     lib.strawb_cluster_job_wait.argtypes = [C.c_void_p, C.c_int64]
     lib.strawb_cluster_job_free.restype = None
     lib.strawb_cluster_job_free.argtypes = [C.c_void_p]
+    lib.strawb_cluster_start_fused.restype = C.c_void_p
+    lib.strawb_cluster_start_fused.argtypes = run_args + [
+        C.c_int32, C.c_int64, i64p, i8p, i64p, i32p, dp, dp, i64p]
+    lib.strawb_cluster_fused.restype = C.c_int32
+    lib.strawb_cluster_fused.argtypes = [C.c_void_p]
+    lib.strawb_cluster_nunit.restype = C.c_int64
+    lib.strawb_cluster_nunit.argtypes = [C.c_void_p]
+    for name, pt in [("unitoff", i64p), ("unitjob", i64p),
+                     ("unitkind", i8p), ("unitstrand", i8p),
+                     ("unitl", i64p), ("unitr", i64p), ("admit", i8p)]:
+        fn = getattr(lib, f"strawb_cluster_{name}")
+        fn.restype = pt
+        fn.argtypes = [C.c_void_p]
     for name, rt in [("n", C.c_int64), ("nct", C.c_int64),
                      ("nfeat", C.c_int64), ("nrefidx", C.c_int64),
                      ("nseg", C.c_int64)]:
@@ -99,7 +112,7 @@ class NativeCluster:
     __slots__ = ("leftmost", "rightmost", "ref_id", "weighted_mass",
                  "ref_mrnas", "id", "cfg", "ref_indices",
                  "_n_uniq", "_uniq_cache", "_pool", "_k",
-                 "_flat", "_flat_mass", "_rawc", "_segs")
+                 "_flat", "_flat_mass", "_rawc", "_segs", "prep_units")
 
     def __init__(self):
         self.id = -1
@@ -109,6 +122,7 @@ class NativeCluster:
         self._flat_mass = None
         self._rawc = None
         self._segs = None
+        self.prep_units = None  # (admitted, [(kind, strand, l, r, job)])
 
     # the pipeline treats uniq_hits entries as opaque tokens passed back
     # through pair_to_contig; natively they ARE the contigs (or None)
@@ -277,14 +291,45 @@ def run_native_clustering(table: HitTable, cfg: Config,
 
 
 def stream_native_clustering(table: HitTable, cfg: Config,
-                             ref_mrnas: List[Contig], mode: str):
+                             ref_mrnas: List[Contig], mode: str,
+                             fuse_read_len: Optional[int] = None):
     """Streaming variant: yields NativeClusters per chromosome partition
     while the native workers are still clustering later partitions (the
-    blocking wait releases the GIL)."""
+    blocking wait releases the GIL).
+
+    With fuse_read_len set (pass 1), the clustering workers additionally run
+    the per-cluster assembly prep (admission + ref/seg units) and submit
+    each unit to the native assembleprep pool; the yielded clusters carry
+    `prep_units` for pipeline.prepare_cluster_assembly."""
     from ..io.native import get_lib
     lib = _bind(get_lib())
     args, keep = _pack_cluster_inputs(table, cfg, ref_mrnas, mode)
-    job = lib.strawb_cluster_start(*args, 0)
+    if fuse_read_len is not None:
+        rf = flatten_contigs(ref_mrnas)
+        rf = tuple(np.ascontiguousarray(a) for a in rf)
+        rmass = np.ascontiguousarray(
+            np.array([r.mass for r in ref_mrnas], np.float64))
+        dcfg = np.array([cfg.min_anchor, cfg.min_depth_4_locus,
+                         cfg.min_isoform_frac, cfg.min_junc_support,
+                         cfg.min_support_for_long_junc,
+                         cfg.binomial_overhang_alpha,
+                         cfg.intron_edge_weight], np.float64)
+        icfg = np.array([cfg.long_junc_length,
+                         1 if cfg.enforce_ref_models else 0,
+                         cfg.max_cover_gap1, cfg.max_cover_gap2,
+                         cfg.min_dist_4_exon_edge], np.int64)
+        keep += [rf, rmass, dcfg, icfg]
+        job = lib.strawb_cluster_start_fused(
+            *args, 0, fuse_read_len,
+            rf[0].ctypes.data_as(C.POINTER(C.c_int64)),
+            rf[1].ctypes.data_as(C.POINTER(C.c_int8)),
+            rf[2].ctypes.data_as(C.POINTER(C.c_int64)),
+            rf[3].ctypes.data_as(C.POINTER(C.c_int32)),
+            rmass.ctypes.data_as(C.POINTER(C.c_double)),
+            dcfg.ctypes.data_as(C.POINTER(C.c_double)),
+            icfg.ctypes.data_as(C.POINTER(C.c_int64)))
+    else:
+        job = lib.strawb_cluster_start(*args, 0)
     try:
         nparts = lib.strawb_cluster_job_parts(job)
         for k in range(nparts):
@@ -390,6 +435,21 @@ def _decode_cluster_handle(lib, h, cfg: Config, ref_mrnas: List[Contig]
                              sg_lidx.tolist(), sg_ridx.tolist(),
                              sg_strand.tolist()))
 
+    fused = bool(lib.strawb_cluster_fused(h))
+    if fused:
+        nunit = lib.strawb_cluster_nunit(h)
+        unit_off = _arr(lib.strawb_cluster_unitoff(h), n + 1,
+                        np.int64).tolist()
+        unit_job = _arr(lib.strawb_cluster_unitjob(h), nunit,
+                        np.int64).tolist()
+        unit_kind = _arr(lib.strawb_cluster_unitkind(h), nunit,
+                         np.int8).tolist()
+        unit_strand = _arr(lib.strawb_cluster_unitstrand(h), nunit,
+                           np.int8).tolist()
+        unit_l = _arr(lib.strawb_cluster_unitl(h), nunit, np.int64).tolist()
+        unit_r = _arr(lib.strawb_cluster_unitr(h), nunit, np.int64).tolist()
+        admit = _arr(lib.strawb_cluster_admit(h), n, np.int8).tolist()
+
     clusters: List[NativeCluster] = []
     for k in range(int(n)):
         c = NativeCluster()
@@ -403,6 +463,12 @@ def _decode_cluster_handle(lib, h, cfg: Config, ref_mrnas: List[Contig]
         c.ref_indices = ref_idx_l[ref_off_l[k]:ref_off_l[k + 1]]
         c.ref_mrnas = [ref_mrnas[i] for i in c.ref_indices]
         c._n_uniq = uniq_off_l[k + 1] - uniq_off_l[k]
+        if fused:
+            u0, u1 = unit_off[k], unit_off[k + 1]
+            c.prep_units = (bool(admit[k]),
+                            [(unit_kind[u], unit_strand[u], unit_l[u],
+                              unit_r[u], unit_job[u])
+                             for u in range(u0, u1)])
         clusters.append(c)
     return clusters
 
@@ -676,8 +742,15 @@ def native_asmprep_result(pending):
     would have returned)."""
     from ..io.native import get_lib
     lib = get_lib()
+    if not _asm_bound:
+        # jobs submitted natively (fused clusterizer) reach here before any
+        # Python-side submit has installed the ctypes signatures
+        native_asmprep(Config(), 0, 0, 0,
+                       (np.zeros(1, np.int64), np.zeros(0, np.int8),
+                        np.zeros(0, np.int64), np.zeros(0, np.int32)),
+                       np.zeros(0), np.zeros(0))
     job, _keep = pending
-    h = lib.strawb_asm_wait(job)
+    h = lib.strawb_asm_wait(C.c_void_p(job))
     return _asm_result(lib, h)
 
 

@@ -788,6 +788,12 @@ struct AsmJob {
   i64 max_cover_gap1, max_cover_gap2;
   double intron_edge_weight;
   i64 min_dist_4_exon_edge;
+  // owned input storage (fused clusterizer submissions; empty when the
+  // caller keeps the arrays alive itself)
+  std::vector<i64> own_off, own_left;
+  std::vector<i8> own_code;
+  std::vector<i32> own_len;
+  std::vector<double> own_cov, own_wt;
   // result
   StrawbAsm* result = nullptr;
   std::atomic<int> done{0};
@@ -833,15 +839,7 @@ static void pool_worker() {
   }
 }
 
-AsmJob* strawb_asmprep_submit(
-    i64 l, i64 r, i64 read_len,
-    i64 nh, const i64* h_off, const i8* h_code, const i64* h_left,
-    const i32* h_len, const double* cov_mass, const double* weight_mass,
-    double small_overhang, double min_depth_4_locus,
-    double min_isoform_frac, double min_junc_support, i64 long_junc_length,
-    double min_support_for_long_junc, i32 enforce_ref_models,
-    double binomial_overhang_alpha, i64 max_cover_gap1, i64 max_cover_gap2,
-    double intron_edge_weight, i64 min_dist_4_exon_edge) {
+static void pool_enqueue(AsmJob* j) {
   AsmPool& p = pool();
   {
     std::lock_guard<std::mutex> lk(p.mu);
@@ -856,7 +854,20 @@ AsmJob* strawb_asmprep_submit(
         p.workers.back().detach();
       }
     }
+    p.q.push_back(j);
   }
+  p.cv.notify_one();
+}
+
+AsmJob* strawb_asmprep_submit(
+    i64 l, i64 r, i64 read_len,
+    i64 nh, const i64* h_off, const i8* h_code, const i64* h_left,
+    const i32* h_len, const double* cov_mass, const double* weight_mass,
+    double small_overhang, double min_depth_4_locus,
+    double min_isoform_frac, double min_junc_support, i64 long_junc_length,
+    double min_support_for_long_junc, i32 enforce_ref_models,
+    double binomial_overhang_alpha, i64 max_cover_gap1, i64 max_cover_gap2,
+    double intron_edge_weight, i64 min_dist_4_exon_edge) {
   auto* j = new AsmJob{l, r, read_len, nh, h_off, h_code, h_left, h_len,
                        cov_mass, weight_mass, small_overhang,
                        min_depth_4_locus, min_isoform_frac,
@@ -865,11 +876,7 @@ AsmJob* strawb_asmprep_submit(
                        binomial_overhang_alpha, max_cover_gap1,
                        max_cover_gap2, intron_edge_weight,
                        min_dist_4_exon_edge};
-  {
-    std::lock_guard<std::mutex> lk(p.mu);
-    p.q.push_back(j);
-  }
-  p.cv.notify_one();
+  pool_enqueue(j);
   return j;
 }
 
@@ -900,3 +907,45 @@ const i64* strawb_asm_cstrarcs(StrawbAsm* r) { return r->cstr_arcs.data(); }
 void strawb_asm_free(StrawbAsm* r) { delete r; }
 
 }  // extern "C"
+
+// ---- fused-clusterizer submission (C++ linkage; see asmprep.h) -----------
+#include "asmprep.h"
+
+AsmJob* strawb_asm_submit_owned(
+    int64_t l, int64_t r, int64_t read_len,
+    std::vector<int64_t>&& h_off, std::vector<int8_t>&& h_code,
+    std::vector<int64_t>&& h_left, std::vector<int32_t>&& h_len,
+    std::vector<double>&& cov_mass, std::vector<double>&& weight_mass,
+    const AsmPrepCfg& cfg) {
+  auto* j = new AsmJob{};
+  j->l = l;
+  j->r = r;
+  j->read_len = read_len;
+  j->own_off = std::move(h_off);
+  j->own_code = std::move(h_code);
+  j->own_left = std::move(h_left);
+  j->own_len = std::move(h_len);
+  j->own_cov = std::move(cov_mass);
+  j->own_wt = std::move(weight_mass);
+  j->nh = (i64)j->own_off.size() - 1;
+  j->h_off = j->own_off.data();
+  j->h_code = j->own_code.data();
+  j->h_left = j->own_left.data();
+  j->h_len = j->own_len.data();
+  j->cov_mass = j->own_cov.data();
+  j->weight_mass = j->own_wt.data();
+  j->small_overhang = cfg.small_overhang;
+  j->min_depth_4_locus = cfg.min_depth_4_locus;
+  j->min_isoform_frac = cfg.min_isoform_frac;
+  j->min_junc_support = cfg.min_junc_support;
+  j->long_junc_length = cfg.long_junc_length;
+  j->min_support_for_long_junc = cfg.min_support_for_long_junc;
+  j->enforce_ref_models = cfg.enforce_ref_models;
+  j->binomial_overhang_alpha = cfg.binomial_overhang_alpha;
+  j->max_cover_gap1 = cfg.max_cover_gap1;
+  j->max_cover_gap2 = cfg.max_cover_gap2;
+  j->intron_edge_weight = cfg.intron_edge_weight;
+  j->min_dist_4_exon_edge = cfg.min_dist_4_exon_edge;
+  pool_enqueue(j);
+  return j;
+}

@@ -31,6 +31,8 @@
 #include <condition_variable>
 #include <vector>
 
+#include "asmprep.h"
+
 namespace {
 
 typedef int64_t i64;
@@ -108,6 +110,15 @@ struct Out {
   // refine segments
   std::vector<i64> sg_left, sg_right, sg_lidx, sg_ridx;
   std::vector<int8_t> sg_strand;
+  // fused pass-1 assembly-prep units (strawb_cluster_start_fused): one
+  // entry per ref/seg unit, AsmJob* as intptr (0 = empty unit)
+  bool fused = false;
+  std::vector<i64> unit_off;  // size nclusters+1
+  std::vector<i64> unit_job;
+  std::vector<int8_t> unit_kind;  // 0 ref, 1 seg
+  std::vector<int8_t> unit_strand;
+  std::vector<i64> unit_l, unit_r;
+  std::vector<int8_t> cl_admit;  // per cluster: >= min_read_for_assemb
   std::string error;
 };
 
@@ -729,6 +740,115 @@ struct Part {
   i64 h0, h1, r0, r1;
 };
 
+// Inputs of the fused pass-1 prep: reference-transcript RLE features +
+// per-ref masses, plus the assembleprep knobs.
+struct FusedIn {
+  bool enabled = false;
+  i64 read_len = 0;
+  const i64* rf_off = nullptr;
+  const int8_t* rf_code = nullptr;
+  const i64* rf_left = nullptr;
+  const i32* rf_len = nullptr;
+  const double* rmass = nullptr;
+  AsmPrepCfg acfg{};
+};
+
+// Replicates pipeline.Sample.prepare_cluster_assembly for the clusters of
+// one partition Out: the admission test, the utilize-ref unit (refs + valid
+// strand-matching contigs, cov mass -1 for refs) or the per-refine-segment
+// units, each submitted to the assembleprep worker pool with OWNED input
+// copies (jobs outlive this Out's buffers on the Python side).
+static void fuse_prep(const Cfg& cfg, const RefsIn& r, const FusedIn& fu,
+                      Out& o) {
+  size_t ncl = o.cl_left.size();
+  o.fused = true;
+  o.unit_off.push_back(0);
+  std::vector<i64> off, left;
+  std::vector<int8_t> code;
+  std::vector<i32> len;
+  std::vector<double> cov, wt;
+  auto gather_contig = [&](i64 ci) {
+    for (i64 f = o.ct_feat_off[ci]; f < o.ct_feat_off[ci + 1]; ++f) {
+      code.push_back(o.ct_fcode[f]);
+      left.push_back(o.ct_fleft[f]);
+      len.push_back(o.ct_flen[f]);
+    }
+    off.push_back((i64)code.size());
+    cov.push_back(o.ct_mass[ci]);
+    wt.push_back(o.ct_mass[ci]);
+  };
+  auto submit = [&](i64 ul, i64 ur, int8_t kind, int8_t strand) {
+    AsmJob* j = nullptr;
+    if (off.size() > 1)
+      j = strawb_asm_submit_owned(ul, ur, fu.read_len, std::move(off),
+                                  std::move(code), std::move(left),
+                                  std::move(len), std::move(cov),
+                                  std::move(wt), fu.acfg);
+    off = {0};
+    code.clear();
+    left.clear();
+    len.clear();
+    cov.clear();
+    wt.clear();
+    o.unit_job.push_back((i64)(intptr_t)j);
+    o.unit_kind.push_back(kind);
+    o.unit_strand.push_back(strand);
+    o.unit_l.push_back(ul);
+    o.unit_r.push_back(ur);
+  };
+  off.push_back(0);
+  for (size_t k = 0; k < ncl; ++k) {
+    i64 a0 = o.cl_uniq_off[k], a1 = o.cl_uniq_off[k + 1];
+    i64 nct = a1 - a0;
+    bool admit = nct >= cfg.min_read_for_assemb;
+    o.cl_admit.push_back(admit ? 1 : 0);
+    if (admit) {
+      i64 r0 = o.cl_ref_off[k], r1 = o.cl_ref_off[k + 1];
+      if (r1 > r0 && cfg.utilize_ref_models) {
+        i64 cl = INT64_MAX, cr = 0;
+        for (i64 q = r0; q < r1; ++q) {
+          i32 ri = o.flat_ref_idx[q];
+          cl = std::min(cl, r.left[ri]);
+          cr = std::max(cr, r.right[ri]);
+        }
+        int8_t rstrand = r.strand[o.flat_ref_idx[r0]];
+        for (i64 q = r0; q < r1; ++q) {
+          i32 ri = o.flat_ref_idx[q];
+          for (i64 f = fu.rf_off[ri]; f < fu.rf_off[ri + 1]; ++f) {
+            code.push_back(fu.rf_code[f]);
+            left.push_back(fu.rf_left[f]);
+            len.push_back(fu.rf_len[f]);
+          }
+          off.push_back((i64)code.size());
+          cov.push_back(-1.0);
+          wt.push_back(fu.rmass[ri]);
+        }
+        for (i64 ci = a0; ci < a1; ++ci) {
+          if (!o.ct_valid[ci]) continue;
+          int8_t st = o.ct_strand[ci];
+          if (st != 0 && st != rstrand) continue;
+          gather_contig(ci);
+        }
+        submit(cl, cr, 0, rstrand);
+      } else {
+        for (i64 s = o.cl_seg_off[k]; s < o.cl_seg_off[k + 1]; ++s) {
+          i64 lo = o.sg_lidx[s];
+          i64 hi = o.sg_ridx[s] < nct ? o.sg_ridx[s] : nct;
+          for (i64 c2 = lo; c2 < hi; ++c2) {
+            i64 ci = a0 + c2;
+            if (!o.ct_valid[ci]) continue;
+            int8_t st = o.ct_strand[ci];
+            if (st != 0 && st != o.sg_strand[s]) continue;
+            gather_contig(ci);
+          }
+          submit(o.sg_left[s], o.sg_right[s], 1, o.sg_strand[s]);
+        }
+      }
+    }
+    o.unit_off.push_back((i64)o.unit_job.size());
+  }
+}
+
 static std::vector<Part> compute_parts(const HitsIn& h, const RefsIn& r) {
   std::vector<Part> parts;
   i64 rcur = 0;
@@ -776,6 +896,7 @@ struct StrawbClusterJob {
   Cfg cfg;
   HitsIn h;
   RefsIn r;
+  FusedIn fu;
   std::vector<Part> parts;
   std::vector<StrawbClusters*> outs;
   std::vector<char> done;
@@ -830,6 +951,80 @@ StrawbClusterJob* strawb_cluster_start(
         Runner runner(job->cfg, job->h, job->r);
         const Part& p = job->parts[k];
         runner.run_range(out->o, p.h0, p.h1, p.r0, p.r1);
+        if (job->fu.enabled) fuse_prep(job->cfg, job->r, job->fu, out->o);
+        {
+          std::lock_guard<std::mutex> g(job->mu);
+          job->outs[k] = out;
+          job->done[k] = 1;
+        }
+        job->cv.notify_all();
+      }
+    });
+  }
+  return job;
+}
+
+// Fused variant: additionally runs the per-cluster assembly prep (admission
+// test + ref/seg unit construction + assembleprep submission) on the
+// clustering workers. rf_* are the flat RLE features of the FULL reference
+// list (indexed by global ref index), rmass the per-ref masses. dcfg =
+// [min_anchor, min_depth_4_locus, min_isoform_frac, min_junc_support,
+//  min_support_for_long_junc, binomial_overhang_alpha, intron_edge_weight];
+// icfg = [long_junc_length, enforce_ref_models_asm, max_cover_gap1,
+//  max_cover_gap2, min_dist_4_exon_edge].
+StrawbClusterJob* strawb_cluster_start_fused(
+    i64 n, const i32* ref_id, const i64* left, const i64* right,
+    const int8_t* strand, const uint16_t* flag, const i32* mate_ref,
+    const i64* mate_pos, const i32* nh, const uint64_t* read_id,
+    const uint64_t* cigar_hash, const i64* feat_off, const int8_t* feat_code,
+    const i64* feat_left, const i32* feat_len,
+    i64 nref, const i32* rref_id, const i64* rleft, const i64* rright,
+    const i32* rgene, const int8_t* rstrand,
+    i64 max_olap_dist, i64 max_intron_length, i64 max_frag_span,
+    i32 enforce_ref_models, i32 utilize_ref_models, i32 min_read_for_assemb,
+    i32 mode, i32 n_threads,
+    i64 read_len, const i64* rf_off, const int8_t* rf_code,
+    const i64* rf_left, const i32* rf_len, const double* rmass,
+    const double* dcfg, const i64* icfg) {
+  // build the job paused (n_threads not yet started) so we can attach the
+  // fused inputs before any worker runs: create with 0 parts trick is
+  // messier, so duplicate the small setup here
+  auto* job = new StrawbClusterJob();
+  job->h = HitsIn{n, ref_id, left, right, strand, flag, mate_ref, mate_pos,
+                  nh, read_id, cigar_hash, feat_off, feat_code, feat_left,
+                  feat_len};
+  job->r = RefsIn{nref, rref_id, rleft, rright, rgene, rstrand};
+  job->cfg = Cfg{max_olap_dist, max_intron_length, max_frag_span,
+                 enforce_ref_models, utilize_ref_models, min_read_for_assemb,
+                 mode};
+  job->fu.enabled = true;
+  job->fu.read_len = read_len;
+  job->fu.rf_off = rf_off;
+  job->fu.rf_code = rf_code;
+  job->fu.rf_left = rf_left;
+  job->fu.rf_len = rf_len;
+  job->fu.rmass = rmass;
+  job->fu.acfg = AsmPrepCfg{dcfg[0], dcfg[1], dcfg[2], dcfg[3], icfg[0],
+                            dcfg[4], (i32)icfg[1], dcfg[5], icfg[2], icfg[3],
+                            dcfg[6], icfg[4]};
+  job->parts = compute_parts(job->h, job->r);
+  size_t np = job->parts.size();
+  job->outs.assign(np, nullptr);
+  job->done.assign(np, 0);
+  if (np == 0) return job;
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t T = n_threads > 0 ? (size_t)n_threads : (hw > 1 ? 2 : 1);
+  if (T > np) T = np;
+  for (size_t t = 0; t < T; ++t) {
+    job->threads.emplace_back([job]() {
+      for (;;) {
+        size_t k = job->next.fetch_add(1);
+        if (k >= job->parts.size()) break;
+        auto* out = new StrawbClusters();
+        Runner runner(job->cfg, job->h, job->r);
+        const Part& p = job->parts[k];
+        runner.run_range(out->o, p.h0, p.h1, p.r0, p.r1);
+        if (job->fu.enabled) fuse_prep(job->cfg, job->r, job->fu, out->o);
         {
           std::lock_guard<std::mutex> g(job->mu);
           job->outs[k] = out;
@@ -985,6 +1180,16 @@ const i64* strawb_cluster_segright(StrawbClusters* s) { return s->o.sg_right.dat
 const i64* strawb_cluster_seglidx(StrawbClusters* s) { return s->o.sg_lidx.data(); }
 const i64* strawb_cluster_segridx(StrawbClusters* s) { return s->o.sg_ridx.data(); }
 const int8_t* strawb_cluster_segstrand(StrawbClusters* s) { return s->o.sg_strand.data(); }
+
+i32 strawb_cluster_fused(StrawbClusters* s) { return s->o.fused ? 1 : 0; }
+i64 strawb_cluster_nunit(StrawbClusters* s) { return (i64)s->o.unit_job.size(); }
+const i64* strawb_cluster_unitoff(StrawbClusters* s) { return s->o.unit_off.data(); }
+const i64* strawb_cluster_unitjob(StrawbClusters* s) { return s->o.unit_job.data(); }
+const int8_t* strawb_cluster_unitkind(StrawbClusters* s) { return s->o.unit_kind.data(); }
+const int8_t* strawb_cluster_unitstrand(StrawbClusters* s) { return s->o.unit_strand.data(); }
+const i64* strawb_cluster_unitl(StrawbClusters* s) { return s->o.unit_l.data(); }
+const i64* strawb_cluster_unitr(StrawbClusters* s) { return s->o.unit_r.data(); }
+const int8_t* strawb_cluster_admit(StrawbClusters* s) { return s->o.cl_admit.data(); }
 
 void strawb_cluster_free(StrawbClusters* s) { delete s; }
 

@@ -92,10 +92,16 @@ class Sample:
             try:
                 from .core.fastcluster import stream_native_clustering
                 # streaming: cluster decode + downstream per-locus prep run
-                # while the native workers cluster later chromosomes
+                # while the native workers cluster later chromosomes; in
+                # pass 1 the workers also chain the per-cluster assembly
+                # prep (fuse_read_len), so clusters arrive with their flow
+                # problems already queued on the assembleprep pool
+                fuse = self.read_len if (
+                    mode == "refguide" and not self.cfg.no_assembly) else None
                 with PROF.phase("native_cluster"):
                     yield from stream_native_clustering(
-                        self.table, self.cfg, self.factory.ref_mrnas, mode)
+                        self.table, self.cfg, self.factory.ref_mrnas, mode,
+                        fuse_read_len=fuse)
                 return
             except OSError:
                 pass  # native lib unavailable; fall through
@@ -345,6 +351,22 @@ class Sample:
         skipped entirely (too few reads), else a list of ("ref"|"seg",
         AsmTask) units."""
         cfg = self.cfg
+        pu = getattr(cluster, "prep_units", None)
+        if pu is not None:
+            # fused native path: the clustering workers already ran the
+            # admission test, built each unit's inputs, and queued the prep
+            # jobs — just wrap the pending handles as AsmTasks
+            admitted, unit_specs = pu
+            if not admitted:
+                return None
+            units = []
+            for (kind, strand, l, r, job) in unit_specs:
+                task = AsmTask(strand=strand)
+                if job:
+                    task.pending = (job, None)
+                    task.ref_id = cluster.ref_id
+                units.append(("ref" if kind == 0 else "seg", task))
+            return units
         if cluster.num_uniq() < cfg.min_read_for_assemb:
             return None
         units = []
