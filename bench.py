@@ -43,9 +43,10 @@ def main():
     import io
     run_driver(bam, cfg, io.StringIO(), Sink())
 
-    # best of two timed runs (the TPU tunnel adds occasional latency spikes)
+    # best of three timed runs (the TPU tunnel and the 2-vCPU host both add
+    # occasional latency spikes)
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         out = io.StringIO()
         sample = run_driver(bam, cfg, out, Sink())

@@ -596,6 +596,25 @@ class Sample:
             except Exception:
                 ref_flat = None
         native_specs = []  # (index into pending, spec)
+        # quantprep chunks run on a side thread (the native call releases
+        # the GIL) so C++ bin/weight computation overlaps the cluster stream
+        from concurrent.futures import ThreadPoolExecutor
+        futures = []
+        pool = ThreadPoolExecutor(max_workers=1) if use_fast else None
+        chunk_start = 0
+
+        def _flush():
+            nonlocal chunk_start
+            chunk = native_specs[chunk_start:]
+            if not chunk:
+                return
+            chunk_start = len(native_specs)
+            from .quant.fastlocus import build_batch_native
+            futures.append((chunk, pool.submit(
+                build_batch_native, self.cfg, self.read_len,
+                self.insert_dist, [s for _, s in chunk],
+                long_read_sample=self.long_read_sample)))
+
         for cluster in self.iter_clusters("refdemand"):
             with PROF.phase("locus_context"):
                 if use_fast and getattr(cluster, "flat", None) is not None:
@@ -609,28 +628,29 @@ class Sample:
                         (len(pending), (cluster.flat, cluster.flat_mass,
                                         cluster.ref_mrnas, iso_flat)))
                     pending.append((cluster, None))
+                    if len(native_specs) - chunk_start >= 128:
+                        _flush()
                 else:
                     est = self.build_locus_context(cluster,
                                                    cluster.ref_mrnas, log)
                     pending.append((cluster, est))
         if native_specs:
-            # one C++ call computes every locus's EM inputs (quantprep.cc)
             with PROF.phase("quant_native", items=len(native_specs)):
                 try:
-                    from .quant.fastlocus import build_batch_native
-                    ests = build_batch_native(
-                        self.cfg, self.read_len, self.insert_dist,
-                        [s for _, s in native_specs],
-                        long_read_sample=self.long_read_sample)
+                    _flush()
+                    for chunk, fut in futures:
+                        for (i, _), est in zip(chunk, fut.result()):
+                            pending[i] = (pending[i][0], est)
                 except OSError:
                     from .quant.fastlocus import build_fast_locus
-                    ests = [build_fast_locus(
-                        self.cfg, self.read_len, self.insert_dist,
-                        s[0], s[1], s[2],
-                        long_read_sample=self.long_read_sample,
-                        iso_flat=s[3]) for _, s in native_specs]
-            for (i, _), est in zip(native_specs, ests):
-                pending[i] = (pending[i][0], est)
+                    for i, s in native_specs:
+                        pending[i] = (pending[i][0], build_fast_locus(
+                            self.cfg, self.read_len, self.insert_dist,
+                            s[0], s[1], s[2],
+                            long_read_sample=self.long_read_sample,
+                            iso_flat=s[3]))
+        if pool is not None:
+            pool.shutdown(wait=False)
 
         problems = []
         for _cluster, est in pending:
