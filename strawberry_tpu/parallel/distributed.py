@@ -34,9 +34,29 @@ from .mesh import make_mesh
 
 def shard_table(table: HitTable, ref_ids: List[int]) -> HitTable:
     """Row-subset of a HitTable for the given chromosomes (global ref ids
-    kept, so annotations and output naming stay consistent)."""
+    kept, so annotations and output naming stay consistent). The table is
+    position-sorted, so a contiguous chromosome range is a pure slice —
+    zero-copy views; non-contiguous id sets take the gather path."""
     mask = np.isin(table.ref_id, ref_ids)
     idx = np.nonzero(mask)[0]
+    if len(idx) and int(idx[-1]) - int(idx[0]) + 1 == len(idx):
+        i0, i1 = int(idx[0]), int(idx[-1]) + 1
+        f0, f1 = int(table.feat_off[i0]), int(table.feat_off[i1])
+        return HitTable(
+            ref_id=table.ref_id[i0:i1], left=table.left[i0:i1],
+            right=table.right[i0:i1], strand=table.strand[i0:i1],
+            flag=table.flag[i0:i1], mate_ref=table.mate_ref[i0:i1],
+            mate_pos=table.mate_pos[i0:i1], nh=table.nh[i0:i1],
+            read_id=table.read_id[i0:i1],
+            cigar_hash=table.cigar_hash[i0:i1],
+            feat_off=table.feat_off[i0:i1 + 1] - f0,
+            feat_code=table.feat_code[f0:f1],
+            feat_left=table.feat_left[f0:f1],
+            feat_len=table.feat_len[f0:f1],
+            ref_names=table.ref_names,
+            ref_real_names=table.ref_real_names,
+            ref_lens=table.ref_lens, read_len_hist=table.read_len_hist,
+            paired_end=table.paired_end)
     # rebuild the feature ragged arrays for the kept rows
     lens = (table.feat_off[1:] - table.feat_off[:-1])[idx]
     new_off = np.zeros(len(idx) + 1, dtype=np.int64)
@@ -63,17 +83,18 @@ def split_by_chrom(table: HitTable, n_shards: int) -> List[List[int]]:
     single-shard run (ids thread shard-to-shard via an exclusive scan)."""
     counts = np.bincount(table.ref_id, minlength=len(table.ref_names))
     total = int(counts.sum())
-    per = max(1, total // max(1, n_shards))
-    shards: List[List[int]] = [[]]
-    acc = 0
+    shards: List[List[int]] = [[] for _ in range(max(1, n_shards))]
+    if total == 0:
+        shards[0] = list(range(len(counts)))
+        return shards
+    cum = 0
     for rid in range(len(counts)):
-        if acc >= per and len(shards) < n_shards:
-            shards.append([])
-            acc = 0
-        shards[-1].append(rid)
-        acc += int(counts[rid])
-    while len(shards) < n_shards:
-        shards.append([])
+        # assign by the midpoint quantile of this chromosome's read range;
+        # monotone in rid, so shards stay contiguous
+        k = min(len(shards) - 1,
+                (cum + int(counts[rid]) // 2) * len(shards) // total)
+        shards[k].append(rid)
+        cum += int(counts[rid])
     return shards
 
 

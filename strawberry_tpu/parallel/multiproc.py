@@ -25,17 +25,16 @@ from ..quant.locus import Isoform, c_str
 from .distributed import shard_table, split_by_chrom
 
 _WORK = {}
+_PARENT = {}  # set pre-fork; children inherit it copy-on-write (passing the
+              # HitTable through initargs would pickle ~100MB per worker)
 
 
-def _init_worker(table, cfg, bam_path, shards):
+def _init_worker():
     # forked workers must not share the parent's (possibly initialized)
     # accelerator backend; keep their kernels on host
     import os
     os.environ["STRAWB_FORCE_HOST"] = "1"
-    _WORK["table"] = table
-    _WORK["cfg"] = cfg
-    _WORK["bam_path"] = bam_path
-    _WORK["shards"] = shards
+    _WORK.update(_PARENT)
 
 
 def _make_sample(k: int) -> Sample:
@@ -87,8 +86,8 @@ def run_multiprocess(table: HitTable, cfg: Config, bam_path: str,
                      n_procs: int = 2) -> List[Isoform]:
     shards = split_by_chrom(table, n_procs)
     ctx = mp.get_context("fork")
-    with ctx.Pool(n_procs, initializer=_init_worker,
-                  initargs=(table, cfg, bam_path, shards)) as pool:
+    _PARENT.update(table=table, cfg=cfg, bam_path=bam_path, shards=shards)
+    with ctx.Pool(n_procs, initializer=_init_worker) as pool:
         p1 = sorted(pool.map(_pass1, range(len(shards))))
 
         # exclusive scan of per-shard cluster counts -> renumber names so
