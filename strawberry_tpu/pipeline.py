@@ -496,39 +496,51 @@ class Sample:
             log.write(f"Has inspected {self.total_mapped_reads} reads\n")
 
     def _assemble_batched(self, log: TextIO):
-        """Device pass 1: prepare every cluster's flow problems on host,
-        solve them as one bucketed batch of DPs on the TPU, then finish in
-        cluster order (ids, naming, fragment-length learning)."""
+        """Device pass 1: prepare each cluster's flow problems on host,
+        solve them as bucketed batches of DPs on the TPU, then finish in
+        cluster order (ids, naming, fragment-length learning).
+
+        Work drains in chunks as the cluster stream produces them, so the
+        resolve/solve/finish Python work overlaps the native clustering of
+        later chromosomes."""
         from .assembly.device import batched_mcf
         self.num_cluster = self.num_cluster_base
         collected = []
+
+        def _drain():
+            if not collected:
+                return
+            for _cluster, units in collected:
+                self._resolve_units(units)
+            problems = []
+            index = []
+            for ci, (_cluster, units) in enumerate(collected):
+                if not units:
+                    continue
+                for ui, (_k, task) in enumerate(units):
+                    if task.fn is not None:
+                        index.append((ci, ui))
+                        problems.append(task.dense)
+            with PROF.phase("device_flow_dp", items=len(problems)):
+                flows_flat = batched_mcf(problems)
+            flowmap = dict(zip(index, flows_flat))
+            for ci, (cluster, units) in enumerate(collected):
+                flows = [flowmap.get((ci, ui))
+                         for ui in range(len(units or []))]
+                asmb = self.finish_cluster_assembly(cluster, units, flows,
+                                                    log)
+                self.assembly.extend(asmb)
+                ref_name = self.table.ref_real_names[cluster.ref_id]
+                log.write(f"Inspect gene: {ref_name}:{cluster.leftmost}-"
+                          f"{cluster.rightmost}\n")
+                log.write(f"Has inspected {self.total_mapped_reads} reads\n")
+            collected.clear()
+
         for cluster in self.iter_clusters("refguide"):
             collected.append((cluster, self.prepare_cluster_assembly(cluster)))
-        for _cluster, units in collected:
-            self._resolve_units(units)
-
-        problems = []
-        index = []
-        for ci, (_cluster, units) in enumerate(collected):
-            if not units:
-                continue
-            for ui, (_k, task) in enumerate(units):
-                if task.fn is not None:
-                    index.append((ci, ui))
-                    problems.append(task.dense)
-        with PROF.phase("device_flow_dp", items=len(problems)):
-            flows_flat = batched_mcf(problems)
-        flowmap = dict(zip(index, flows_flat))
-
-        for ci, (cluster, units) in enumerate(collected):
-            flows = [flowmap.get((ci, ui))
-                     for ui in range(len(units or []))]
-            asmb = self.finish_cluster_assembly(cluster, units, flows, log)
-            self.assembly.extend(asmb)
-            ref_name = self.table.ref_real_names[cluster.ref_id]
-            log.write(f"Inspect gene: {ref_name}:{cluster.leftmost}-"
-                      f"{cluster.rightmost}\n")
-            log.write(f"Has inspected {self.total_mapped_reads} reads\n")
+            if len(collected) >= 128:
+                _drain()
+        _drain()
 
     def pre_process(self, log: TextIO):
         """Pass 1 for --no-assembly (alignments.cpp:1189-1233)."""
