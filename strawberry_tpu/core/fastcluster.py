@@ -55,9 +55,15 @@ def _bind(lib):
     lib.strawb_cluster_nunit.argtypes = [C.c_void_p]
     for name, pt in [("unitoff", i64p), ("unitjob", i64p),
                      ("unitkind", i8p), ("unitstrand", i8p),
-                     ("unitl", i64p), ("unitr", i64p), ("admit", i8p)]:
+                     ("unitl", i64p), ("unitr", i64p), ("admit", i8p),
+                     ("goff", i64p), ("gcode", i8p), ("gleft", i64p),
+                     ("glen", i32p), ("gmass", dp), ("vcum", i64p)]:
         fn = getattr(lib, f"strawb_cluster_{name}")
         fn.restype = pt
+        fn.argtypes = [C.c_void_p]
+    for name in ("nvalid", "ngfeat"):
+        fn = getattr(lib, f"strawb_cluster_{name}")
+        fn.restype = C.c_int64
         fn.argtypes = [C.c_void_p]
     for name, rt in [("n", C.c_int64), ("nct", C.c_int64),
                      ("nfeat", C.c_int64), ("nrefidx", C.c_int64),
@@ -375,29 +381,17 @@ def _decode_cluster_handle(lib, h, cfg: Config, ref_mrnas: List[Contig]
     sg_ridx = _view(lib.strawb_cluster_segridx(h), nseg, np.int64, owner)
     sg_strand = _view(lib.strawb_cluster_segstrand(h), nseg, np.int8, owner)
 
-    # one GLOBAL valid-contig gather; every cluster's flat RLE arrays are
-    # then contiguous views into it (no per-cluster repeat/arange)
+    # the VALID-contig gather (flat RLE of valid contigs + masses + running
+    # valid counts) is emitted natively alongside ct_*; wrap it zero-copy
     valid_all = ct_valid != 0
-    contig_lens = ct_featoff[1:] - ct_featoff[:-1]
-    vstart_all = ct_featoff[:-1][valid_all]
-    vlens_all = contig_lens[valid_all]
-    goff = np.zeros(len(vstart_all) + 1, np.int64)
-    np.cumsum(vlens_all, out=goff[1:])
-    gtotal = int(goff[-1])
-    if gtotal:
-        pos = np.arange(gtotal, dtype=np.int64) - np.repeat(
-            goff[:-1], vlens_all)
-        src = np.repeat(vstart_all, vlens_all) + pos
-        gcode = ct_fcode[src]
-        gleft = ct_fleft[src]
-        glen = ct_flen[src]
-    else:
-        gcode = np.zeros(0, np.int8)
-        gleft = np.zeros(0, np.int64)
-        glen = np.zeros(0, np.int32)
-    gmass = ct_mass[valid_all]
-    vcum = np.zeros(nct + 1, np.int64)
-    np.cumsum(valid_all, out=vcum[1:])
+    nvalid = lib.strawb_cluster_nvalid(h)
+    ngfeat = lib.strawb_cluster_ngfeat(h)
+    goff = _view(lib.strawb_cluster_goff(h), nvalid + 1, np.int64, owner)
+    gcode = _view(lib.strawb_cluster_gcode(h), ngfeat, np.int8, owner)
+    gleft = _view(lib.strawb_cluster_gleft(h), ngfeat, np.int64, owner)
+    glen = _view(lib.strawb_cluster_glen(h), ngfeat, np.int32, owner)
+    gmass = _view(lib.strawb_cluster_gmass(h), nvalid, np.float64, owner)
+    vcum = _view(lib.strawb_cluster_vcum(h), nct + 1, np.int64, owner)
 
     # Python-int prefetch: one C-level tolist per array instead of per-
     # element numpy scalar boxing in the cluster loop

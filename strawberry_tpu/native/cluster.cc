@@ -19,6 +19,9 @@
 // Outputs are flat arrays consumed by strawberry_tpu/core/fastcluster.py.
 
 #include <algorithm>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -110,6 +113,17 @@ struct Out {
   // refine segments
   std::vector<i64> sg_left, sg_right, sg_lidx, sg_ridx;
   std::vector<int8_t> sg_strand;
+  // VALID-contig gather, emitted alongside ct_* so the Python pool gets
+  // its flat RLE views without a numpy repeat/arange pass:
+  //   g_* = features of valid contigs only (in contig order), g_off their
+  //   per-valid-contig offsets, g_mass their masses, vcum the running
+  //   valid count per contig (size ncontigs+1)
+  std::vector<i64> g_off{0};
+  std::vector<int8_t> g_code;
+  std::vector<i64> g_left;
+  std::vector<i32> g_len;
+  std::vector<double> g_mass;
+  std::vector<i64> vcum{0};
   // fused pass-1 assembly-prep units (strawb_cluster_start_fused): one
   // entry per ref/seg unit, AsmJob* as intptr (0 = empty unit)
   bool fused = false;
@@ -443,9 +457,12 @@ class Runner {
 
   // ---- Contig(PairedHit) (contig.cpp:216-267) ---------------------------
   // writes the contig into out; returns valid flag
+  struct F { int8_t c; i64 l; i32 n; };
+  std::vector<F> ptc_g_, ptc_m_;  // reused scratch (hot: one call per pair)
+
   bool pair_to_contig(const PH& p, Out& o) {
-    struct F { int8_t c; i64 l; i32 n; };
-    std::vector<F> g;
+    std::vector<F>& g = ptc_g_;
+    g.clear();
     auto push_read = [&](i32 i) {
       for (i64 f = h_.feat_off[i]; f < h_.feat_off[i + 1]; ++f)
         g.push_back({h_.feat_code[f], h_.feat_left[f], h_.feat_len[f]});
@@ -467,7 +484,8 @@ class Runner {
           return x.n < y.n;
         });
         // merge_genomicFeats (contig.h:111-138)
-        std::vector<F> m;
+        std::vector<F>& m = ptc_m_;
+        m.clear();
         size_t i = 0;
         bool ok = true;
         while (i < g.size()) {
@@ -509,6 +527,16 @@ class Runner {
       o.ct_flen.push_back(f.n);
     }
     o.ct_feat_off.push_back((i64)o.ct_fcode.size());
+    if (valid) {
+      for (const F& f : g) {
+        o.g_code.push_back(f.c);
+        o.g_left.push_back(f.l);
+        o.g_len.push_back(f.n);
+      }
+      o.g_off.push_back((i64)o.g_code.size());
+      o.g_mass.push_back(p.collapse);
+    }
+    o.vcum.push_back(o.vcum.back() + (valid ? 1 : 0));
     return valid;
   }
 
@@ -670,6 +698,13 @@ class Runner {
   }
 
   void run(Out& o) {
+    const bool dbg = getenv("STRAWB_NATIVE_DEBUG") != nullptr;
+    double t_scan = 0, t_collapse = 0, t_emit = 0, t0 = 0;
+    auto now = [] {
+      return std::chrono::duration<double>(
+                 std::chrono::steady_clock::now().time_since_epoch())
+          .count();
+    };
     o.cl_ref_off.push_back(0);
     o.cl_uniq_off.push_back(0);
     o.cl_seg_off.push_back(0);
@@ -677,13 +712,17 @@ class Runner {
     Cluster c;
     while (true) {
       c.reset();
+      if (dbg) t0 = now();
       int rc = cfg_.mode == 1 ? next_cluster_ref_demand(c)
                               : next_cluster_refguide(c);
+      if (dbg) t_scan += now() - t0;
       if (rc == -1) break;
       if (c.ref_id == -1) continue;
       // finalize (open mates dropped), collapse + boundaries
       if (c.size() > 0) {
+        if (dbg) t0 = now();
         collapse(c);
+        if (dbg) t_collapse += now() - t0;
         if (cfg_.enforce_ref_models && !c.refs.empty()) {
           c.leftmost = UINT_MAX64;
           c.rightmost = 0;
@@ -701,6 +740,7 @@ class Runner {
         refine(c, segs);
       }
       // emit
+      if (dbg) t0 = now();
       o.cl_left.push_back(c.leftmost);
       o.cl_right.push_back(c.rightmost);
       o.cl_ref_id.push_back(c.ref_id);
@@ -717,7 +757,11 @@ class Runner {
         o.sg_strand.push_back(s.strand);
       }
       o.cl_seg_off.push_back((i64)o.sg_left.size());
+      if (dbg) t_emit += now() - t0;
     }
+    if (dbg)
+      fprintf(stderr, "[native] runner scan=%.3fs collapse=%.3fs emit=%.3fs\n",
+              t_scan, t_collapse, t_emit);
   }
 
  private:
@@ -1106,6 +1150,18 @@ StrawbClusters* strawb_cluster_run(
   o.cl_seg_off.push_back(0);
   o.ct_feat_off.push_back(0);
   for (const Out& p : pouts) {
+    {
+      i64 gb = o.g_off.back();
+      for (size_t k = 1; k < p.g_off.size(); ++k)
+        o.g_off.push_back(p.g_off[k] + gb);
+      i64 vb = o.vcum.back();
+      for (size_t k = 1; k < p.vcum.size(); ++k)
+        o.vcum.push_back(p.vcum[k] + vb);
+      o.g_code.insert(o.g_code.end(), p.g_code.begin(), p.g_code.end());
+      o.g_left.insert(o.g_left.end(), p.g_left.begin(), p.g_left.end());
+      o.g_len.insert(o.g_len.end(), p.g_len.begin(), p.g_len.end());
+      o.g_mass.insert(o.g_mass.end(), p.g_mass.begin(), p.g_mass.end());
+    }
     auto app = [](auto& d, const auto& s) {
       d.insert(d.end(), s.begin(), s.end());
     };
@@ -1180,6 +1236,15 @@ const i64* strawb_cluster_segright(StrawbClusters* s) { return s->o.sg_right.dat
 const i64* strawb_cluster_seglidx(StrawbClusters* s) { return s->o.sg_lidx.data(); }
 const i64* strawb_cluster_segridx(StrawbClusters* s) { return s->o.sg_ridx.data(); }
 const int8_t* strawb_cluster_segstrand(StrawbClusters* s) { return s->o.sg_strand.data(); }
+
+i64 strawb_cluster_nvalid(StrawbClusters* s) { return (i64)s->o.g_mass.size(); }
+i64 strawb_cluster_ngfeat(StrawbClusters* s) { return (i64)s->o.g_code.size(); }
+const i64* strawb_cluster_goff(StrawbClusters* s) { return s->o.g_off.data(); }
+const int8_t* strawb_cluster_gcode(StrawbClusters* s) { return s->o.g_code.data(); }
+const i64* strawb_cluster_gleft(StrawbClusters* s) { return s->o.g_left.data(); }
+const i32* strawb_cluster_glen(StrawbClusters* s) { return s->o.g_len.data(); }
+const double* strawb_cluster_gmass(StrawbClusters* s) { return s->o.g_mass.data(); }
+const i64* strawb_cluster_vcum(StrawbClusters* s) { return s->o.vcum.data(); }
 
 i32 strawb_cluster_fused(StrawbClusters* s) { return s->o.fused ? 1 : 0; }
 i64 strawb_cluster_nunit(StrawbClusters* s) { return (i64)s->o.unit_job.size(); }
