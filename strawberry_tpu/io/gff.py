@@ -267,6 +267,111 @@ class GffReader:
                         t.exons.reverse()
 
 
+class NativeGff:
+    """Flat transcript arrays from the native parser (gffparse.cc);
+    structure-equal to GffReader (tests/test_native_gff.py)."""
+
+    __slots__ = ("chroms", "tids", "gids", "gnames", "block_tx", "strand",
+                 "exoff", "exl", "exr")
+
+
+_gff_bound = False
+
+
+def parse_native(path: str) -> NativeGff:
+    """Parse a GTF/GFF3 with the native parser (same quirks as GffReader)."""
+    global _gff_bound
+    import ctypes as C
+
+    import numpy as np
+
+    from .native import get_lib
+    lib = get_lib()
+    if not _gff_bound:
+        lib.strawb_gff_parse.restype = C.c_void_p
+        lib.strawb_gff_parse.argtypes = [C.c_char_p]
+        for name, rt in [("ok", C.c_int32), ("nblocks", C.c_int64),
+                         ("ntx", C.c_int64), ("nexons", C.c_int64)]:
+            fn = getattr(lib, f"strawb_gff_{name}")
+            fn.restype = rt
+            fn.argtypes = [C.c_void_p]
+        for name in ("chroms", "tids", "gids", "gnames"):
+            fn = getattr(lib, f"strawb_gff_{name}")
+            fn.restype = C.c_char_p
+            fn.argtypes = [C.c_void_p]
+        for name, pt in [("blocktx", C.POINTER(C.c_int64)),
+                         ("strand", C.POINTER(C.c_int8)),
+                         ("exoff", C.POINTER(C.c_int64)),
+                         ("exl", C.POINTER(C.c_int64)),
+                         ("exr", C.POINTER(C.c_int64))]:
+            fn = getattr(lib, f"strawb_gff_{name}")
+            fn.restype = pt
+            fn.argtypes = [C.c_void_p]
+        lib.strawb_gff_free.restype = None
+        lib.strawb_gff_free.argtypes = [C.c_void_p]
+        _gff_bound = True
+
+    def arr(ptr, n, dt):
+        if n == 0:
+            return []
+        return np.ctypeslib.as_array(ptr, shape=(int(n),)).tolist()
+
+    h = lib.strawb_gff_parse(path.encode())
+    try:
+        if not lib.strawb_gff_ok(h):
+            raise IOError(f"cannot read annotation: {path}")
+        g = NativeGff()
+        nb = lib.strawb_gff_nblocks(h)
+        ntx = lib.strawb_gff_ntx(h)
+        nex = lib.strawb_gff_nexons(h)
+        g.chroms = lib.strawb_gff_chroms(h).decode().split("\n")[:-1]
+        g.tids = lib.strawb_gff_tids(h).decode().split("\n")[:-1]
+        g.gids = lib.strawb_gff_gids(h).decode().split("\n")[:-1]
+        g.gnames = lib.strawb_gff_gnames(h).decode().split("\n")[:-1]
+        g.block_tx = arr(lib.strawb_gff_blocktx(h), nb + 1, None)
+        g.strand = arr(lib.strawb_gff_strand(h), ntx, None)
+        g.exoff = arr(lib.strawb_gff_exoff(h), ntx + 1, None)
+        g.exl = arr(lib.strawb_gff_exl(h), nex, None)
+        g.exr = arr(lib.strawb_gff_exr(h), nex, None)
+        return g
+    finally:
+        lib.strawb_gff_free(h)
+
+
+def load_ref_mrnas_native(g: NativeGff,
+                          ref_name2id: Dict[str, int]) -> List[Contig]:
+    """load_ref_mrnas over the native parse result."""
+    nb = len(g.block_tx) - 1
+    if ref_name2id and nb:
+        missing = sum(1 for n in g.chroms if n not in ref_name2id)
+        if missing == nb:
+            raise RuntimeError(
+                "gff/gtf and bam have entirely different chromosome naming")
+    order = sorted(range(nb), key=lambda b: ref_name2id.get(g.chroms[b], -1))
+    result: List[Contig] = []
+    for b in order:
+        ref_id = ref_name2id.get(g.chroms[b], -1)
+        per_chrom: List[Contig] = []
+        for t in range(g.block_tx[b], g.block_tx[b + 1]):
+            e0, e1 = g.exoff[t], g.exoff[t + 1]
+            if e0 == e1:
+                continue
+            feats = []
+            for e in range(e0, e1):
+                feats.append((S_MATCH, g.exl[e], g.exr[e] - g.exl[e] + 1))
+                if e + 1 < e1:
+                    feats.append((S_INTRON, g.exr[e] + 1,
+                                  g.exl[e + 1] - 1 - g.exr[e]))
+            per_chrom.append(Contig(
+                ref_id=ref_id, strand=g.strand[t], feats=feats, mass=1.0,
+                is_ref=True, contig_id=0, trans_id=g.tids[t],
+                parent_id=g.gids[t], ref_gene_id=g.gids[t],
+                ref_gene_name=g.gnames[t]))
+        per_chrom.sort(key=lambda x: x.sort_key())
+        result.extend(per_chrom)
+    return result
+
+
 def load_ref_mrnas(reader: GffReader, ref_name2id: Dict[str, int]) -> List[Contig]:
     """Sample::loadRefmRNAs (alignments.cpp:837-955): GffTrees -> sorted
     flat list of reference transcript Contigs, ordered by BAM ref id."""

@@ -74,12 +74,20 @@ class Sample:
     def sample_name(self) -> str:
         return os.path.basename(self.bam_path).split(".")[0]
 
-    def load_ref_gtf(self, gtf_path: str, reader: Optional[GffReader] = None):
-        if reader is None:
-            reader = GffReader(gtf_path)
-            reader.read_all()
+    def load_ref_gtf(self, gtf_path: str, reader=None):
         name2id = {n: i for i, n in enumerate(self.table.ref_names)}
-        self.factory.set_ref_mrnas(load_ref_mrnas(reader, name2id))
+        if reader is None:
+            try:
+                from .io.gff import parse_native
+                reader = parse_native(gtf_path)
+            except OSError:
+                reader = GffReader(gtf_path)
+                reader.read_all()
+        if isinstance(reader, GffReader):
+            self.factory.set_ref_mrnas(load_ref_mrnas(reader, name2id))
+        else:
+            from .io.gff import load_ref_mrnas_native
+            self.factory.set_ref_mrnas(load_ref_mrnas_native(reader, name2id))
 
     # ------------------------------------------------------------------
     def iter_clusters(self, mode: str):
@@ -757,6 +765,12 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
 
         def _read_gtf():
             try:
+                try:
+                    from .io.gff import parse_native
+                    gtf_box["reader"] = parse_native(cfg.ref_gtf_filename)
+                    return
+                except OSError:
+                    pass  # native lib unavailable
                 r = GffReader(cfg.ref_gtf_filename)
                 r.read_all()
                 gtf_box["reader"] = r
