@@ -49,6 +49,21 @@ def _bind(lib):
     lib.strawb_cluster_start_fused.restype = C.c_void_p
     lib.strawb_cluster_start_fused.argtypes = run_args + [
         C.c_int32, C.c_int64, i64p, i8p, i64p, i32p, dp, dp, i64p]
+    lib.strawb_cluster_start_qfused.restype = C.c_void_p
+    lib.strawb_cluster_start_qfused.argtypes = run_args + [
+        C.c_int32, C.c_int64, i64p, i8p, i64p, i32p, i64p, dp,
+        C.c_int64, C.c_int64, C.c_int32]
+    lib.strawb_cluster_qfused.restype = C.c_int32
+    lib.strawb_cluster_qfused.argtypes = [C.c_void_p]
+    for name in ("qnbins", "qnalpha"):
+        fn = getattr(lib, f"strawb_cluster_{name}")
+        fn.restype = C.c_int64
+        fn.argtypes = [C.c_void_p]
+    for name, pt in [("qbinoff", i64p), ("qalphaoff", i64p),
+                     ("qcounts", dp), ("qalpha", dp)]:
+        fn = getattr(lib, f"strawb_cluster_{name}")
+        fn.restype = pt
+        fn.argtypes = [C.c_void_p]
     lib.strawb_cluster_fused.restype = C.c_int32
     lib.strawb_cluster_fused.argtypes = [C.c_void_p]
     lib.strawb_cluster_nunit.restype = C.c_int64
@@ -118,7 +133,8 @@ class NativeCluster:
     __slots__ = ("leftmost", "rightmost", "ref_id", "weighted_mass",
                  "ref_mrnas", "id", "cfg", "ref_indices",
                  "_n_uniq", "_uniq_cache", "_pool", "_k",
-                 "_flat", "_flat_mass", "_rawc", "_segs", "prep_units")
+                 "_flat", "_flat_mass", "_rawc", "_segs", "prep_units",
+                 "quant_prebuilt")
 
     def __init__(self):
         self.id = -1
@@ -129,6 +145,7 @@ class NativeCluster:
         self._rawc = None
         self._segs = None
         self.prep_units = None  # (admitted, [(kind, strand, l, r, job)])
+        self.quant_prebuilt = None  # (counts view, alpha view) when qfused
 
     # the pipeline treats uniq_hits entries as opaque tokens passed back
     # through pair_to_contig; natively they ARE the contigs (or None)
@@ -298,7 +315,8 @@ def run_native_clustering(table: HitTable, cfg: Config,
 
 def stream_native_clustering(table: HitTable, cfg: Config,
                              ref_mrnas: List[Contig], mode: str,
-                             fuse_read_len: Optional[int] = None):
+                             fuse_read_len: Optional[int] = None,
+                             fuse_quant=None):
     """Streaming variant: yields NativeClusters per chromosome partition
     while the native workers are still clustering later partitions (the
     blocking wait releases the GIL).
@@ -334,6 +352,21 @@ def stream_native_clustering(table: HitTable, cfg: Config,
             rmass.ctypes.data_as(C.POINTER(C.c_double)),
             dcfg.ctypes.data_as(C.POINTER(C.c_double)),
             icfg.ctypes.data_as(C.POINTER(C.c_int64)))
+    elif fuse_quant is not None:
+        read_len, rf, rexlen, pdf, base_lmin, long_read = fuse_quant
+        rf = tuple(np.ascontiguousarray(a) for a in rf)
+        rexlen = np.ascontiguousarray(rexlen, np.int64)
+        pdf = np.ascontiguousarray(pdf, np.float64)
+        keep += [rf, rexlen, pdf]
+        job = lib.strawb_cluster_start_qfused(
+            *args, 0, read_len,
+            rf[0].ctypes.data_as(C.POINTER(C.c_int64)),
+            rf[1].ctypes.data_as(C.POINTER(C.c_int8)),
+            rf[2].ctypes.data_as(C.POINTER(C.c_int64)),
+            rf[3].ctypes.data_as(C.POINTER(C.c_int32)),
+            rexlen.ctypes.data_as(C.POINTER(C.c_int64)),
+            pdf.ctypes.data_as(C.POINTER(C.c_double)),
+            len(pdf), base_lmin, 1 if long_read else 0)
     else:
         job = lib.strawb_cluster_start(*args, 0)
     try:
@@ -429,6 +462,19 @@ def _decode_cluster_handle(lib, h, cfg: Config, ref_mrnas: List[Contig]
                              sg_lidx.tolist(), sg_ridx.tolist(),
                              sg_strand.tolist()))
 
+    qfused = bool(lib.strawb_cluster_qfused(h))
+    if qfused:
+        qnb = lib.strawb_cluster_qnbins(h)
+        qna = lib.strawb_cluster_qnalpha(h)
+        q_bin_off = _arr(lib.strawb_cluster_qbinoff(h), n + 1,
+                         np.int64).tolist()
+        q_alpha_off = _arr(lib.strawb_cluster_qalphaoff(h), n + 1,
+                           np.int64).tolist()
+        q_counts = _view(lib.strawb_cluster_qcounts(h), qnb, np.float64,
+                         owner)
+        q_alpha = _view(lib.strawb_cluster_qalpha(h), qna, np.float64,
+                        owner)
+
     fused = bool(lib.strawb_cluster_fused(h))
     if fused:
         nunit = lib.strawb_cluster_nunit(h)
@@ -463,6 +509,9 @@ def _decode_cluster_handle(lib, h, cfg: Config, ref_mrnas: List[Contig]
                             [(unit_kind[u], unit_strand[u], unit_l[u],
                               unit_r[u], unit_job[u])
                              for u in range(u0, u1)])
+        if qfused:
+            c.quant_prebuilt = (q_counts[q_bin_off[k]:q_bin_off[k + 1]],
+                                q_alpha[q_alpha_off[k]:q_alpha_off[k + 1]])
         clusters.append(c)
     return clusters
 

@@ -35,6 +35,7 @@
 #include <vector>
 
 #include "asmprep.h"
+#include "quantprep.h"
 
 namespace {
 
@@ -133,6 +134,13 @@ struct Out {
   std::vector<int8_t> unit_strand;
   std::vector<i64> unit_l, unit_r;
   std::vector<int8_t> cl_admit;  // per cluster: >= min_read_for_assemb
+  // fused pass-2 quant prep (strawb_cluster_start_qfused): per-cluster EM
+  // inputs computed right after the cluster is built
+  bool qfused = false;
+  std::vector<i64> q_bin_off;  // size nclusters+1 -> q_counts
+  std::vector<double> q_counts;
+  std::vector<i64> q_alpha_off;  // size nclusters+1 -> q_alpha
+  std::vector<double> q_alpha;
   std::string error;
 };
 
@@ -787,7 +795,7 @@ struct Part {
 // Inputs of the fused pass-1 prep: reference-transcript RLE features +
 // per-ref masses, plus the assembleprep knobs.
 struct FusedIn {
-  bool enabled = false;
+  bool enabled = false;  // pass-1 assembly-prep fusion
   i64 read_len = 0;
   const i64* rf_off = nullptr;
   const int8_t* rf_code = nullptr;
@@ -795,7 +803,46 @@ struct FusedIn {
   const i32* rf_len = nullptr;
   const double* rmass = nullptr;
   AsmPrepCfg acfg{};
+  // pass-2 quant fusion
+  bool quant = false;
+  const i64* rexlen = nullptr;  // per-global-ref exonic length
+  const double* pdf = nullptr;
+  i64 pdf_len = 0;
+  i64 base_lmin = 0;
+  i32 long_read = 0;
 };
+
+// Per-cluster quant prep (LocusContext bins + weights) chained onto the
+// clustering worker: hits = the cluster's valid contigs (the g_* gather),
+// isoforms = the cluster's refs. Mirrors _quantify_batched's native specs.
+static void fuse_quant(const FusedIn& fu, Out& o) {
+  size_t ncl = o.cl_left.size();
+  o.qfused = true;
+  o.q_bin_off.push_back(0);
+  o.q_alpha_off.push_back(0);
+  std::vector<i64> ids;
+  QuantLocusOut out;
+  for (size_t k = 0; k < ncl; ++k) {
+    i64 a0 = o.cl_uniq_off[k], a1 = o.cl_uniq_off[k + 1];
+    i64 v0 = o.vcum[a0], v1 = o.vcum[a1];
+    i64 r0 = o.cl_ref_off[k], r1 = o.cl_ref_off[k + 1];
+    ids.clear();
+    for (i64 q = r0; q < r1; ++q) ids.push_back(o.flat_ref_idx[q]);
+    out.counts.clear();
+    out.alpha.clear();
+    strawb_quant_locus(o.g_off.data(), o.g_code.data(), o.g_left.data(),
+                       o.g_len.data(), o.g_mass.data(), v0, v1,
+                       fu.rf_off, fu.rf_code, fu.rf_left, fu.rf_len,
+                       ids.data(), (i64)ids.size(), fu.rexlen,
+                       fu.pdf, fu.pdf_len, fu.read_len, fu.base_lmin,
+                       fu.long_read, out);
+    o.q_counts.insert(o.q_counts.end(), out.counts.begin(),
+                      out.counts.end());
+    o.q_alpha.insert(o.q_alpha.end(), out.alpha.begin(), out.alpha.end());
+    o.q_bin_off.push_back((i64)o.q_counts.size());
+    o.q_alpha_off.push_back((i64)o.q_alpha.size());
+  }
+}
 
 // Replicates pipeline.Sample.prepare_cluster_assembly for the clusters of
 // one partition Out: the admission test, the utilize-ref unit (refs + valid
@@ -956,6 +1003,39 @@ struct StrawbClusterJob {
   }
 };
 
+// compute partitions and launch the worker threads (shared by the plain,
+// asm-fused and quant-fused entry points)
+static void job_spawn(StrawbClusterJob* job, i32 n_threads) {
+  job->parts = compute_parts(job->h, job->r);
+  size_t np = job->parts.size();
+  job->outs.assign(np, nullptr);
+  job->done.assign(np, 0);
+  if (np == 0) return;
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t T = n_threads > 0 ? (size_t)n_threads : (hw > 1 ? 2 : 1);
+  if (T > np) T = np;
+  for (size_t t = 0; t < T; ++t) {
+    job->threads.emplace_back([job]() {
+      for (;;) {
+        size_t k = job->next.fetch_add(1);
+        if (k >= job->parts.size()) break;
+        auto* out = new StrawbClusters();
+        Runner runner(job->cfg, job->h, job->r);
+        const Part& p = job->parts[k];
+        runner.run_range(out->o, p.h0, p.h1, p.r0, p.r1);
+        if (job->fu.enabled) fuse_prep(job->cfg, job->r, job->fu, out->o);
+        if (job->fu.quant) fuse_quant(job->fu, out->o);
+        {
+          std::lock_guard<std::mutex> g(job->mu);
+          job->outs[k] = out;
+          job->done[k] = 1;
+        }
+        job->cv.notify_all();
+      }
+    });
+  }
+}
+
 StrawbClusterJob* strawb_cluster_start(
     // hits
     i64 n, const i32* ref_id, const i64* left, const i64* right,
@@ -978,33 +1058,48 @@ StrawbClusterJob* strawb_cluster_start(
   job->cfg = Cfg{max_olap_dist, max_intron_length, max_frag_span,
                  enforce_ref_models, utilize_ref_models, min_read_for_assemb,
                  mode};
-  job->parts = compute_parts(job->h, job->r);
-  size_t np = job->parts.size();
-  job->outs.assign(np, nullptr);
-  job->done.assign(np, 0);
-  if (np == 0) return job;
-  unsigned hw = std::thread::hardware_concurrency();
-  size_t T = n_threads > 0 ? (size_t)n_threads : (hw > 1 ? 2 : 1);
-  if (T > np) T = np;
-  for (size_t t = 0; t < T; ++t) {
-    job->threads.emplace_back([job]() {
-      for (;;) {
-        size_t k = job->next.fetch_add(1);
-        if (k >= job->parts.size()) break;
-        auto* out = new StrawbClusters();
-        Runner runner(job->cfg, job->h, job->r);
-        const Part& p = job->parts[k];
-        runner.run_range(out->o, p.h0, p.h1, p.r0, p.r1);
-        if (job->fu.enabled) fuse_prep(job->cfg, job->r, job->fu, out->o);
-        {
-          std::lock_guard<std::mutex> g(job->mu);
-          job->outs[k] = out;
-          job->done[k] = 1;
-        }
-        job->cv.notify_all();
-      }
-    });
-  }
+  job_spawn(job, n_threads);
+  return job;
+}
+
+// Quant-fused variant (pass 2): additionally computes each cluster's EM
+// inputs (bins + weights) on the clustering workers. rf_* = flat RLE of the
+// full reference list, rexlen = per-ref exonic lengths, pdf = dense
+// fragment-length table, base_lmin = start_offset/read_len.
+StrawbClusterJob* strawb_cluster_start_qfused(
+    i64 n, const i32* ref_id, const i64* left, const i64* right,
+    const int8_t* strand, const uint16_t* flag, const i32* mate_ref,
+    const i64* mate_pos, const i32* nh, const uint64_t* read_id,
+    const uint64_t* cigar_hash, const i64* feat_off, const int8_t* feat_code,
+    const i64* feat_left, const i32* feat_len,
+    i64 nref, const i32* rref_id, const i64* rleft, const i64* rright,
+    const i32* rgene, const int8_t* rstrand,
+    i64 max_olap_dist, i64 max_intron_length, i64 max_frag_span,
+    i32 enforce_ref_models, i32 utilize_ref_models, i32 min_read_for_assemb,
+    i32 mode, i32 n_threads,
+    i64 read_len, const i64* rf_off, const int8_t* rf_code,
+    const i64* rf_left, const i32* rf_len, const i64* rexlen,
+    const double* pdf, i64 pdf_len, i64 base_lmin, i32 long_read) {
+  auto* job = new StrawbClusterJob();
+  job->h = HitsIn{n, ref_id, left, right, strand, flag, mate_ref, mate_pos,
+                  nh, read_id, cigar_hash, feat_off, feat_code, feat_left,
+                  feat_len};
+  job->r = RefsIn{nref, rref_id, rleft, rright, rgene, rstrand};
+  job->cfg = Cfg{max_olap_dist, max_intron_length, max_frag_span,
+                 enforce_ref_models, utilize_ref_models, min_read_for_assemb,
+                 mode};
+  job->fu.quant = true;
+  job->fu.read_len = read_len;
+  job->fu.rf_off = rf_off;
+  job->fu.rf_code = rf_code;
+  job->fu.rf_left = rf_left;
+  job->fu.rf_len = rf_len;
+  job->fu.rexlen = rexlen;
+  job->fu.pdf = pdf;
+  job->fu.pdf_len = pdf_len;
+  job->fu.base_lmin = base_lmin;
+  job->fu.long_read = long_read;
+  job_spawn(job, n_threads);
   return job;
 }
 
@@ -1051,33 +1146,7 @@ StrawbClusterJob* strawb_cluster_start_fused(
   job->fu.acfg = AsmPrepCfg{dcfg[0], dcfg[1], dcfg[2], dcfg[3], icfg[0],
                             dcfg[4], (i32)icfg[1], dcfg[5], icfg[2], icfg[3],
                             dcfg[6], icfg[4]};
-  job->parts = compute_parts(job->h, job->r);
-  size_t np = job->parts.size();
-  job->outs.assign(np, nullptr);
-  job->done.assign(np, 0);
-  if (np == 0) return job;
-  unsigned hw = std::thread::hardware_concurrency();
-  size_t T = n_threads > 0 ? (size_t)n_threads : (hw > 1 ? 2 : 1);
-  if (T > np) T = np;
-  for (size_t t = 0; t < T; ++t) {
-    job->threads.emplace_back([job]() {
-      for (;;) {
-        size_t k = job->next.fetch_add(1);
-        if (k >= job->parts.size()) break;
-        auto* out = new StrawbClusters();
-        Runner runner(job->cfg, job->h, job->r);
-        const Part& p = job->parts[k];
-        runner.run_range(out->o, p.h0, p.h1, p.r0, p.r1);
-        if (job->fu.enabled) fuse_prep(job->cfg, job->r, job->fu, out->o);
-        {
-          std::lock_guard<std::mutex> g(job->mu);
-          job->outs[k] = out;
-          job->done[k] = 1;
-        }
-        job->cv.notify_all();
-      }
-    });
-  }
+  job_spawn(job, n_threads);
   return job;
 }
 
@@ -1245,6 +1314,14 @@ const i64* strawb_cluster_gleft(StrawbClusters* s) { return s->o.g_left.data(); 
 const i32* strawb_cluster_glen(StrawbClusters* s) { return s->o.g_len.data(); }
 const double* strawb_cluster_gmass(StrawbClusters* s) { return s->o.g_mass.data(); }
 const i64* strawb_cluster_vcum(StrawbClusters* s) { return s->o.vcum.data(); }
+
+i32 strawb_cluster_qfused(StrawbClusters* s) { return s->o.qfused ? 1 : 0; }
+i64 strawb_cluster_qnbins(StrawbClusters* s) { return (i64)s->o.q_counts.size(); }
+i64 strawb_cluster_qnalpha(StrawbClusters* s) { return (i64)s->o.q_alpha.size(); }
+const i64* strawb_cluster_qbinoff(StrawbClusters* s) { return s->o.q_bin_off.data(); }
+const i64* strawb_cluster_qalphaoff(StrawbClusters* s) { return s->o.q_alpha_off.data(); }
+const double* strawb_cluster_qcounts(StrawbClusters* s) { return s->o.q_counts.data(); }
+const double* strawb_cluster_qalpha(StrawbClusters* s) { return s->o.q_alpha.data(); }
 
 i32 strawb_cluster_fused(StrawbClusters* s) { return s->o.fused ? 1 : 0; }
 i64 strawb_cluster_nunit(StrawbClusters* s) { return (i64)s->o.unit_job.size(); }

@@ -28,6 +28,8 @@
 #include <thread>
 #include <vector>
 
+#include "quantprep.h"
+
 using std::size_t;
 
 namespace {
@@ -193,8 +195,6 @@ StrawbQuant* strawb_quant_batch(
     const i64* t_exlen,
     const double* pdf, i64 pdf_len,
     i64 read_len, i64 base_lmin, i32 long_read) {
-  Feats H{h_off, h_code, h_left, h_len};
-  Feats T{t_off, t_code, t_left, t_len};
   auto* Q = new StrawbQuant();
   Q->bin_off.push_back(0);
   Q->alpha_off.push_back(0);
@@ -203,26 +203,95 @@ StrawbQuant* strawb_quant_batch(
   // concatenate partial outputs in locus order (split points balanced by
   // hit count, the dominant cost driver)
   auto process_range = [&](i64 L_lo, i64 L_hi, StrawbQuant& P) {
+    std::vector<i64> ids;
+    QuantLocusOut out;
+    for (i64 L = L_lo; L < L_hi; ++L) {
+      i64 tbeg = iso_loc_off[L], tend = iso_loc_off[L + 1];
+      ids.clear();
+      for (i64 t = tbeg; t < tend; ++t) ids.push_back(t);
+      out.counts.clear();
+      out.alpha.clear();
+      strawb_quant_locus(h_off, h_code, h_left, h_len, h_mass,
+                         hit_loc_off[L], hit_loc_off[L + 1],
+                         t_off, t_code, t_left, t_len, ids.data(),
+                         (i64)ids.size(), t_exlen, pdf, pdf_len, read_len,
+                         base_lmin, long_read, out);
+      P.counts.insert(P.counts.end(), out.counts.begin(), out.counts.end());
+      P.alpha.insert(P.alpha.end(), out.alpha.begin(), out.alpha.end());
+      P.nbins.push_back((i64)out.counts.size());
+    }
+  };
+
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t TN = hw > 1 ? (hw < 8 ? hw : 8) : 1;
+  if (n_loci < 64) TN = 1;
+  std::vector<StrawbQuant> parts(TN);
+  if (TN == 1) {
+    process_range(0, n_loci, parts[0]);
+  } else {
+    // split points ~equal in total hits
+    i64 total_h = hit_loc_off[n_loci];
+    std::vector<i64> cut(TN + 1, n_loci);
+    cut[0] = 0;
+    {
+      i64 L = 0;
+      for (size_t t = 1; t < TN; ++t) {
+        i64 want = total_h * (i64)t / (i64)TN;
+        while (L < n_loci && hit_loc_off[L] < want) ++L;
+        cut[t] = L;
+      }
+    }
+    std::vector<std::thread> pool;
+    for (size_t t = 0; t < TN; ++t)
+      pool.emplace_back([&, t]() { process_range(cut[t], cut[t + 1],
+                                                 parts[t]); });
+    for (auto& th : pool) th.join();
+  }
+
+  for (size_t t = 0; t < TN; ++t) {
+    StrawbQuant& P = parts[t];
+    Q->counts.insert(Q->counts.end(), P.counts.begin(), P.counts.end());
+    Q->alpha.insert(Q->alpha.end(), P.alpha.begin(), P.alpha.end());
+    i64 Lbase = (i64)Q->nbins.size();
+    for (size_t k = 0; k < P.nbins.size(); ++k) {
+      i64 ni = iso_loc_off[Lbase + (i64)k + 1] - iso_loc_off[Lbase + (i64)k];
+      Q->bin_off.push_back(Q->bin_off.back() + P.nbins[k]);
+      Q->alpha_off.push_back(Q->alpha_off.back() + P.nbins[k] * ni);
+      Q->nbins.push_back(P.nbins[k]);
+    }
+  }
+  return Q;
+}
+
+}  // extern "C"
+
+// One locus' bins + theoretical weights (C++ linkage; see quantprep.h).
+// Shared by the batch entry above and the fused pass-2 clusterizer.
+void strawb_quant_locus(
+    const i64* h_off, const i8* h_code, const i64* h_left, const i32* h_len,
+    const double* h_mass, i64 hbeg, i64 hend,
+    const i64* t_off, const i8* t_code, const i64* t_left, const i32* t_len,
+    const i64* iso_ids, i64 ni, const i64* t_exlen,
+    const double* pdf, i64 pdf_len, i64 read_len, i64 base_lmin,
+    i32 long_read, QuantLocusOut& P_out) {
+  Feats H{h_off, h_code, h_left, h_len};
+  Feats T{t_off, t_code, t_left, t_len};
+  i64 nh = hend - hbeg;
   std::vector<i64> seg_l, seg_r;
   std::vector<std::vector<i64>> iso_exons;   // per iso: exon feat indices
   std::vector<std::vector<i64>> iso_segs;    // per iso: compatible seg ids
   std::vector<std::vector<uint8_t>> rows;    // per bin: seg membership
   std::vector<double> counts;
   std::vector<std::vector<uint8_t>> bin_hit_iso;
-
-  for (i64 L = L_lo; L < L_hi; ++L) {
-    i64 hbeg = hit_loc_off[L], hend = hit_loc_off[L + 1];
-    i64 tbeg = iso_loc_off[L], tend = iso_loc_off[L + 1];
-    i64 nh = hend - hbeg, ni = tend - tbeg;
-
+  {
     // ---- disjoint exon segments (interval.hpp:150-191) -----------------
-    seg_l.clear();
-    seg_r.clear();
     {
       std::vector<std::pair<i64, i64>> raw;  // unique (left,len), sorted
-      for (i64 t = tbeg; t < tend; ++t)
+      for (i64 ti = 0; ti < ni; ++ti) {
+        i64 t = iso_ids[ti];
         for (i64 f = t_off[t]; f < t_off[t + 1]; ++f)
           if (t_code[f] == 0) raw.push_back({t_left[f], (i64)t_len[f]});
+      }
       std::sort(raw.begin(), raw.end());
       raw.erase(std::unique(raw.begin(), raw.end()), raw.end());
       if (!raw.empty()) {
@@ -264,7 +333,7 @@ StrawbQuant* strawb_quant_batch(
     iso_exons.assign(ni, {});
     iso_segs.assign(ni, {});
     for (i64 t = 0; t < ni; ++t) {
-      for (i64 f = t_off[tbeg + t]; f < t_off[tbeg + t + 1]; ++f)
+      for (i64 f = t_off[iso_ids[t]]; f < t_off[iso_ids[t] + 1]; ++f)
         if (t_code[f] == 0) iso_exons[t].push_back(f);
       const auto& exv = iso_exons[t];
       for (i64 s = 0; s < ns; ++s) {
@@ -294,7 +363,7 @@ StrawbQuant* strawb_quant_batch(
       i64 hh = hbeg + h;
       bool any = false;
       for (i64 t = 0; t < ni; ++t) {
-        cc[t] = compat_hit_iso(H, hh, T, tbeg + t, iso_exons[t]) ? 1 : 0;
+        cc[t] = compat_hit_iso(H, hh, T, iso_ids[t], iso_exons[t]) ? 1 : 0;
         any |= cc[t];
       }
       if (!any) continue;
@@ -340,7 +409,7 @@ StrawbQuant* strawb_quant_batch(
     std::vector<i64> bin_segs, seg_lens, implicit;
     for (i64 t = 0; t < ni; ++t) {
       const auto& segs_t = iso_segs[t];
-      i64 Lt = t_exlen[tbeg + t];
+      i64 Lt = t_exlen[iso_ids[t]];
       double inv_len = long_read ? 1.0 / (double)Lt : 0.0;
       for (i64 b = 0; b < nbins; ++b) {
         if (!bin_hit_iso[b][t]) continue;
@@ -413,52 +482,12 @@ StrawbQuant* strawb_quant_batch(
       }
     }
 
-    for (i64 b = 0; b < nbins; ++b) P.counts.push_back(counts[b]);
-    P.alpha.insert(P.alpha.end(), alpha.begin(), alpha.end());
-    P.nbins.push_back(nbins);
+    for (i64 b = 0; b < nbins; ++b) P_out.counts.push_back(counts[b]);
+    P_out.alpha.insert(P_out.alpha.end(), alpha.begin(), alpha.end());
   }
-  };  // process_range
-
-  unsigned hw = std::thread::hardware_concurrency();
-  size_t TN = hw > 1 ? (hw < 8 ? hw : 8) : 1;
-  if (n_loci < 64) TN = 1;
-  std::vector<StrawbQuant> parts(TN);
-  if (TN == 1) {
-    process_range(0, n_loci, parts[0]);
-  } else {
-    // split points ~equal in total hits
-    i64 total_h = hit_loc_off[n_loci];
-    std::vector<i64> cut(TN + 1, n_loci);
-    cut[0] = 0;
-    {
-      i64 L = 0;
-      for (size_t t = 1; t < TN; ++t) {
-        i64 want = total_h * (i64)t / (i64)TN;
-        while (L < n_loci && hit_loc_off[L] < want) ++L;
-        cut[t] = L;
-      }
-    }
-    std::vector<std::thread> pool;
-    for (size_t t = 0; t < TN; ++t)
-      pool.emplace_back([&, t]() { process_range(cut[t], cut[t + 1],
-                                                 parts[t]); });
-    for (auto& th : pool) th.join();
-  }
-
-  for (size_t t = 0; t < TN; ++t) {
-    StrawbQuant& P = parts[t];
-    Q->counts.insert(Q->counts.end(), P.counts.begin(), P.counts.end());
-    Q->alpha.insert(Q->alpha.end(), P.alpha.begin(), P.alpha.end());
-    i64 Lbase = (i64)Q->nbins.size();
-    for (size_t k = 0; k < P.nbins.size(); ++k) {
-      i64 ni = iso_loc_off[Lbase + (i64)k + 1] - iso_loc_off[Lbase + (i64)k];
-      Q->bin_off.push_back(Q->bin_off.back() + P.nbins[k]);
-      Q->alpha_off.push_back(Q->alpha_off.back() + P.nbins[k] * ni);
-      Q->nbins.push_back(P.nbins[k]);
-    }
-  }
-  return Q;
 }
+
+extern "C" {
 
 const i64* strawb_quant_nbins(StrawbQuant* q) { return q->nbins.data(); }
 const i64* strawb_quant_binoff(StrawbQuant* q) { return q->bin_off.data(); }

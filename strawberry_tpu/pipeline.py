@@ -90,7 +90,7 @@ class Sample:
             self.factory.set_ref_mrnas(load_ref_mrnas_native(reader, name2id))
 
     # ------------------------------------------------------------------
-    def iter_clusters(self, mode: str):
+    def iter_clusters(self, mode: str, fuse_quant=None):
         """Yield finalized clusters in genome order. mode: 'refguide'
         (pass 1) or 'refdemand' (pass 2). Uses the native C++ clusterizer
         when available (validated against the Python oracle), else the
@@ -102,14 +102,15 @@ class Sample:
                 # streaming: cluster decode + downstream per-locus prep run
                 # while the native workers cluster later chromosomes; in
                 # pass 1 the workers also chain the per-cluster assembly
-                # prep (fuse_read_len), so clusters arrive with their flow
-                # problems already queued on the assembleprep pool
+                # prep (fuse_read_len), in pass 2 the quant prep
+                # (fuse_quant), so clusters arrive with their flow problems
+                # queued / EM inputs computed
                 fuse = self.read_len if (
                     mode == "refguide" and not self.cfg.no_assembly) else None
                 with PROF.phase("native_cluster"):
                     yield from stream_native_clustering(
                         self.table, self.cfg, self.factory.ref_mrnas, mode,
-                        fuse_read_len=fuse)
+                        fuse_read_len=fuse, fuse_quant=fuse_quant)
                 return
             except OSError:
                 pass  # native lib unavailable; fall through
@@ -615,6 +616,29 @@ class Sample:
                 ref_flat = flatten_contigs(self.factory.ref_mrnas)
             except Exception:
                 ref_flat = None
+
+        # fused quant prep: the clustering workers compute each locus's EM
+        # inputs (quantprep.cc) as soon as its cluster is built
+        fuse_quant = rexlen = None
+        if use_fast and ref_flat is not None:
+            from .quant.binweights import pdf_table
+            off, code, _left, lens = ref_flat
+            mlen = np.where(code == 0, lens.astype(np.int64), 0)
+            cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(mlen)])
+            rexlen = cs[off[1:]] - cs[off[:-1]]
+            if self.long_read_sample or self.insert_dist is None:
+                tbl = np.zeros(1, np.float64)
+                base_lmin = 0
+            else:
+                max_len = int(rexlen.max()) if len(rexlen) else 0
+                tbl = getattr(self.insert_dist, "_pdf_table", None)
+                if tbl is None or len(tbl) <= max_len:
+                    tbl = pdf_table(self.insert_dist, max(max_len, 4096))
+                    self.insert_dist._pdf_table = tbl
+                base_lmin = self.insert_dist.start_offset \
+                    if self.insert_dist.use_emp else self.read_len
+            fuse_quant = (self.read_len, ref_flat, rexlen, tbl, base_lmin,
+                          self.long_read_sample)
         native_specs = []  # (index into pending, spec)
         # quantprep chunks run on a side thread (the native call releases
         # the GIL) so C++ bin/weight computation overlaps the cluster stream
@@ -635,9 +659,16 @@ class Sample:
                 self.insert_dist, [s for _, s in chunk],
                 long_read_sample=self.long_read_sample)))
 
-        for cluster in self.iter_clusters("refdemand"):
+        for cluster in self.iter_clusters("refdemand", fuse_quant=fuse_quant):
             with PROF.phase("locus_context"):
-                if use_fast and getattr(cluster, "flat", None) is not None:
+                qp = getattr(cluster, "quant_prebuilt", None)
+                if qp is not None:
+                    from .quant.fastlocus import build_prebuilt_locus
+                    exl = [rexlen[i] for i in cluster.ref_indices]
+                    pending.append((cluster, build_prebuilt_locus(
+                        self.cfg, self.read_len, self.insert_dist,
+                        cluster.ref_mrnas, exl, qp[0], qp[1])))
+                elif use_fast and getattr(cluster, "flat", None) is not None:
                     from .core.fastcluster import (flatten_contigs as _fc,
                                                    take_flat)
                     iso_flat = take_flat(ref_flat, cluster.ref_indices) \

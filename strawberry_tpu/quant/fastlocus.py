@@ -183,6 +183,31 @@ def _concat_flats(flats):
             np.ascontiguousarray(ln, np.int32))
 
 
+def build_prebuilt_locus(cfg: Config, read_len: int,
+                         insert_dist: Optional[InsertSize],
+                         transcripts, exlens, counts, alpha) -> LocusContext:
+    """LocusContext-lite over EM inputs already computed natively (the
+    quant-fused clusterizer); mirrors build_batch_native's tail."""
+    est = LocusContext.__new__(LocusContext)
+    est.cfg = cfg
+    est.read_len = read_len
+    est.insert_dist = insert_dist
+    est.exon_bins = []
+    est.iso_2_bins_map = {}
+    est.transcripts = []
+    for t, L in zip(transcripts, exlens):
+        iso = Isoform(contig=t, length=int(L), gene_str=t.parent_id,
+                      isoform_str=t.trans_id, ref_gene_id=t.ref_gene_id,
+                      ref_gene_name=t.ref_gene_name)
+        iso.id = len(est.transcripts)
+        est.transcripts.append(iso)
+    ni = len(est.transcripts)
+    nb = len(counts)
+    # build_problem truncates counts to int (estimate.cpp:284-288)
+    est._prebuilt = (np.trunc(counts), np.asarray(alpha).reshape(nb, ni))
+    return est
+
+
 def build_batch_native(cfg: Config, read_len: int,
                        insert_dist: Optional[InsertSize],
                        specs, long_read_sample: bool = False
