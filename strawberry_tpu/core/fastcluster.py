@@ -688,6 +688,51 @@ def native_fld(isos, hit_flat, iso_flat=None):
     return out[:n].tolist()
 
 
+_fld_batch_bound = False
+
+
+def native_fld_batch(specs):
+    """Whole-pass fragLenDist: specs = ordered (transcripts, hit_flat) per
+    locus; returns the concatenated fragment lengths (locus order, hit
+    order within each locus — identical to per-locus native_fld calls)."""
+    global _fld_batch_bound
+    from ..io.native import get_lib
+    from ..quant.fastlocus import _concat_flats
+    lib = get_lib()
+    if not _fld_batch_bound:
+        i64p = C.POINTER(C.c_int64)
+        i32p = C.POINTER(C.c_int32)
+        i8p = C.POINTER(C.c_int8)
+        lib.strawb_fld_batch.restype = None
+        lib.strawb_fld_batch.argtypes = [
+            C.c_int64, i64p, i64p,
+            i64p, i8p, i64p, i32p,
+            i64p, i8p, i64p, i32p, i32p, i64p]
+        _fld_batch_bound = True
+    hit_loc, h_off, h_code, h_left, h_len = _concat_flats(
+        [s[1] for s in specs])
+    iso_loc, t_off, t_code, t_left, t_len = _concat_flats(
+        [flatten_contigs(s[0]) for s in specs])
+    nh = int(hit_loc[-1])
+    out = np.zeros(max(nh, 1), np.int32)
+    cnt = np.zeros(len(specs), np.int64)
+    P64 = C.POINTER(C.c_int64)
+    P32 = C.POINTER(C.c_int32)
+    P8 = C.POINTER(C.c_int8)
+    lib.strawb_fld_batch(
+        len(specs), hit_loc.ctypes.data_as(P64), iso_loc.ctypes.data_as(P64),
+        h_off.ctypes.data_as(P64), h_code.ctypes.data_as(P8),
+        h_left.ctypes.data_as(P64), h_len.ctypes.data_as(P32),
+        t_off.ctypes.data_as(P64), t_code.ctypes.data_as(P8),
+        t_left.ctypes.data_as(P64), t_len.ctypes.data_as(P32),
+        out.ctypes.data_as(P32), cnt.ctypes.data_as(P64))
+    if not len(specs):
+        return []
+    starts = hit_loc[:-1]
+    pieces = [out[int(s):int(s) + int(c)] for s, c in zip(starts, cnt)]
+    return np.concatenate(pieces).tolist() if pieces else []
+
+
 _asm_bound = False
 
 

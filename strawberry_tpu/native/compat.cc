@@ -6,6 +6,7 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 using std::size_t;
@@ -217,6 +218,48 @@ i64 strawb_fld(
     }
   }
   return nout;
+}
+
+// Batched fragLenDist over a whole pass: loci are independent; a small
+// thread pool walks contiguous locus ranges (split by hit count). Each
+// locus L writes its lengths at out_fl[hit_loc_off[L]..] and its count to
+// out_cnt[L]; offsets into the global flat arrays stay absolute, so the
+// per-locus entry above is reused with shifted off pointers.
+void strawb_fld_batch(
+    i64 n_loci, const i64* hit_loc_off, const i64* iso_loc_off,
+    const i64* h_off, const i8* h_code, const i64* h_left, const i32* h_len,
+    const i64* t_off, const i8* t_code, const i64* t_left, const i32* t_len,
+    i32* out_fl, i64* out_cnt) {
+  auto run_range = [&](i64 L0, i64 L1) {
+    for (i64 L = L0; L < L1; ++L) {
+      i64 hb = hit_loc_off[L], he = hit_loc_off[L + 1];
+      i64 tb = iso_loc_off[L], te = iso_loc_off[L + 1];
+      out_cnt[L] = strawb_fld(he - hb, h_off + hb, h_code, h_left, h_len,
+                              te - tb, t_off + tb, t_code, t_left, t_len,
+                              out_fl + hb);
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t TN = hw > 1 ? (hw < 8 ? hw : 8) : 1;
+  if (n_loci < 64 || TN <= 1) {
+    run_range(0, n_loci);
+    return;
+  }
+  i64 total_h = hit_loc_off[n_loci];
+  std::vector<i64> cut(TN + 1, n_loci);
+  cut[0] = 0;
+  {
+    i64 L = 0;
+    for (size_t t = 1; t < TN; ++t) {
+      i64 want = total_h * (i64)t / (i64)TN;
+      while (L < n_loci && hit_loc_off[L] < want) ++L;
+      cut[t] = L;
+    }
+  }
+  std::vector<std::thread> pool;
+  for (size_t t = 0; t < TN; ++t)
+    pool.emplace_back([&, t]() { run_range(cut[t], cut[t + 1]); });
+  for (auto& th : pool) th.join();
 }
 
 // Per-locus coverage + intron table (compute_doc, alignments.cpp:1838-1900).

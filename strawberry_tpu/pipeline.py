@@ -68,6 +68,16 @@ class Sample:
         self.long_read_sample = False
         self.read_len = table.read_len_mode()
         self.fasta = None  # FastaInterface when -b is given
+        self._fld_specs = []  # deferred fragLenDist inputs (cluster order)
+
+    def _drain_fld(self):
+        """Resolve deferred fragment-length work (one threaded native
+        call over every locus of the pass, in cluster order)."""
+        if self._fld_specs:
+            from .core.fastcluster import native_fld_batch
+            with PROF.phase("frag_len_dist", items=len(self._fld_specs)):
+                self.frag_dist.extend(native_fld_batch(self._fld_specs))
+            self._fld_specs = []
 
     # ------------------------------------------------------------------
     @property
@@ -137,18 +147,20 @@ class Sample:
         flat = getattr(cluster, "flat", None)
         if getattr(self.cfg, "native_cluster", True):
             try:
-                from .core.fastcluster import native_fld
+                from .io.native import get_lib
+                get_lib()  # probe availability (OSError -> oracle path)
+                # defer to one threaded whole-pass native call (drained by
+                # _drain_fld before anything reads frag_dist)
                 if flat is not None:
                     if len(flat[0]) > 1:
-                        self.frag_dist.extend(
-                            native_fld(transcripts, flat))
+                        self._fld_specs.append((transcripts, flat))
                     done = True
                 else:
                     hits = cluster.uniq_hit_contigs()
                     if hits:
                         from .core.fastcluster import flatten_contigs
-                        self.frag_dist.extend(
-                            native_fld(transcripts, flatten_contigs(hits)))
+                        self._fld_specs.append(
+                            (transcripts, flatten_contigs(hits)))
                     done = True
             except OSError:
                 done = False
@@ -503,6 +515,7 @@ class Sample:
             log.write(f"Inspect gene: {ref_name}:{cluster.leftmost}-"
                       f"{cluster.rightmost}\n")
             log.write(f"Has inspected {self.total_mapped_reads} reads\n")
+        self._drain_fld()
 
     def _assemble_batched(self, log: TextIO):
         """Device pass 1: prepare each cluster's flow problems on host,
@@ -550,6 +563,7 @@ class Sample:
             if len(collected) >= 128:
                 _drain()
         _drain()
+        self._drain_fld()
 
     def pre_process(self, log: TextIO):
         """Pass 1 for --no-assembly (alignments.cpp:1189-1233)."""
@@ -558,10 +572,12 @@ class Sample:
             self.num_cluster += 1
             cluster.id = self.num_cluster
             self.frag_len_dist(cluster.ref_mrnas, cluster, log)
+        self._drain_fld()
 
     # ------------------------------------------------------------------
     def select_insert_size(self, verbose: bool = False):
         """driver() insert-size selection (Strawberry.cpp:329-356)."""
+        self._drain_fld()  # defensive: direct per-cluster callers
         cfg = self.cfg
         mean, sd = cfg.insert_size_mean, cfg.insert_size_sd
         if not self.table.paired_end:
