@@ -475,22 +475,35 @@ class Runner {
       for (i64 f = h_.feat_off[i]; f < h_.feat_off[i + 1]; ++f)
         g.push_back({h_.feat_code[f], h_.feat_left[f], h_.feat_len[f]});
     };
+    // one read's features are strictly increasing in `left` (sequential
+    // CIGAR runs), so the reference's stable_sort by (left, len) reduces
+    // to appends / a stable two-way merge with left-mate priority —
+    // byte-identical outcome, no sort
     bool paired = p.a >= 0 && p.b >= 0;
     if (paired) {
-      push_read(p.a);
-      push_read(p.b);
       i64 gap = h_.left[p.b] - h_.right[p.a] - 1;
       if (gap > 0) {
+        // a's runs < gap run < b's runs: already in sorted order
+        push_read(p.a);
         g.push_back({2, h_.right[p.a] + 1, (i32)gap});
-        std::stable_sort(g.begin(), g.end(), [](const F& x, const F& y) {
-          if (x.l != y.l) return x.l < y.l;
-          return x.n < y.n;
-        });
+        push_read(p.b);
       } else {
-        std::stable_sort(g.begin(), g.end(), [](const F& x, const F& y) {
-          if (x.l != y.l) return x.l < y.l;
-          return x.n < y.n;
-        });
+        // stable merge of the two sorted runs (ties keep a before b)
+        i64 a0 = h_.feat_off[p.a], a1 = h_.feat_off[p.a + 1];
+        i64 b0 = h_.feat_off[p.b], b1 = h_.feat_off[p.b + 1];
+        i64 ia = a0, ib = b0;
+        while (ia < a1 || ib < b1) {
+          bool take_b;
+          if (ia >= a1) take_b = true;
+          else if (ib >= b1) take_b = false;
+          else {
+            i64 al = h_.feat_left[ia], bl = h_.feat_left[ib];
+            take_b = bl < al ||
+                     (bl == al && h_.feat_len[ib] < h_.feat_len[ia]);
+          }
+          i64 f = take_b ? ib++ : ia++;
+          g.push_back({h_.feat_code[f], h_.feat_left[f], h_.feat_len[f]});
+        }
         // merge_genomicFeats (contig.h:111-138)
         std::vector<F>& m = ptc_m_;
         m.clear();
@@ -518,10 +531,6 @@ class Runner {
       }
     } else {
       push_read(p.a >= 0 ? p.a : p.b);
-      std::stable_sort(g.begin(), g.end(), [](const F& x, const F& y) {
-        if (x.l != y.l) return x.l < y.l;
-        return x.n < y.n;
-      });
     }
     int8_t orit = paired ? 2 : (p.a >= 0 ? 0 : 1);
     o.ct_strand.push_back(pair_strand(p));
