@@ -333,18 +333,31 @@ class Runner {
   }
 
   // ---- collapse (alignments.cpp:658-703) --------------------------------
+  struct KeyedPH {
+    i64 l, r;
+    PH p;
+  };
+  std::vector<KeyedPH> collapse_keys_;  // reused scratch
+
   void collapse(Cluster& c) {
     if (c.hits.empty()) return;
     // the reference uses UNSTABLE std::sort (alignments.cpp:662) with
     // PairedHit::operator< == (left_pos, right_pos); ties permute per
     // libstdc++'s introsort, which downstream collapse-mass runs and the
-    // frag-set first-insert rule observe — so we must sort the same way
-    std::sort(c.hits.begin(), c.hits.end(),
-              [&](const PH& x, const PH& y) {
-                i64 lx = pair_left(x), ly = pair_left(y);
-                if (lx != ly) return lx < ly;
-                return pair_right(x) < pair_right(y);
+    // frag-set first-insert rule observe — so we must sort the same way.
+    // Sorting cached keys gives the identical comparison sequence (and so
+    // the identical tie permutation) without pair_left/right re-derivation.
+    std::vector<KeyedPH>& keyed = collapse_keys_;
+    keyed.clear();
+    keyed.reserve(c.hits.size());
+    for (const PH& p : c.hits)
+      keyed.push_back({pair_left(p), pair_right(p), p});
+    std::sort(keyed.begin(), keyed.end(),
+              [](const KeyedPH& x, const KeyedPH& y) {
+                if (x.l != y.l) return x.l < y.l;
+                return x.r < y.r;
               });
+    for (size_t i = 0; i < keyed.size(); ++i) c.hits[i] = keyed[i].p;
     size_t n = c.spans.size();
     double mean = 0.0, sd = 0.0;
     if (n) {
