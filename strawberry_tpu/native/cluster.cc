@@ -208,6 +208,25 @@ class Runner {
     ref_off_ = r0;
     r_end_ = r1;
     has_load_all_refs_ = false;
+    // capacity guesses (paired data: ~0.55 contigs/hit, ~1.6 feats/contig)
+    // avoid repeated geometric-growth memcpys in the emit loop
+    i64 nh = h1 - h0;
+    size_t nct = (size_t)(nh * 6 / 10 + 16);
+    size_t nft = nct * 2;
+    o.ct_strand.reserve(nct);
+    o.ct_orit.reserve(nct);
+    o.ct_mass.reserve(nct);
+    o.ct_valid.reserve(nct);
+    o.ct_feat_off.reserve(nct + 1);
+    o.vcum.reserve(nct + 1);
+    o.g_mass.reserve(nct);
+    o.g_off.reserve(nct + 1);
+    o.ct_fcode.reserve(nft);
+    o.ct_fleft.reserve(nft);
+    o.ct_flen.reserve(nft);
+    o.g_code.reserve(nft);
+    o.g_left.reserve(nft);
+    o.g_len.reserve(nft);
     run(o);
   }
 
