@@ -90,6 +90,13 @@ class BamRecord:
                 aux += b"f" + struct.pack("<f", float(val))
             elif typ == "Z":
                 aux += b"Z" + str(val).encode() + b"\0"
+            elif typ == "B":
+                sub, arr = val
+                fmt = {"c": "b", "C": "B", "s": "h", "S": "H",
+                       "i": "i", "I": "I", "f": "f"}[sub]
+                aux += b"B" + sub.encode() + struct.pack("<i", len(arr))
+                for v in arr:
+                    aux += struct.pack("<" + fmt, v)
             else:
                 raise ValueError(f"unsupported tag type {typ}")
         body = struct.pack(

@@ -65,6 +65,23 @@ def test_native_matches_python_tricky_records(tmp_path):
                   seq="A" * 50),
         BamRecord("edgeins", 0, 0, 700, cigar=[(20, "M"), (2, "I"), (28, "M")],
                   seq="A" * 50),
+        # hard clips + padding: H counts toward seq-len only, P is ignored
+        BamRecord("hardclip", 0, 0, 800,
+                  cigar=[(5, "H"), (45, "M"), (5, "H")], seq="A" * 45),
+        BamRecord("pad", 0, 0, 900,
+                  cigar=[(20, "M"), (1, "P"), (30, "M")], seq="A" * 50),
+        # I as the LAST op: rejected (not MATCH-sandwiched)
+        BamRecord("tailins", 0, 0, 1000, cigar=[(48, "M"), (2, "I")],
+                  seq="A" * 50),
+        # D at kept-index 1 (after S): rejected by the index<=1 quirk
+        BamRecord("earlydel", 0, 0, 1100,
+                  cigar=[(3, "S"), (2, "D"), (47, "M")], seq="A" * 50),
+        # zero-length op drops the record
+        BamRecord("zerolen", 0, 0, 1200, cigar=[(0, "M"), (50, "M")],
+                  seq="A" * 50),
+        # B-array aux tag must be skipped correctly
+        BamRecord("btag", 0, 0, 1300, cigar=[(50, "M")], seq="A" * 50,
+                  tags=[("XB", "B", ("i", [1, 2, 3])), ("XS", "A", "+")]),
     ]
     path = str(tmp_path / "t.bam")
     with BamWriter(path, ["chr1"], [100000]) as bw:
