@@ -83,3 +83,12 @@ def test_gff3_annotation_golden(tmp_path, reference_binary):
                     annotation_format="gff3", annotation=True)
     assert outs["ref"]
     assert outs["ours"] == outs["ref"]
+
+
+def test_expression_filter_and_insert_size_flags_golden(tmp_path,
+                                                        reference_binary):
+    """-e (min isoform frac) and -i mean/sd (user insert-size override)."""
+    outs = run_both(tmp_path, reference_binary,
+                    extra=["-e", "0.2", "-i", "300/60"],
+                    seed=88, n_frags=3000, max_isoforms=4)
+    assert outs["ref"] == outs["ours"]
