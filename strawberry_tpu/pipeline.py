@@ -69,15 +69,38 @@ class Sample:
         self.read_len = table.read_len_mode()
         self.fasta = None  # FastaInterface when -b is given
         self._fld_specs = []  # deferred fragLenDist inputs (cluster order)
+        self._fld_futures = []  # in-flight chunks (cluster order)
+        self._fld_pool = None
+
+    def _flush_fld_async(self):
+        """Ship the accumulated fragLenDist specs to a side thread (the
+        native batch call releases the GIL), so the compat scan overlaps
+        the rest of pass 1 instead of being a pass-end barrier."""
+        if not self._fld_specs:
+            return
+        from .core.fastcluster import native_fld_batch
+        if self._fld_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._fld_pool = ThreadPoolExecutor(max_workers=1)
+        specs, self._fld_specs = self._fld_specs, []
+        self._fld_futures.append(self._fld_pool.submit(native_fld_batch,
+                                                       specs))
 
     def _drain_fld(self):
-        """Resolve deferred fragment-length work (one threaded native
-        call over every locus of the pass, in cluster order)."""
-        if self._fld_specs:
-            from .core.fastcluster import native_fld_batch
+        """Resolve deferred fragment-length work (threaded native calls
+        over every locus of the pass, in cluster order)."""
+        if self._fld_futures or self._fld_specs:
             with PROF.phase("frag_len_dist", items=len(self._fld_specs)):
-                self.frag_dist.extend(native_fld_batch(self._fld_specs))
-            self._fld_specs = []
+                for fut in self._fld_futures:
+                    self.frag_dist.extend(fut.result())
+                self._fld_futures = []
+                if self._fld_specs:
+                    from .core.fastcluster import native_fld_batch
+                    specs, self._fld_specs = self._fld_specs, []
+                    self.frag_dist.extend(native_fld_batch(specs))
+        if self._fld_pool is not None:
+            self._fld_pool.shutdown(wait=False)
+            self._fld_pool = None
 
     # ------------------------------------------------------------------
     @property
@@ -515,6 +538,8 @@ class Sample:
             log.write(f"Inspect gene: {ref_name}:{cluster.leftmost}-"
                       f"{cluster.rightmost}\n")
             log.write(f"Has inspected {self.total_mapped_reads} reads\n")
+            if len(self._fld_specs) >= 128:
+                self._flush_fld_async()
         self._drain_fld()
 
     def _assemble_batched(self, log: TextIO):
@@ -562,6 +587,7 @@ class Sample:
             collected.append((cluster, self.prepare_cluster_assembly(cluster)))
             if len(collected) >= 128:
                 _drain()
+                self._flush_fld_async()
         _drain()
         self._drain_fld()
 
@@ -572,6 +598,8 @@ class Sample:
             self.num_cluster += 1
             cluster.id = self.num_cluster
             self.frag_len_dist(cluster.ref_mrnas, cluster, log)
+            if len(self._fld_specs) >= 128:
+                self._flush_fld_async()
         self._drain_fld()
 
     # ------------------------------------------------------------------
