@@ -842,6 +842,94 @@ def native_asmprep_result(pending):
     return _asm_result(lib, h)
 
 
+_asmb_bound = False
+
+
+def native_asmprep_result_batch(pendings):
+    """Wait for a whole chunk of submitted jobs in ONE native call and
+    decode the packed results (list parallel to pendings; None entries for
+    empty/below-depth tasks). Equivalent to
+    [native_asmprep_result(p) for p in pendings] minus ~12 ctypes
+    round-trips per job."""
+    global _asmb_bound
+    from ..io.native import get_lib
+    lib = get_lib()
+    if not _asmb_bound:
+        u64p = C.POINTER(C.c_uint64)
+        lib.strawb_asm_wait_pack.restype = C.c_void_p
+        lib.strawb_asm_wait_pack.argtypes = [u64p, C.c_int64]
+        for name, rt in [("status", C.POINTER(C.c_int32)),
+                         ("mm", C.POINTER(C.c_int64)),
+                         ("neoff", C.POINTER(C.c_int64)),
+                         ("arcoff", C.POINTER(C.c_int64)),
+                         ("ncoff", C.POINTER(C.c_int64)),
+                         ("caoff", C.POINTER(C.c_int64)),
+                         ("exl", C.POINTER(C.c_int64)),
+                         ("exr", C.POINTER(C.c_int64)),
+                         ("exdoc", C.POINTER(C.c_double)),
+                         ("src", C.POINTER(C.c_int64)),
+                         ("dst", C.POINTER(C.c_int64)),
+                         ("cost", C.POINTER(C.c_int64)),
+                         ("lower", C.POINTER(C.c_int64)),
+                         ("cstrlen", C.POINTER(C.c_int64)),
+                         ("cstrarcs", C.POINTER(C.c_int64))]:
+            fn = getattr(lib, f"strawb_asmb_{name}")
+            fn.restype = rt
+            fn.argtypes = [C.c_void_p]
+        lib.strawb_asmb_free.restype = None
+        lib.strawb_asmb_free.argtypes = [C.c_void_p]
+        _asmb_bound = True
+    n = len(pendings)
+    if n == 0:
+        return []
+    jobs = np.zeros(n, np.uint64)
+    for i, p in enumerate(pendings):
+        if p is not None:
+            jobs[i] = p[0] or 0
+    h = C.c_void_p(lib.strawb_asm_wait_pack(
+        jobs.ctypes.data_as(C.POINTER(C.c_uint64)), n))
+    try:
+        def al(name, count, dtype):
+            if count == 0:
+                return []
+            ptr = getattr(lib, f"strawb_asmb_{name}")(h)
+            return np.ctypeslib.as_array(ptr, shape=(int(count),)).tolist()
+
+        status = al("status", n, np.int32)
+        M = al("mm", n, np.int64)
+        ne_off = al("neoff", n + 1, np.int64)
+        arc_off = al("arcoff", n + 1, np.int64)
+        nc_off = al("ncoff", n + 1, np.int64)
+        ca_off = al("caoff", n + 1, np.int64)
+        exl = al("exl", ne_off[-1], np.int64)
+        exr = al("exr", ne_off[-1], np.int64)
+        exdoc = al("exdoc", ne_off[-1], np.float64)
+        src = al("src", arc_off[-1], np.int64)
+        dst = al("dst", arc_off[-1], np.int64)
+        cost = al("cost", arc_off[-1], np.int64)
+        lower = al("lower", arc_off[-1], np.int64)
+        clen = al("cstrlen", nc_off[-1], np.int64)
+        carcs = al("cstrarcs", ca_off[-1], np.int64)
+    finally:
+        lib.strawb_asmb_free(h)
+    out = []
+    for k in range(n):
+        if not status[k]:
+            out.append(None)
+            continue
+        e0, e1 = ne_off[k], ne_off[k + 1]
+        a0, a1 = arc_off[k], arc_off[k + 1]
+        cstrs = []
+        pos = ca_off[k]
+        for c in range(nc_off[k], nc_off[k + 1]):
+            cstrs.append(carcs[pos:pos + clen[c]])
+            pos += clen[c]
+        out.append((exl[e0:e1], exr[e0:e1], exdoc[e0:e1], M[k],
+                    src[a0:a1], dst[a0:a1], cost[a0:a1], lower[a0:a1],
+                    cstrs))
+    return out
+
+
 def _asm_result(lib, h):
     try:
         if not lib.strawb_asm_status(h):

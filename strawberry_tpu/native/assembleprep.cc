@@ -764,6 +764,7 @@ namespace {
 struct AsmPool {
   std::mutex mu;
   std::condition_variable cv;
+  std::condition_variable done_cv;  // broadcast on every job completion
   std::deque<AsmJob*> q;
   std::vector<std::thread> workers;
   bool started = false;
@@ -836,6 +837,8 @@ static void pool_worker() {
         j->max_cover_gap1, j->max_cover_gap2, j->intron_edge_weight,
         j->min_dist_4_exon_edge);
     j->done.store(1, std::memory_order_release);
+    { std::lock_guard<std::mutex> lk(p.mu); }
+    p.done_cv.notify_all();
   }
 }
 
@@ -883,12 +886,101 @@ AsmJob* strawb_asmprep_submit(
 // blocks until the job finishes; returns the result handle (caller frees
 // it with strawb_asm_free) and deletes the job
 StrawbAsm* strawb_asm_wait(AsmJob* j) {
-  while (!j->done.load(std::memory_order_acquire))
-    std::this_thread::yield();
+  if (!j->done.load(std::memory_order_acquire)) {
+    // sleep on the pool's completion condvar (spinning here would burn a
+    // core the workers need on small hosts)
+    AsmPool& p = pool();
+    std::unique_lock<std::mutex> lk(p.mu);
+    p.done_cv.wait(lk, [&] { return j->done.load(std::memory_order_acquire); });
+  }
   StrawbAsm* r = j->result;
   delete j;
   return r;
 }
+
+// Wait for a whole chunk of jobs and pack every result into one handle of
+// contiguous arrays (one ctypes decode per CHUNK on the Python side instead
+// of ~12 per job). Job slots with value 0 are skipped (status stays 0).
+struct StrawbAsmBatch {
+  std::vector<i32> status;           // n
+  std::vector<i64> M;                // n
+  std::vector<i64> ne_off;           // n+1 — exon rows
+  std::vector<i64> arc_off;          // n+1 — arc rows
+  std::vector<i64> nc_off;           // n+1 — constraint rows
+  std::vector<i64> ca_off;           // n+1 — constraint-arc rows
+  std::vector<i64> ex_l, ex_r;
+  std::vector<double> ex_doc;
+  std::vector<i64> arc_src, arc_dst, arc_cost, arc_lower;
+  std::vector<i64> cstr_len;         // per constraint row: arc count
+  std::vector<i64> cstr_arcs;        // concatenated constraint arc ids
+};
+
+StrawbAsmBatch* strawb_asm_wait_pack(const uint64_t* jobs, i64 n) {
+  auto* b = new StrawbAsmBatch();
+  b->status.assign(n, 0);
+  b->M.assign(n, 0);
+  b->ne_off.assign(n + 1, 0);
+  b->arc_off.assign(n + 1, 0);
+  b->nc_off.assign(n + 1, 0);
+  b->ca_off.assign(n + 1, 0);
+  std::vector<StrawbAsm*> res(n, nullptr);
+  for (i64 k = 0; k < n; ++k) {
+    AsmJob* j = (AsmJob*)(uintptr_t)jobs[k];
+    if (j) res[k] = strawb_asm_wait(j);
+  }
+  for (i64 k = 0; k < n; ++k) {
+    StrawbAsm* r = res[k];
+    i64 ne = 0, na = 0, nc = 0, ca = 0;
+    if (r && r->status) {
+      b->status[k] = 1;
+      b->M[k] = r->M;
+      ne = r->ne;
+      na = (i64)r->arc_src.size();
+      nc = (i64)r->cstr_off.size() - 1;
+      ca = nc > 0 ? r->cstr_off.back() : 0;
+      b->ex_l.insert(b->ex_l.end(), r->ex_l.begin(), r->ex_l.end());
+      b->ex_r.insert(b->ex_r.end(), r->ex_r.begin(), r->ex_r.end());
+      b->ex_doc.insert(b->ex_doc.end(), r->ex_doc.begin(), r->ex_doc.end());
+      b->arc_src.insert(b->arc_src.end(), r->arc_src.begin(),
+                        r->arc_src.end());
+      b->arc_dst.insert(b->arc_dst.end(), r->arc_dst.begin(),
+                        r->arc_dst.end());
+      b->arc_cost.insert(b->arc_cost.end(), r->arc_cost.begin(),
+                         r->arc_cost.end());
+      b->arc_lower.insert(b->arc_lower.end(), r->arc_lower.begin(),
+                          r->arc_lower.end());
+      for (i64 c = 0; c < nc; ++c)
+        b->cstr_len.push_back(r->cstr_off[c + 1] - r->cstr_off[c]);
+      b->cstr_arcs.insert(b->cstr_arcs.end(), r->cstr_arcs.begin(),
+                          r->cstr_arcs.begin() + ca);
+    }
+    b->ne_off[k + 1] = b->ne_off[k] + ne;
+    b->arc_off[k + 1] = b->arc_off[k] + na;
+    b->nc_off[k + 1] = b->nc_off[k] + nc;
+    b->ca_off[k + 1] = b->ca_off[k] + ca;
+    delete r;
+  }
+  return b;
+}
+
+const i32* strawb_asmb_status(StrawbAsmBatch* b) { return b->status.data(); }
+const i64* strawb_asmb_mm(StrawbAsmBatch* b) { return b->M.data(); }
+const i64* strawb_asmb_neoff(StrawbAsmBatch* b) { return b->ne_off.data(); }
+const i64* strawb_asmb_arcoff(StrawbAsmBatch* b) { return b->arc_off.data(); }
+const i64* strawb_asmb_ncoff(StrawbAsmBatch* b) { return b->nc_off.data(); }
+const i64* strawb_asmb_caoff(StrawbAsmBatch* b) { return b->ca_off.data(); }
+const i64* strawb_asmb_exl(StrawbAsmBatch* b) { return b->ex_l.data(); }
+const i64* strawb_asmb_exr(StrawbAsmBatch* b) { return b->ex_r.data(); }
+const double* strawb_asmb_exdoc(StrawbAsmBatch* b) { return b->ex_doc.data(); }
+const i64* strawb_asmb_src(StrawbAsmBatch* b) { return b->arc_src.data(); }
+const i64* strawb_asmb_dst(StrawbAsmBatch* b) { return b->arc_dst.data(); }
+const i64* strawb_asmb_cost(StrawbAsmBatch* b) { return b->arc_cost.data(); }
+const i64* strawb_asmb_lower(StrawbAsmBatch* b) { return b->arc_lower.data(); }
+const i64* strawb_asmb_cstrlen(StrawbAsmBatch* b) { return b->cstr_len.data(); }
+const i64* strawb_asmb_cstrarcs(StrawbAsmBatch* b) {
+  return b->cstr_arcs.data();
+}
+void strawb_asmb_free(StrawbAsmBatch* b) { delete b; }
 
 i32 strawb_asm_status(StrawbAsm* r) { return r->status; }
 i64 strawb_asm_ne(StrawbAsm* r) { return r->ne; }

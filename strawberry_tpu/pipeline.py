@@ -320,6 +320,25 @@ class Sample:
                 self._resolve_task(t)
         return units
 
+    def _resolve_units_batch(self, collected):
+        """Resolve every pending native prep job across a chunk of
+        clusters in ONE packed native call (waits + decodes together)."""
+        tasks = []
+        for _cluster, units in collected:
+            for (_k, t) in units or []:
+                if t is not None and t.pending is not None:
+                    tasks.append(t)
+        if not tasks:
+            return
+        from .core.fastcluster import native_asmprep_result_batch
+        results = native_asmprep_result_batch([t.pending for t in tasks])
+        for t, res in zip(tasks, results):
+            t.pending = None
+            if res is None:
+                t.ref_id = -1
+            else:
+                self._task_from_native(t, res, t.ref_id)
+
     def _task_from_native(self, task, res, ref_id: int):
         """Materialize an AsmTask from the native assembleprep result:
         rebuild the (tiny) Graph + maps, scatter the dense problem."""
@@ -557,8 +576,7 @@ class Sample:
         def _drain():
             if not collected:
                 return
-            for _cluster, units in collected:
-                self._resolve_units(units)
+            self._resolve_units_batch(collected)
             problems = []
             index = []
             for ci, (_cluster, units) in enumerate(collected):
