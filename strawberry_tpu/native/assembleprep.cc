@@ -17,6 +17,7 @@
 // the Python side to rebuild the Graph, the dense flow problem, and run
 // flowDecompose/reconstruct unchanged.
 
+#include "perfcnt.h"
 #include <algorithm>
 #include <atomic>
 #include <cmath>
@@ -173,6 +174,7 @@ StrawbAsm* strawb_asmprep(
     double min_support_for_long_junc, i32 enforce_ref_models,
     double binomial_overhang_alpha, i64 max_cover_gap1, i64 max_cover_gap2,
     double intron_edge_weight, i64 min_dist_4_exon_edge) {
+  strawb_perf::Scope _ps(strawb_perf::kAsmPrep);
   auto* R = new StrawbAsm();
   R->cstr_off.push_back(0);
 
@@ -981,6 +983,15 @@ const i64* strawb_asmb_cstrarcs(StrawbAsmBatch* b) {
   return b->cstr_arcs.data();
 }
 void strawb_asmb_free(StrawbAsmBatch* b) { delete b; }
+
+// cumulative native thread-CPU seconds: [asmprep, quantprep, fld,
+// cluster_runner, -, -]; reset=1 zeroes after reading
+void strawb_perf_read(double* out, i32 reset) {
+  for (int k = 0; k < strawb_perf::kNumCounters; ++k) {
+    out[k] = 1e-9 * (double)strawb_perf::slot(k).load();
+    if (reset) strawb_perf::slot(k).store(0);
+  }
+}
 
 i32 strawb_asm_status(StrawbAsm* r) { return r->status; }
 i64 strawb_asm_ne(StrawbAsm* r) { return r->ne; }

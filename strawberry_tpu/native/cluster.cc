@@ -18,6 +18,7 @@
 //
 // Outputs are flat arrays consumed by strawberry_tpu/core/fastcluster.py.
 
+#include "perfcnt.h"
 #include <algorithm>
 #include <chrono>
 #include <cstdio>
@@ -151,6 +152,89 @@ struct Chain {
   std::vector<PH> rest;
 };
 
+// Flat open-addressing map for the open-mate table. Pairing only ever
+// LOOKS UP the incoming read's own id (iteration order is never observed),
+// so replacing unordered_map cannot change any output — it just drops the
+// per-pairing node malloc/free and the O(buckets) clear.
+struct OpenMap {
+  struct Slot {
+    uint64_t key = 0;
+    uint8_t st = 0;  // 0 empty, 1 used, 2 tombstone
+    Chain val;
+  };
+  std::vector<Slot> slots;
+  size_t used = 0, tombs = 0;
+
+  OpenMap() { slots.resize(64); }
+
+  static size_t hsh(uint64_t k) {  // splitmix64 finalizer
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 33;
+    return (size_t)k;
+  }
+
+  Slot* find(uint64_t k) {
+    size_t m = slots.size() - 1, i = hsh(k) & m;
+    for (;;) {
+      Slot& s = slots[i];
+      if (s.st == 0) return nullptr;
+      if (s.st == 1 && s.key == k) return &s;
+      i = (i + 1) & m;
+    }
+  }
+
+  void rehash(size_t cap) {
+    std::vector<Slot> old;
+    old.swap(slots);
+    slots.resize(cap);
+    tombs = 0;
+    size_t m = cap - 1;
+    for (Slot& s : old) {
+      if (s.st != 1) continue;
+      size_t i = hsh(s.key) & m;
+      while (slots[i].st == 1) i = (i + 1) & m;
+      slots[i].key = s.key;
+      slots[i].st = 1;
+      slots[i].val = std::move(s.val);
+    }
+  }
+
+  Slot* insert(uint64_t k, Chain&& v) {
+    if ((used + tombs + 1) * 4 >= slots.size() * 3)
+      rehash(used * 4 >= slots.size() ? slots.size() * 2 : slots.size());
+    size_t m = slots.size() - 1, i = hsh(k) & m;
+    while (slots[i].st == 1) i = (i + 1) & m;
+    if (slots[i].st == 2) tombs--;
+    slots[i].key = k;
+    slots[i].st = 1;
+    slots[i].val = std::move(v);
+    used++;
+    return &slots[i];
+  }
+
+  void erase(Slot* s) {
+    s->st = 2;
+    s->val = Chain{};
+    used--;
+    tombs++;
+  }
+
+  void clear() {
+    if (used + tombs == 0) return;
+    if (slots.size() > 256) {  // shrink: big clusters shouldn't tax small
+      std::vector<Slot>().swap(slots);
+      slots.resize(64);
+    } else {
+      for (Slot& s : slots) {
+        if (s.st == 1) s.val = Chain{};
+        s.st = 0;
+      }
+    }
+    used = tombs = 0;
+  }
+};
+
 struct Cluster {
   i64 leftmost = UINT_MAX64;
   i64 rightmost = 0;
@@ -159,7 +243,7 @@ struct Cluster {
   bool gene_assigned = false;
   std::vector<PH> hits;
   std::vector<PH> uniq;
-  std::unordered_map<uint64_t, Chain> open;
+  OpenMap open;
   std::vector<i64> spans;
   std::vector<i32> refs;
   double wmass = 0.0;
@@ -308,16 +392,16 @@ class Runner {
       c.hits.push_back(p);
       return true;
     }
-    auto it = c.open.find(hid);
-    if (it == c.open.end()) {
+    OpenMap::Slot* it = c.open.find(hid);
+    if (it == nullptr) {
       PH p;
       if (hpp > hl) p.a = i;
       else if (hpp < hl) p.b = i;
       else return false;
-      c.open.emplace(hid, Chain{p, {}});
+      c.open.insert(hid, Chain{p, {}});
       return true;
     }
-    auto& chain = it->second;
+    Chain& chain = it->val;
     size_t chain_len = 1 + chain.rest.size();
     for (size_t k = 0; k < chain_len; ++k) {
       PH& op = k == 0 ? chain.first : chain.rest[k - 1];
@@ -747,6 +831,7 @@ class Runner {
   }
 
   void run(Out& o) {
+    strawb_perf::Scope _ps(strawb_perf::kClusterScan);
     const bool dbg = getenv("STRAWB_NATIVE_DEBUG") != nullptr;
     double t_scan = 0, t_collapse = 0, t_emit = 0, t0 = 0;
     auto now = [] {

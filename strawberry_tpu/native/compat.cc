@@ -4,6 +4,7 @@
 // LocusContext::overlap_exons src/estimate.cpp:115-131).
 // Semantics mirror strawberry_tpu/core/features.py (the oracle).
 
+#include "perfcnt.h"
 #include <cstddef>
 #include <cstdint>
 #include <thread>
@@ -196,6 +197,7 @@ i64 strawb_fld(
     i64 ni, const i64* t_off, const i8* t_code, const i64* t_left,
     const i32* t_len,
     i32* out_fl) {
+  strawb_perf::Scope _ps(strawb_perf::kFld);
   Feats H{h_off, h_code, h_left, h_len};
   Feats T{t_off, t_code, t_left, t_len};
   std::vector<std::vector<i64>> exons(ni);

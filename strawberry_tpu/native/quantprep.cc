@@ -18,6 +18,7 @@
 // Output per locus: (nbins, counts[nbins], alpha[nbins x niso]) — consumed
 // directly by the batched EM; no per-bin Python objects are ever built.
 
+#include "perfcnt.h"
 #include <algorithm>
 #include <cstddef>
 #include <cstdint>
@@ -274,6 +275,7 @@ void strawb_quant_locus(
     const i64* iso_ids, i64 ni, const i64* t_exlen,
     const double* pdf, i64 pdf_len, i64 read_len, i64 base_lmin,
     i32 long_read, QuantLocusOut& P_out) {
+  strawb_perf::Scope _ps(strawb_perf::kQuantPrep);
   Feats H{h_off, h_code, h_left, h_len};
   Feats T{t_off, t_code, t_left, t_len};
   i64 nh = hend - hbeg;
