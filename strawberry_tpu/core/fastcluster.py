@@ -885,31 +885,36 @@ def native_asmprep_result_batch(pendings):
     jobs = np.zeros(n, np.uint64)
     for i, p in enumerate(pendings):
         if p is not None:
-            jobs[i] = p[0] or 0
+            # a task that reached the batch must carry a live handle;
+            # a null one would silently decode as an empty locus
+            assert p[0], f"null assembly-prep job handle at slot {i}"
+            jobs[i] = p[0]
     h = C.c_void_p(lib.strawb_asm_wait_pack(
         jobs.ctypes.data_as(C.POINTER(C.c_uint64)), n))
     try:
-        def al(name, count, dtype):
+        def al(name, count):
+            # element type comes from the strawb_asmb_<name> restype
+            # bound above; .tolist() converts to Python scalars
             if count == 0:
                 return []
             ptr = getattr(lib, f"strawb_asmb_{name}")(h)
             return np.ctypeslib.as_array(ptr, shape=(int(count),)).tolist()
 
-        status = al("status", n, np.int32)
-        M = al("mm", n, np.int64)
-        ne_off = al("neoff", n + 1, np.int64)
-        arc_off = al("arcoff", n + 1, np.int64)
-        nc_off = al("ncoff", n + 1, np.int64)
-        ca_off = al("caoff", n + 1, np.int64)
-        exl = al("exl", ne_off[-1], np.int64)
-        exr = al("exr", ne_off[-1], np.int64)
-        exdoc = al("exdoc", ne_off[-1], np.float64)
-        src = al("src", arc_off[-1], np.int64)
-        dst = al("dst", arc_off[-1], np.int64)
-        cost = al("cost", arc_off[-1], np.int64)
-        lower = al("lower", arc_off[-1], np.int64)
-        clen = al("cstrlen", nc_off[-1], np.int64)
-        carcs = al("cstrarcs", ca_off[-1], np.int64)
+        status = al("status", n)
+        M = al("mm", n)
+        ne_off = al("neoff", n + 1)
+        arc_off = al("arcoff", n + 1)
+        nc_off = al("ncoff", n + 1)
+        ca_off = al("caoff", n + 1)
+        exl = al("exl", ne_off[-1])
+        exr = al("exr", ne_off[-1])
+        exdoc = al("exdoc", ne_off[-1])
+        src = al("src", arc_off[-1])
+        dst = al("dst", arc_off[-1])
+        cost = al("cost", arc_off[-1])
+        lower = al("lower", arc_off[-1])
+        clen = al("cstrlen", nc_off[-1])
+        carcs = al("cstrarcs", ca_off[-1])
     finally:
         lib.strawb_asmb_free(h)
     out = []

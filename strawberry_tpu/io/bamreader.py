@@ -23,6 +23,7 @@ contract; this module is the portable reference and the validation oracle.
 from __future__ import annotations
 
 import struct
+import sys
 import zlib
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -199,6 +200,12 @@ def load_bam(path: str, config: Optional[Config] = None) -> HitTable:
 
         if (flag & 0x4) or tid < 0:
             continue
+
+        # warning-only low-mapq check (src/read.cpp:525-527; no drop)
+        if _mapq < cfg.min_map_qual:
+            sys.stderr.write("Read %s has not reached min mapq: %d\n"
+                             % (qname.decode(errors="replace"),
+                                cfg.min_map_qual))
 
         # decode cigar -> both read-level accounting and genomic features
         ok = True

@@ -36,7 +36,7 @@ def get_lib():
         _build()
     lib = C.CDLL(_LIB_PATH)
     lib.strawb_bam_load.restype = C.c_void_p
-    lib.strawb_bam_load.argtypes = [C.c_char_p] + [C.c_int32] * 7
+    lib.strawb_bam_load.argtypes = [C.c_char_p] + [C.c_int32] * 8
     lib.strawb_bam_error.restype = C.c_char_p
     lib.strawb_bam_error.argtypes = [C.c_void_p]
     for name, restype in [
@@ -117,7 +117,7 @@ def load_bam_native(path: str, config: Optional[Config] = None,
         path.encode(), cfg.max_intron_length, cfg.min_intron_length,
         1 if cfg.use_only_unique_hits else 0,
         1 if cfg.fr_strand else 0, 1 if cfg.rf_strand else 0,
-        cfg.max_read_num_4_rl, n_threads)
+        cfg.max_read_num_4_rl, cfg.min_map_qual, n_threads)
     if not h:
         raise IOError(f"cannot open BAM: {path}")
     try:

@@ -815,6 +815,7 @@ static void pool_child_reset() {
   AsmPool& p = pool();
   new (&p.mu) std::mutex();
   new (&p.cv) std::condition_variable();
+  new (&p.done_cv) std::condition_variable();
   p.q.clear();
   p.workers.clear();
   p.started = false;
@@ -985,7 +986,8 @@ const i64* strawb_asmb_cstrarcs(StrawbAsmBatch* b) {
 void strawb_asmb_free(StrawbAsmBatch* b) { delete b; }
 
 // cumulative native thread-CPU seconds: [asmprep, quantprep, fld,
-// cluster_runner, -, -]; reset=1 zeroes after reading
+// cluster_scan, cluster_collapse, cluster_emit]; reset=1 zeroes after
+// reading (Python caller: utils/profiling.py native_counters)
 void strawb_perf_read(double* out, i32 reset) {
   for (int k = 0; k < strawb_perf::kNumCounters; ++k) {
     out[k] = 1e-9 * (double)strawb_perf::slot(k).load();

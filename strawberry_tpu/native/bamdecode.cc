@@ -157,6 +157,7 @@ struct Config {
   int32_t fr_strand = 0;
   int32_t rf_strand = 0;
   int32_t max_read_num_4_rl = 50000;
+  int32_t min_map_qual = 0;  // -q: warning-only (src/read.cpp:525-527)
 };
 
 struct Result {
@@ -255,6 +256,12 @@ static void decode_range(const uint8_t* buf, const std::vector<size_t>& offs,
     size_t cig = rec + 32 + l_read_name;
 
     if ((flag & 0x4) || tid < 0) continue;
+
+    // warning-only low-mapq check, before the CIGAR filters
+    // (src/read.cpp:525-527; the read is NOT dropped)
+    if ((int32_t)buf[rec + 9] < cfg.min_map_qual)
+      fprintf(stderr, "Read %s has not reached min mapq: %d\n", qname,
+              cfg.min_map_qual);
 
     bool okr = true;
     int64_t read_len = 0;  // genomic span: M + D + N
@@ -537,7 +544,7 @@ struct StrawbBam {
 StrawbBam* strawb_bam_load(const char* path, int32_t max_intron,
                            int32_t min_intron, int32_t unique_only,
                            int32_t fr, int32_t rf, int32_t max_hist,
-                           int32_t n_threads) {
+                           int32_t min_mapq, int32_t n_threads) {
   const bool dbg = getenv("STRAWB_NATIVE_DEBUG") != nullptr;
   auto now = [] {
     return std::chrono::duration<double>(
@@ -572,6 +579,7 @@ StrawbBam* strawb_bam_load(const char* path, int32_t max_intron,
   cfg.fr_strand = fr;
   cfg.rf_strand = rf;
   cfg.max_read_num_4_rl = max_hist;
+  cfg.min_map_qual = min_mapq;
   decode_records(buf.data(), buf.size(), cfg, h->r, n_threads);
   if (dbg)
     fprintf(stderr, "[native] bam_load read=%.3fs inflate=%.3fs parse=%.3fs\n",

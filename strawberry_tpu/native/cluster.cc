@@ -855,7 +855,10 @@ class Runner {
       // finalize (open mates dropped), collapse + boundaries
       if (c.size() > 0) {
         if (dbg) t0 = now();
-        collapse(c);
+        {
+          strawb_perf::Scope _pc(strawb_perf::kClusterCollapse);
+          collapse(c);
+        }
         if (dbg) t_collapse += now() - t0;
         if (cfg_.enforce_ref_models && !c.refs.empty()) {
           c.leftmost = UINT_MAX64;
@@ -875,22 +878,25 @@ class Runner {
       }
       // emit
       if (dbg) t0 = now();
-      o.cl_left.push_back(c.leftmost);
-      o.cl_right.push_back(c.rightmost);
-      o.cl_ref_id.push_back(c.ref_id);
-      o.cl_wmass.push_back(c.wmass);
-      for (i32 ri : c.refs) o.flat_ref_idx.push_back(ri);
-      o.cl_ref_off.push_back((i64)o.flat_ref_idx.size());
-      for (const PH& p : c.uniq) pair_to_contig(p, o);
-      o.cl_uniq_off.push_back((i64)o.ct_strand.size());
-      for (const Seg& s : segs) {
-        o.sg_left.push_back(s.left);
-        o.sg_right.push_back(s.right);
-        o.sg_lidx.push_back(s.lidx);
-        o.sg_ridx.push_back(s.ridx);
-        o.sg_strand.push_back(s.strand);
+      {
+        strawb_perf::Scope _pe(strawb_perf::kClusterEmit);
+        o.cl_left.push_back(c.leftmost);
+        o.cl_right.push_back(c.rightmost);
+        o.cl_ref_id.push_back(c.ref_id);
+        o.cl_wmass.push_back(c.wmass);
+        for (i32 ri : c.refs) o.flat_ref_idx.push_back(ri);
+        o.cl_ref_off.push_back((i64)o.flat_ref_idx.size());
+        for (const PH& p : c.uniq) pair_to_contig(p, o);
+        o.cl_uniq_off.push_back((i64)o.ct_strand.size());
+        for (const Seg& s : segs) {
+          o.sg_left.push_back(s.left);
+          o.sg_right.push_back(s.right);
+          o.sg_lidx.push_back(s.lidx);
+          o.sg_ridx.push_back(s.ridx);
+          o.sg_strand.push_back(s.strand);
+        }
+        o.cl_seg_off.push_back((i64)o.sg_left.size());
       }
-      o.cl_seg_off.push_back((i64)o.sg_left.size());
       if (dbg) t_emit += now() - t0;
     }
     if (dbg)

@@ -66,10 +66,35 @@ class Profiler:
                 if st.items and st.seconds > 0 else ""
             lines.append(f"  {name:<24s} {st.seconds:8.3f}s"
                          f"  x{st.calls}{rate}")
+        native = native_counters()
+        if any(native.values()):
+            lines.append("  native thread-CPU: " + "  ".join(
+                f"{k}={v:.3f}s" for k, v in native.items() if v > 0))
         return "\n".join(lines)
 
 
 GLOBAL = Profiler(enabled=False)
+
+_NATIVE_COUNTER_NAMES = ("asm_prep", "quant_prep", "frag_len",
+                         "cluster_scan", "cluster_collapse", "cluster_emit")
+
+
+def native_counters(reset: bool = False) -> Dict[str, float]:
+    """Cumulative native thread-CPU seconds per hot path (perfcnt.h slots,
+    read via strawb_perf_read). Empty when the native lib is unavailable."""
+    try:
+        import ctypes as C
+        import numpy as np
+        from ..io.native import get_lib
+        lib = get_lib()
+        lib.strawb_perf_read.restype = None
+        lib.strawb_perf_read.argtypes = [C.POINTER(C.c_double), C.c_int32]
+        out = np.zeros(len(_NATIVE_COUNTER_NAMES), np.float64)
+        lib.strawb_perf_read(out.ctypes.data_as(C.POINTER(C.c_double)),
+                             1 if reset else 0)
+        return dict(zip(_NATIVE_COUNTER_NAMES, out.tolist()))
+    except Exception:
+        return {}
 
 
 def enable():

@@ -65,3 +65,28 @@ def test_sharded_cli_flag(tmp_path):
     a = [l for l in open(single) if not l.startswith("#")]
     b = [l for l in open(sharded) if not l.startswith("#")]
     assert a == b and a
+
+
+def test_low_mapq_warning_parity(tmp_path, reference_binary):
+    """-q prints a per-read stderr warning but drops nothing
+    (src/read.cpp:525-527). The reference decodes each record up to 3+
+    times (read-length inspection, two passes, bgzf_seek rewinds) and
+    warns on every decode; we decode once. Compare the UNIQUE warning
+    line sets, and the GTF must stay byte-identical."""
+    bam, gtf, txs = make_dataset(str(tmp_path), seed=61, n_frags=400)
+    outs, warns = {}, {}
+    for tag, cmd in [("ref", [reference_binary]),
+                     ("ours", [sys.executable, "-m", "strawberry_tpu.cli"])]:
+        out = str(tmp_path / f"{tag}.gtf")
+        env = dict(os.environ, STRAWB_PLATFORM="cpu")
+        r = subprocess.run(cmd + ["-g", gtf, "-r", "-q", "60", "-o", out,
+                                  "-T", str(tmp_path / f"{tag}.log"), bam],
+                           capture_output=True, text=True, timeout=600,
+                           cwd="/root/repo", env=env)
+        assert r.returncode == 0, (tag, r.stderr[-1500:])
+        outs[tag] = [l for l in open(out) if not l.startswith("#")]
+        warns[tag] = sorted({l for l in r.stderr.splitlines()
+                             if "has not reached min mapq" in l})
+    assert warns["ref"], "reference emitted no low-mapq warnings"
+    assert warns["ours"] == warns["ref"]
+    assert outs["ours"] == outs["ref"]
