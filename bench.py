@@ -54,14 +54,19 @@ def main():
 
     n_reads = len(sample.table)
     rps = n_reads / dt
+    em = getattr(sample, "em_stats", {})
+    solved = em.get("device", 0) + em.get("host", 0)
+    device_frac = em.get("device", 0) / solved if solved else 0.0
     print(json.dumps({
         "metric": "aligned_reads_per_sec_assembly_quant",
         "value": round(rps, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+        "device_frac": round(device_frac, 4),
     }))
     print(f"# {n_reads} reads, {dt:.2f}s end-to-end, "
-          f"{out.getvalue().count(chr(9) + 'transcript' + chr(9))} transcripts",
+          f"{out.getvalue().count(chr(9) + 'transcript' + chr(9))} transcripts"
+          f", EM device/host = {em.get('device', 0)}/{em.get('host', 0)}",
           file=sys.stderr)
 
 

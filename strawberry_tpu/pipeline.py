@@ -663,11 +663,13 @@ class Sample:
 
     def _quantify_batched(self, log: TextIO,
                           fragfile: Optional[TextIO]) -> List[Isoform]:
-        """Device-batched pass 2: build all locus contexts on host, solve
-        every locus EM as bucketed batched tensor programs on the TPU, then
-        finalize FPKM/filters in cluster order."""
-        from .quant.device import LocusProblem, batched_em
-        from .quant.em import em_init
+        """Device-batched pass 2: build locus contexts on host, solve every
+        locus EM as fixed-tier batched tensor programs on the TPU, then
+        finalize FPKM/filters in cluster order. EM batches launch the
+        moment they fill (JAX dispatch is async), so the chip solves EM
+        while the host is still streaming clusters and prepping the next
+        loci."""
+        from .quant.device import LocusProblem, EmDispatcher
 
         pending: List[Tuple[HitCluster, LocusContext]] = []
         use_fast = fragfile is None
@@ -708,6 +710,25 @@ class Sample:
         futures = []
         pool = ThreadPoolExecutor(max_workers=1) if use_fast else None
         chunk_start = 0
+        dispatcher = EmDispatcher(use_pallas=self.cfg.fast_em)
+        fut_drained = 0
+
+        def _em_add(i, est):
+            n, alpha = est.build_problem()
+            dispatcher.add(i, LocusProblem(counts=n, weights=alpha))
+
+        def _drain_ready_futures(block=False):
+            # feed completed quantprep chunks to the device EM dispatcher
+            # while the cluster stream is still running
+            nonlocal fut_drained
+            while fut_drained < len(futures):
+                chunk, fut = futures[fut_drained]
+                if not block and not fut.done():
+                    return
+                for (i, _), est in zip(chunk, fut.result()):
+                    pending[i] = (pending[i][0], est)
+                    _em_add(i, est)
+                fut_drained += 1
 
         def _flush():
             nonlocal chunk_start
@@ -720,6 +741,7 @@ class Sample:
                 build_batch_native, self.cfg, self.read_len,
                 self.insert_dist, [s for _, s in chunk],
                 long_read_sample=self.long_read_sample)))
+            _drain_ready_futures()
 
         for cluster in self.iter_clusters("refdemand", fuse_quant=fuse_quant):
             with PROF.phase("locus_context"):
@@ -727,9 +749,11 @@ class Sample:
                 if qp is not None:
                     from .quant.fastlocus import build_prebuilt_locus
                     exl = [rexlen[i] for i in cluster.ref_indices]
-                    pending.append((cluster, build_prebuilt_locus(
+                    est = build_prebuilt_locus(
                         self.cfg, self.read_len, self.insert_dist,
-                        cluster.ref_mrnas, exl, qp[0], qp[1])))
+                        cluster.ref_mrnas, exl, qp[0], qp[1])
+                    _em_add(len(pending), est)
+                    pending.append((cluster, est))
                 elif use_fast and getattr(cluster, "flat", None) is not None:
                     from .core.fastcluster import (flatten_contigs as _fc,
                                                    take_flat)
@@ -746,31 +770,33 @@ class Sample:
                 else:
                     est = self.build_locus_context(cluster,
                                                    cluster.ref_mrnas, log)
+                    _em_add(len(pending), est)
                     pending.append((cluster, est))
         if native_specs:
             with PROF.phase("quant_native", items=len(native_specs)):
                 try:
                     _flush()
-                    for chunk, fut in futures:
-                        for (i, _), est in zip(chunk, fut.result()):
-                            pending[i] = (pending[i][0], est)
+                    _drain_ready_futures(block=True)
                 except OSError:
                     from .quant.fastlocus import build_fast_locus
                     for i, s in native_specs:
-                        pending[i] = (pending[i][0], build_fast_locus(
+                        est = build_fast_locus(
                             self.cfg, self.read_len, self.insert_dist,
                             s[0], s[1], s[2],
                             long_read_sample=self.long_read_sample,
-                            iso_flat=s[3]))
+                            iso_flat=s[3])
+                        pending[i] = (pending[i][0], est)
+                        _em_add(i, est)
         if pool is not None:
             pool.shutdown(wait=False)
 
-        problems = []
-        for _cluster, est in pending:
-            n, alpha = est.build_problem()
-            problems.append(LocusProblem(counts=n, weights=alpha))
-        with PROF.phase("device_em", items=len(problems)):
-            thetas = batched_em(problems, use_pallas=self.cfg.fast_em)
+        with PROF.phase("em_finish", items=len(pending)):
+            thetas = dispatcher.finish()
+            thetas.extend([None] * (len(pending) - len(thetas)))
+        self.em_stats = {"device": dispatcher.n_device,
+                         "host": dispatcher.n_host,
+                         "init_failed": len(pending) - dispatcher.n_device
+                         - dispatcher.n_host}
 
         isoforms: List[Isoform] = []
         for (cluster, est), theta in zip(pending, thetas):

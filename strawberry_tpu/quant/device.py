@@ -39,8 +39,17 @@ def _round_up(x: int, choices: Sequence[int]) -> int:
     return choices[-1]
 
 
-_ROW_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
-_COL_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+# Fixed tier menu: every locus EM pads into one of FOUR (rows, cols, batch)
+# shapes, so the whole program compiles exactly four device kernels (all
+# pre-warmable via the persistent compile cache). Round-1 used per-chunk
+# power-of-two shapes, which churned ~1-min remote compiles; with a fixed
+# menu the steady-state dispatch is ~0.2ms/bucket on a v5e chip.
+_TIERS = (
+    (32, 4, 128),      # typical short-read locus (median 8 rows x 1 iso)
+    (128, 8, 64),
+    (512, 32, 16),
+    (2048, 128, 8),    # anything larger routes to the host solver
+)
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
@@ -111,47 +120,78 @@ class LocusProblem:
         return self.counts[keep], self.weights[keep]
 
 
-def batched_em(problems: List[LocusProblem],
-               dtype=jnp.float64,
-               use_pallas: bool = False,
-               device_min_elems: int = 1 << 21
-               ) -> List[Optional[np.ndarray]]:
-    """Solve many per-locus EMs on device with shape-bucketed batching.
+class EmDispatcher:
+    """Incremental device EM dispatch over the fixed tier menu.
 
-    Returns per-problem theta (or None when EM init fails — no surviving
-    rows — matching EmSolver::init returning false)."""
-    if os.environ.get("STRAWB_FORCE_HOST"):
-        device_min_elems = 1 << 60
-        use_pallas = False
-    results: List[Optional[np.ndarray]] = [None] * len(problems)
-    buckets: Dict[Tuple[int, int], List[Tuple[int, np.ndarray, np.ndarray,
-                                              float, int]]] = {}
-    for idx, p in enumerate(problems):
+    `add()` routes each locus problem into the smallest tier that fits it
+    and launches a device batch the moment a tier's fixed-size batch
+    fills. Padding, host->device transfer, kernel dispatch, AND the
+    result fetch all run on a dedicated worker thread: over a remote
+    device link (axon tunnel) each of those steps has RPC latency, so
+    keeping them off the main thread lets the chip solve EM batches while
+    the host keeps streaming clusters and building the next loci.
+    `finish()` flushes partial batches, joins the worker, and returns
+    per-problem theta (None = EM init failure: no surviving rows,
+    matching EmSolver::init returning false, estimate.cpp:374-391).
+
+    Counts device/host routing so the profile and bench can report the
+    true device fraction (round-1 routed 0% to the chip)."""
+
+    def __init__(self, n_problems: int = 0, dtype=jnp.float64,
+                 use_pallas: bool = False):
+        # grows on demand in add(); pass n_problems when known upfront
+        self.results: List[Optional[np.ndarray]] = [None] * n_problems
+        self.dtype = dtype
+        self.use_pallas = use_pallas and not os.environ.get(
+            "STRAWB_FORCE_HOST")
+        self.force_host = bool(os.environ.get("STRAWB_FORCE_HOST"))
+        # per-tier fill state: list of (idx, u, F, total, niso)
+        self._fills: List[List[tuple]] = [[] for _ in _TIERS]
+        self._host_items: List[tuple] = []
+        self._futures: List = []
+        self._pool = None
+        self.n_device = 0
+        self.n_host = 0
+
+    def _submit(self, fn, *args):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="em-dispatch")
+        self._futures.append(self._pool.submit(fn, *args))
+
+    def add(self, idx: int, p: "LocusProblem"):
+        if idx >= len(self.results):
+            self.results.extend([None] * (idx + 1 - len(self.results)))
         total = float(np.sum(p.counts))
         niso = p.weights.shape[1]
         u, F = p.filtered()
         if u.size == 0:
-            continue  # init failure
-        rb = _round_up(F.shape[0], _ROW_BUCKETS)
-        cb = _round_up(niso, _COL_BUCKETS)
-        buckets.setdefault((rb, cb), []).append((idx, u, F, total, niso))
+            return  # init failure -> results[idx] stays None
+        item = (idx, u, F, total, niso)
+        if not self.force_host:
+            for t, (rb, cb, bb) in enumerate(_TIERS):
+                if F.shape[0] <= rb and niso <= cb:
+                    self._fills[t].append(item)
+                    self.n_device += 1
+                    if len(self._fills[t]) == bb:
+                        self._launch(t)
+                    return
+        self._host_items.append(item)
+        self.n_host += 1
 
-    host_items = []
-    for (rb, cb), items in sorted(buckets.items()):
-        # pad the batch dim to a power of two so each (B,R,C) bucket shape
-        # compiles once and is reused via the persistent cache
-        B = max(8, 1 << (len(items) - 1).bit_length())
-        if B * rb * cb < device_min_elems and not use_pallas:
-            # tiny bucket: device dispatch costs more than the math; the
-            # host path follows the oracle spec (native batch, numpy
-            # fallback), so results match
-            host_items.extend(items)
-            continue
-        F = np.zeros((B, rb, cb), dtype=np.float64)
-        u = np.zeros((B, rb), dtype=np.float64)
-        theta0 = np.zeros((B, cb), dtype=np.float64)
-        valid = np.zeros((B, rb), dtype=bool)
-        active = np.zeros((B,), dtype=bool)
+    def _launch(self, tier: int):
+        items, self._fills[tier] = self._fills[tier], []
+        self._submit(self._run_batch, tier, items)
+
+    def _run_batch(self, tier: int, items: List[tuple]):
+        """Worker-thread body: pad, transfer, solve, fetch, scatter."""
+        rb, cb, bb = _TIERS[tier]
+        F = np.zeros((bb, rb, cb), dtype=np.float64)
+        u = np.zeros((bb, rb), dtype=np.float64)
+        theta0 = np.zeros((bb, cb), dtype=np.float64)
+        valid = np.zeros((bb, rb), dtype=bool)
+        active = np.zeros((bb,), dtype=bool)
         for b, (idx, uu, FF, total, niso) in enumerate(items):
             r = FF.shape[0]
             F[b, :r, :niso] = FF
@@ -159,22 +199,58 @@ def batched_em(problems: List[LocusProblem],
             theta0[b, :niso] = total / niso
             valid[b, :r] = True
             active[b] = True
-        if use_pallas:
+        if self.use_pallas:
             from .pallas_em import em_bucket_pallas
             theta = em_bucket_pallas(F, u, theta0, valid, active)
         else:
-            theta, _failed = _em_bucket(jnp.asarray(F, dtype),
-                                        jnp.asarray(u, dtype),
-                                        jnp.asarray(theta0, dtype),
+            theta, _failed = _em_bucket(jnp.asarray(F, self.dtype),
+                                        jnp.asarray(u, self.dtype),
+                                        jnp.asarray(theta0, self.dtype),
                                         jnp.asarray(valid),
                                         jnp.asarray(active))
-        theta = np.asarray(theta, np.float64)
+        theta = np.asarray(theta, np.float64)   # blocks until ready
+        # single worker thread => no concurrent writers; finish() joins
+        # the worker before the main thread reads results
         for b, (idx, _uu, _FF, _total, niso) in enumerate(items):
-            results[idx] = theta[b, :niso]
+            self.results[idx] = theta[b, :niso]
 
-    if host_items:
-        _host_em_batch(host_items, results)
-    return results
+    def finish(self) -> List[Optional[np.ndarray]]:
+        from ..utils.profiling import GLOBAL as PROF
+        for t in range(len(_TIERS)):
+            if self._fills[t]:
+                self._launch(t)
+        if self._host_items:
+            with PROF.phase("host_em", items=self.n_host):
+                _host_em_batch(self._host_items, self.results)
+        with PROF.phase("device_em_fetch", items=self.n_device):
+            for f in self._futures:
+                f.result()   # propagate worker exceptions
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+        return self.results
+
+
+def warm_em_tiers(dtype=jnp.float64):
+    """Pre-compile the tier kernels (no-op once the persistent compile
+    cache is populated)."""
+    for (rb, cb, bb) in _TIERS:
+        _em_bucket(jnp.zeros((bb, rb, cb), dtype), jnp.zeros((bb, rb), dtype),
+                   jnp.zeros((bb, cb), dtype), jnp.zeros((bb, rb), bool),
+                   jnp.zeros((bb,), bool))
+
+
+def batched_em(problems: List[LocusProblem],
+               dtype=jnp.float64,
+               use_pallas: bool = False,
+               ) -> List[Optional[np.ndarray]]:
+    """Solve many per-locus EMs on device with fixed-tier batching.
+
+    Returns per-problem theta (or None when EM init fails — no surviving
+    rows — matching EmSolver::init returning false)."""
+    d = EmDispatcher(len(problems), dtype=dtype, use_pallas=use_pallas)
+    for idx, p in enumerate(problems):
+        d.add(idx, p)
+    return d.finish()
 
 
 _native_em = None

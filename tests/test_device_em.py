@@ -35,12 +35,15 @@ def host_solve(p: LocusProblem):
     return theta
 
 
-@pytest.mark.parametrize("min_elems", [0, 1 << 40])
-def test_batched_em_matches_host_oracle(min_elems):
-    # min_elems=0 forces the device kernel; huge forces the host path
+@pytest.mark.parametrize("force_host", [False, True])
+def test_batched_em_matches_host_oracle(force_host, monkeypatch):
+    # default routes every problem to the device tier kernels;
+    # STRAWB_FORCE_HOST routes everything to the host solver
+    if force_host:
+        monkeypatch.setenv("STRAWB_FORCE_HOST", "1")
     rng = np.random.default_rng(0)
     problems = random_problems(rng, 60)
-    dev = batched_em(problems, device_min_elems=min_elems)
+    dev = batched_em(problems)
     for i, p in enumerate(problems):
         host = host_solve(p)
         if host is None:
@@ -66,3 +69,25 @@ def test_batched_em_all_rows_dropped():
     p = LocusProblem(counts=np.array([3.0]), weights=np.array([[1e-6]]))
     assert host_solve(p) is None
     assert batched_em([p])[0] is None
+
+
+def test_em_dispatcher_routing_counts():
+    """Every problem that fits the tier menu must dispatch to the device
+    (round-1 regression: thresholds routed 0% to the chip)."""
+    from strawberry_tpu.quant.device import EmDispatcher, _TIERS
+    rng = np.random.default_rng(1)
+    problems = random_problems(rng, 40)
+    d = EmDispatcher()
+    for i, p in enumerate(problems):
+        d.add(i, p)
+    res = d.finish()
+    n_fit = sum(1 for p in problems if p.filtered()[0].size > 0)
+    assert d.n_device == n_fit and d.n_host == 0
+    # oversized problems fall back to the host solver
+    big_r = _TIERS[-1][0] + 1
+    big = LocusProblem(counts=np.ones(big_r),
+                       weights=np.full((big_r, 2), 0.5))
+    d2 = EmDispatcher()
+    d2.add(0, big)
+    r2 = d2.finish()
+    assert d2.n_host == 1 and d2.n_device == 0 and r2[0] is not None
