@@ -81,8 +81,7 @@ def _bind(lib):
         fn.restype = C.c_int64
         fn.argtypes = [C.c_void_p]
     for name, rt in [("n", C.c_int64), ("nct", C.c_int64),
-                     ("nfeat", C.c_int64), ("nrefidx", C.c_int64),
-                     ("nseg", C.c_int64)]:
+                     ("nrefidx", C.c_int64), ("nseg", C.c_int64)]:
         fn = getattr(lib, f"strawb_cluster_{name}")
         fn.restype = rt
         fn.argtypes = [C.c_void_p]
@@ -90,8 +89,7 @@ def _bind(lib):
                      ("wmass", dp), ("refoff", i64p), ("refidx", i32p),
                      ("uniqoff", i64p), ("segoff", i64p),
                      ("ctstrand", i8p), ("ctorit", i8p), ("ctmass", dp),
-                     ("ctvalid", i8p), ("ctfeatoff", i64p), ("ctfcode", i8p),
-                     ("ctfleft", i64p), ("ctflen", i32p),
+                     ("ctvalid", i8p),
                      ("segleft", i64p), ("segright", i64p),
                      ("seglidx", i64p), ("segridx", i64p),
                      ("segstrand", i8p)]:
@@ -116,9 +114,8 @@ class _ClusterPool:
     per-cluster views are cut lazily on first attribute access."""
 
     __slots__ = ("ct_strand", "ct_orit", "ct_mass", "valid_all",
-                 "ct_featoff", "ct_fcode", "ct_fleft", "ct_flen",
                  "gmass", "goff", "gcode", "gleft", "glen",
-                 "uniq_off", "vcum", "featoff_l", "goff_l",
+                 "uniq_off", "vcum", "vcum_full", "goff_l",
                  "seg_off", "seg_args")
 
 
@@ -157,13 +154,16 @@ class NativeCluster:
         if self._rawc is None:
             p = self._pool
             a0, a1 = p.uniq_off[self._k], p.uniq_off[self._k + 1]
-            featoff_k = p.ct_featoff[a0:a1 + 1]
-            f0, f1 = p.featoff_l[a0], p.featoff_l[a1]
+            # per-contig feature runs live in the valid gather: contig ci's
+            # features are g[goff[vcum[ci]] : goff[vcum[ci]+1]] (invalid
+            # contigs get an empty run since vcum doesn't advance)
+            featoff_k = p.goff[p.vcum_full[a0:a1 + 1]]
+            f0, f1 = int(featoff_k[0]), int(featoff_k[-1])
             self._rawc = (p.ct_strand[a0:a1], p.ct_orit[a0:a1],
                           p.ct_mass[a0:a1], p.valid_all[a0:a1],
                           featoff_k - f0,
-                          p.ct_fcode[f0:f1], p.ct_fleft[f0:f1],
-                          p.ct_flen[f0:f1])
+                          p.gcode[f0:f1], p.gleft[f0:f1],
+                          p.glen[f0:f1])
         return self._rawc
 
     @property
@@ -388,7 +388,6 @@ def _decode_cluster_handle(lib, h, cfg: Config, ref_mrnas: List[Contig]
     owner = _Owner(lib.strawb_cluster_free, h)
     n = lib.strawb_cluster_n(h)
     nct = lib.strawb_cluster_nct(h)
-    nfeat = lib.strawb_cluster_nfeat(h)
     nrefidx = lib.strawb_cluster_nrefidx(h)
     nseg = lib.strawb_cluster_nseg(h)
     cl_left = _view(lib.strawb_cluster_left(h), n, np.int64, owner)
@@ -403,11 +402,6 @@ def _decode_cluster_handle(lib, h, cfg: Config, ref_mrnas: List[Contig]
     ct_orit = _view(lib.strawb_cluster_ctorit(h), nct, np.int8, owner)
     ct_mass = _view(lib.strawb_cluster_ctmass(h), nct, np.float64, owner)
     ct_valid = _view(lib.strawb_cluster_ctvalid(h), nct, np.int8, owner)
-    ct_featoff = _view(lib.strawb_cluster_ctfeatoff(h), nct + 1, np.int64,
-                       owner)
-    ct_fcode = _view(lib.strawb_cluster_ctfcode(h), nfeat, np.int8, owner)
-    ct_fleft = _view(lib.strawb_cluster_ctfleft(h), nfeat, np.int64, owner)
-    ct_flen = _view(lib.strawb_cluster_ctflen(h), nfeat, np.int32, owner)
     sg_left = _view(lib.strawb_cluster_segleft(h), nseg, np.int64, owner)
     sg_right = _view(lib.strawb_cluster_segright(h), nseg, np.int64, owner)
     sg_lidx = _view(lib.strawb_cluster_seglidx(h), nseg, np.int64, owner)
@@ -441,10 +435,6 @@ def _decode_cluster_handle(lib, h, cfg: Config, ref_mrnas: List[Contig]
     pool.ct_orit = ct_orit
     pool.ct_mass = ct_mass
     pool.valid_all = valid_all
-    pool.ct_featoff = ct_featoff
-    pool.ct_fcode = ct_fcode
-    pool.ct_fleft = ct_fleft
-    pool.ct_flen = ct_flen
     pool.gmass = gmass
     pool.goff = goff
     pool.gcode = gcode
@@ -455,7 +445,7 @@ def _decode_cluster_handle(lib, h, cfg: Config, ref_mrnas: List[Contig]
     # (n+1 ints) instead of tolist()ing the full per-contig arrays
     vcum_at = vcum[uniq_off]
     pool.vcum = dict(zip(uniq_off_l, vcum_at.tolist()))
-    pool.featoff_l = dict(zip(uniq_off_l, ct_featoff[uniq_off].tolist()))
+    pool.vcum_full = vcum
     pool.goff_l = dict(zip(vcum_at.tolist(), goff[vcum_at].tolist()))
     pool.seg_off = seg_off.tolist()
     pool.seg_args = list(zip(sg_left.tolist(), sg_right.tolist(),

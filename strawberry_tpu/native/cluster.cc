@@ -42,6 +42,7 @@ namespace {
 
 typedef int64_t i64;
 typedef int32_t i32;
+typedef uint32_t u32;
 
 const i64 UINT_MAX64 = 0xFFFFFFFFll;
 
@@ -108,10 +109,10 @@ struct Out {
   std::vector<int8_t> ct_orit;     // 0 fwd single, 1 rev single, 2 paired
   std::vector<double> ct_mass;     // collapse mass
   std::vector<int8_t> ct_valid;    // 0 = pair merge failed (ref_id -1)
-  std::vector<i64> ct_feat_off;    // size ncontigs+1
-  std::vector<int8_t> ct_fcode;
-  std::vector<i64> ct_fleft;
-  std::vector<i32> ct_flen;
+  // NB: per-contig feature runs are NOT duplicated here — invalid contigs
+  // have no features, so the valid gather g_* below carries every feature;
+  // contig ci's run is g_off[vcum[ci]] .. g_off[vcum[ci]+1] (empty when
+  // invalid since vcum doesn't advance)
   // refine segments
   std::vector<i64> sg_left, sg_right, sg_lidx, sg_ridx;
   std::vector<int8_t> sg_strand;
@@ -301,13 +302,9 @@ class Runner {
     o.ct_orit.reserve(nct);
     o.ct_mass.reserve(nct);
     o.ct_valid.reserve(nct);
-    o.ct_feat_off.reserve(nct + 1);
     o.vcum.reserve(nct + 1);
     o.g_mass.reserve(nct);
     o.g_off.reserve(nct + 1);
-    o.ct_fcode.reserve(nft);
-    o.ct_fleft.reserve(nft);
-    o.ct_flen.reserve(nft);
     o.g_code.reserve(nft);
     o.g_left.reserve(nft);
     o.g_len.reserve(nft);
@@ -440,7 +437,13 @@ class Runner {
     i64 l, r;
     PH p;
   };
-  std::vector<KeyedPH> collapse_keys_;  // reused scratch
+  struct Key64 {
+    uint64_t k;  // (left << 32) | right — lex-equal to (l, r) compares
+    u32 idx;
+  };
+  std::vector<KeyedPH> collapse_keys_;   // reused scratch (wide fallback)
+  std::vector<Key64> collapse_keys64_;   // reused scratch (packed path)
+  std::vector<PH> collapse_hits_;        // reused scratch (permute source)
 
   void collapse(Cluster& c) {
     if (c.hits.empty()) return;
@@ -450,17 +453,44 @@ class Runner {
     // frag-set first-insert rule observe — so we must sort the same way.
     // Sorting cached keys gives the identical comparison sequence (and so
     // the identical tie permutation) without pair_left/right re-derivation.
-    std::vector<KeyedPH>& keyed = collapse_keys_;
-    keyed.clear();
-    keyed.reserve(c.hits.size());
-    for (const PH& p : c.hits)
-      keyed.push_back({pair_left(p), pair_right(p), p});
-    std::sort(keyed.begin(), keyed.end(),
-              [](const KeyedPH& x, const KeyedPH& y) {
-                if (x.l != y.l) return x.l < y.l;
-                return x.r < y.r;
-              });
-    for (size_t i = 0; i < keyed.size(); ++i) c.hits[i] = keyed[i].p;
+    // Fast path: genomic coordinates fit in u32 (true for every real
+    // genome), so (l, r) packs into one u64 whose < is the same relation —
+    // identical comparator outcomes => identical introsort permutation.
+    size_t nhits = c.hits.size();
+    bool packed = true;
+    {
+      std::vector<Key64>& keyed = collapse_keys64_;
+      keyed.clear();
+      keyed.reserve(nhits);
+      for (size_t i = 0; i < nhits; ++i) {
+        i64 l = pair_left(c.hits[i]), r = pair_right(c.hits[i]);
+        if ((uint64_t)l > 0xffffffffull || (uint64_t)r > 0xffffffffull) {
+          packed = false;
+          break;
+        }
+        keyed.push_back({((uint64_t)l << 32) | (uint64_t)r, (u32)i});
+      }
+      if (packed) {
+        std::sort(keyed.begin(), keyed.end(),
+                  [](const Key64& x, const Key64& y) { return x.k < y.k; });
+        collapse_hits_.assign(c.hits.begin(), c.hits.end());
+        for (size_t i = 0; i < nhits; ++i)
+          c.hits[i] = collapse_hits_[keyed[i].idx];
+      }
+    }
+    if (!packed) {
+      std::vector<KeyedPH>& keyed = collapse_keys_;
+      keyed.clear();
+      keyed.reserve(nhits);
+      for (const PH& p : c.hits)
+        keyed.push_back({pair_left(p), pair_right(p), p});
+      std::sort(keyed.begin(), keyed.end(),
+                [](const KeyedPH& x, const KeyedPH& y) {
+                  if (x.l != y.l) return x.l < y.l;
+                  return x.r < y.r;
+                });
+      for (size_t i = 0; i < keyed.size(); ++i) c.hits[i] = keyed[i].p;
+    }
     size_t n = c.spans.size();
     double mean = 0.0, sd = 0.0;
     if (n) {
@@ -585,24 +615,34 @@ class Runner {
   std::vector<F> ptc_g_, ptc_m_;  // reused scratch (hot: one call per pair)
 
   bool pair_to_contig(const PH& p, Out& o) {
+    // fast paths (singleton / disjoint mates) append the feature runs
+    // straight into the valid gather; only the overlapping-mate merge needs
+    // scratch (it can fail, and failures must leave g_* untouched)
+    size_t gbase = o.g_code.size();
+    auto append_read = [&](i32 i) {
+      i64 f0 = h_.feat_off[i], f1 = h_.feat_off[i + 1];
+      o.g_code.insert(o.g_code.end(), h_.feat_code + f0, h_.feat_code + f1);
+      o.g_left.insert(o.g_left.end(), h_.feat_left + f0, h_.feat_left + f1);
+      o.g_len.insert(o.g_len.end(), h_.feat_len + f0, h_.feat_len + f1);
+    };
     std::vector<F>& g = ptc_g_;
     g.clear();
-    auto push_read = [&](i32 i) {
-      for (i64 f = h_.feat_off[i]; f < h_.feat_off[i + 1]; ++f)
-        g.push_back({h_.feat_code[f], h_.feat_left[f], h_.feat_len[f]});
-    };
     // one read's features are strictly increasing in `left` (sequential
     // CIGAR runs), so the reference's stable_sort by (left, len) reduces
     // to appends / a stable two-way merge with left-mate priority —
     // byte-identical outcome, no sort
+    bool direct = false;  // wrote straight to g_* (always valid)
     bool paired = p.a >= 0 && p.b >= 0;
     if (paired) {
       i64 gap = h_.left[p.b] - h_.right[p.a] - 1;
       if (gap > 0) {
         // a's runs < gap run < b's runs: already in sorted order
-        push_read(p.a);
-        g.push_back({2, h_.right[p.a] + 1, (i32)gap});
-        push_read(p.b);
+        append_read(p.a);
+        o.g_code.push_back(2);
+        o.g_left.push_back(h_.right[p.a] + 1);
+        o.g_len.push_back((i32)gap);
+        append_read(p.b);
+        direct = true;
       } else {
         // stable merge of the two sorted runs (ties keep a before b)
         i64 a0 = h_.feat_off[p.a], a1 = h_.feat_off[p.a + 1];
@@ -643,29 +683,24 @@ class Runner {
           ++i;
         }
         if (!ok) m.clear();
-        g = m;
+        for (const F& f : m) {
+          o.g_code.push_back(f.c);
+          o.g_left.push_back(f.l);
+          o.g_len.push_back(f.n);
+        }
+        direct = true;  // scratch merge already written (possibly empty)
       }
     } else {
-      push_read(p.a >= 0 ? p.a : p.b);
+      append_read(p.a >= 0 ? p.a : p.b);
+      direct = true;
     }
     int8_t orit = paired ? 2 : (p.a >= 0 ? 0 : 1);
     o.ct_strand.push_back(pair_strand(p));
     o.ct_orit.push_back(orit);
     o.ct_mass.push_back(p.collapse);
-    bool valid = !g.empty();
+    bool valid = direct && o.g_code.size() > gbase;
     o.ct_valid.push_back(valid ? 1 : 0);
-    for (const F& f : g) {
-      o.ct_fcode.push_back(f.c);
-      o.ct_fleft.push_back(f.l);
-      o.ct_flen.push_back(f.n);
-    }
-    o.ct_feat_off.push_back((i64)o.ct_fcode.size());
     if (valid) {
-      for (const F& f : g) {
-        o.g_code.push_back(f.c);
-        o.g_left.push_back(f.l);
-        o.g_len.push_back(f.n);
-      }
       o.g_off.push_back((i64)o.g_code.size());
       o.g_mass.push_back(p.collapse);
     }
@@ -842,7 +877,6 @@ class Runner {
     o.cl_ref_off.push_back(0);
     o.cl_uniq_off.push_back(0);
     o.cl_seg_off.push_back(0);
-    o.ct_feat_off.push_back(0);
     Cluster c;
     while (true) {
       c.reset();
@@ -991,10 +1025,13 @@ static void fuse_prep(const Cfg& cfg, const RefsIn& r, const FusedIn& fu,
   std::vector<i32> len;
   std::vector<double> cov, wt;
   auto gather_contig = [&](i64 ci) {
-    for (i64 f = o.ct_feat_off[ci]; f < o.ct_feat_off[ci + 1]; ++f) {
-      code.push_back(o.ct_fcode[f]);
-      left.push_back(o.ct_fleft[f]);
-      len.push_back(o.ct_flen[f]);
+    // valid contigs only (both callers check ct_valid): features live in
+    // the valid gather at g_off[vcum[ci]] .. g_off[vcum[ci]+1]
+    i64 v = o.vcum[ci];
+    for (i64 f = o.g_off[v]; f < o.g_off[v + 1]; ++f) {
+      code.push_back(o.g_code[f]);
+      left.push_back(o.g_left[f]);
+      len.push_back(o.g_len[f]);
     }
     off.push_back((i64)code.size());
     cov.push_back(o.ct_mass[ci]);
@@ -1323,6 +1360,7 @@ StrawbClusters* strawb_cluster_run(
 
   unsigned hw = std::thread::hardware_concurrency();
   i64 n_threads = hw > 1 ? 2 : 1;
+  if (getenv("STRAWB_FORCE_1T")) n_threads = 1;  // profiling aid
   if (parts.size() <= 1 || n_threads <= 1) {
     Runner runner(cfg, h, r);
     runner.run(out->o);
@@ -1349,7 +1387,6 @@ StrawbClusters* strawb_cluster_run(
   o.cl_ref_off.push_back(0);
   o.cl_uniq_off.push_back(0);
   o.cl_seg_off.push_back(0);
-  o.ct_feat_off.push_back(0);
   for (const Out& p : pouts) {
     {
       i64 gb = o.g_off.back();
@@ -1375,9 +1412,6 @@ StrawbClusters* strawb_cluster_run(
     app(o.ct_orit, p.ct_orit);
     app(o.ct_mass, p.ct_mass);
     app(o.ct_valid, p.ct_valid);
-    app(o.ct_fcode, p.ct_fcode);
-    app(o.ct_fleft, p.ct_fleft);
-    app(o.ct_flen, p.ct_flen);
     app(o.sg_left, p.sg_left);
     app(o.sg_right, p.sg_right);
     app(o.sg_lidx, p.sg_lidx);
@@ -1392,9 +1426,6 @@ StrawbClusters* strawb_cluster_run(
     i64 sb = o.cl_seg_off.back();
     for (size_t k = 1; k < p.cl_seg_off.size(); ++k)
       o.cl_seg_off.push_back(p.cl_seg_off[k] + sb);
-    i64 fb = o.ct_feat_off.back();
-    for (size_t k = 1; k < p.ct_feat_off.size(); ++k)
-      o.ct_feat_off.push_back(p.ct_feat_off[k] + fb);
   }
   return out;
 }
@@ -1412,7 +1443,6 @@ void strawb_sort_pairs(i64 n, const i64* left, const i64* right, i64* idx) {
 
 i64 strawb_cluster_n(StrawbClusters* s) { return (i64)s->o.cl_left.size(); }
 i64 strawb_cluster_nct(StrawbClusters* s) { return (i64)s->o.ct_strand.size(); }
-i64 strawb_cluster_nfeat(StrawbClusters* s) { return (i64)s->o.ct_fcode.size(); }
 i64 strawb_cluster_nrefidx(StrawbClusters* s) { return (i64)s->o.flat_ref_idx.size(); }
 i64 strawb_cluster_nseg(StrawbClusters* s) { return (i64)s->o.sg_left.size(); }
 
@@ -1428,10 +1458,6 @@ const int8_t* strawb_cluster_ctstrand(StrawbClusters* s) { return s->o.ct_strand
 const int8_t* strawb_cluster_ctorit(StrawbClusters* s) { return s->o.ct_orit.data(); }
 const double* strawb_cluster_ctmass(StrawbClusters* s) { return s->o.ct_mass.data(); }
 const int8_t* strawb_cluster_ctvalid(StrawbClusters* s) { return s->o.ct_valid.data(); }
-const i64* strawb_cluster_ctfeatoff(StrawbClusters* s) { return s->o.ct_feat_off.data(); }
-const int8_t* strawb_cluster_ctfcode(StrawbClusters* s) { return s->o.ct_fcode.data(); }
-const i64* strawb_cluster_ctfleft(StrawbClusters* s) { return s->o.ct_fleft.data(); }
-const i32* strawb_cluster_ctflen(StrawbClusters* s) { return s->o.ct_flen.data(); }
 const i64* strawb_cluster_segleft(StrawbClusters* s) { return s->o.sg_left.data(); }
 const i64* strawb_cluster_segright(StrawbClusters* s) { return s->o.sg_right.data(); }
 const i64* strawb_cluster_seglidx(StrawbClusters* s) { return s->o.sg_lidx.data(); }
