@@ -75,6 +75,7 @@ class Config:
     # --- runtime / TPU -----------------------------------------------------
     device_batch: bool = True               # run batched kernels on the JAX device
     native_cluster: bool = True             # C++ clusterizer (validated vs oracle)
+    stream_decode: bool = True              # streaming BAM decode overlapping pass 1
     fast_em: bool = False                   # f32 Pallas EM (throughput mode;
                                             # trades golden bit-parity for speed)
     mesh_shape: tuple = ()                  # () = single device; e.g. (8,) data-parallel

@@ -53,6 +53,20 @@ def _bind(lib):
     lib.strawb_cluster_start_qfused.argtypes = run_args + [
         C.c_int32, C.c_int64, i64p, i8p, i64p, i32p, i64p, dp,
         C.c_int64, C.c_int64, C.c_int32]
+    sbam_args = ([C.c_void_p]
+                 + [C.c_int64, i32p, i64p, i64p, i32p, i8p]
+                 + [C.c_int64] * 3 + [C.c_int32] * 5)
+    lib.strawb_cluster_start_sbam.restype = C.c_void_p
+    lib.strawb_cluster_start_sbam.argtypes = sbam_args
+    lib.strawb_cluster_start_sbam_fused.restype = C.c_void_p
+    lib.strawb_cluster_start_sbam_fused.argtypes = sbam_args + [
+        C.c_int64, i64p, i8p, i64p, i32p, dp, dp, i64p]
+    lib.strawb_cluster_start_sbam_qfused.restype = C.c_void_p
+    lib.strawb_cluster_start_sbam_qfused.argtypes = sbam_args + [
+        C.c_int64, i64p, i8p, i64p, i32p, i64p, dp,
+        C.c_int64, C.c_int64, C.c_int32]
+    lib.strawb_cluster_job_wait_next.restype = C.c_void_p
+    lib.strawb_cluster_job_wait_next.argtypes = [C.c_void_p, C.c_int64]
     lib.strawb_cluster_qfused.restype = C.c_int32
     lib.strawb_cluster_qfused.argtypes = [C.c_void_p]
     for name in ("qnbins", "qnalpha"):
@@ -243,11 +257,9 @@ class NativeCluster:
         return self._n_uniq
 
 
-def _pack_cluster_inputs(table: HitTable, cfg: Config,
-                         ref_mrnas: List[Contig], mode: str):
-    """Marshal (hits, refs, cfg) into the flat ctypes argument list shared
-    by strawb_cluster_run and strawb_cluster_start. Returns (args, keep)
-    where `keep` holds the numpy arrays alive for the call's duration."""
+def _pack_refs(ref_mrnas: List[Contig]):
+    """Reference-transcript bounds + gene codes as flat arrays (the refs
+    half of the clusterizer's inputs)."""
     gene_codes: Dict[str, int] = {}
     rgene = np.empty(len(ref_mrnas), np.int32)
     rref = np.empty(len(ref_mrnas), np.int32)
@@ -268,6 +280,15 @@ def _pack_cluster_inputs(table: HitTable, cfg: Config,
         rleft[i] = r.left
         rright[i] = r.right
         rstrand[i] = r.strand
+    return rref, rleft, rright, rgene, rstrand
+
+
+def _pack_cluster_inputs(table: HitTable, cfg: Config,
+                         ref_mrnas: List[Contig], mode: str):
+    """Marshal (hits, refs, cfg) into the flat ctypes argument list shared
+    by strawb_cluster_run and strawb_cluster_start. Returns (args, keep)
+    where `keep` holds the numpy arrays alive for the call's duration."""
+    rref, rleft, rright, rgene, rstrand = _pack_refs(ref_mrnas)
 
     t = table
 
@@ -327,7 +348,32 @@ def stream_native_clustering(table: HitTable, cfg: Config,
     `prep_units` for pipeline.prepare_cluster_assembly."""
     from ..io.native import get_lib
     lib = _bind(get_lib())
-    args, keep = _pack_cluster_inputs(table, cfg, ref_mrnas, mode)
+    from ..io.sbam import StreamingHitTable
+    streaming = isinstance(table, StreamingHitTable)
+    if streaming:
+        # hits come straight from the decode stream's chromosome blocks;
+        # only the refs + cfg are marshaled here
+        rref, rleft, rright, rgene, rstrand = _pack_refs(ref_mrnas)
+        keep = [rref, rleft, rright, rgene, rstrand]
+        args = [
+            table.handle, len(ref_mrnas),
+            rref.ctypes.data_as(C.POINTER(C.c_int32)),
+            rleft.ctypes.data_as(C.POINTER(C.c_int64)),
+            rright.ctypes.data_as(C.POINTER(C.c_int64)),
+            rgene.ctypes.data_as(C.POINTER(C.c_int32)),
+            rstrand.ctypes.data_as(C.POINTER(C.c_int8)),
+            cfg.max_olap_dist, cfg.max_intron_length, cfg.max_frag_span,
+            1 if cfg.enforce_ref_models else 0,
+            1 if cfg.utilize_ref_models else 0,
+            cfg.min_read_for_assemb,
+            1 if mode == "refdemand" else 0]
+        starters = (lib.strawb_cluster_start_sbam,
+                    lib.strawb_cluster_start_sbam_fused,
+                    lib.strawb_cluster_start_sbam_qfused)
+    else:
+        args, keep = _pack_cluster_inputs(table, cfg, ref_mrnas, mode)
+        starters = (lib.strawb_cluster_start, lib.strawb_cluster_start_fused,
+                    lib.strawb_cluster_start_qfused)
     if fuse_read_len is not None:
         rf = flatten_contigs(ref_mrnas)
         rf = tuple(np.ascontiguousarray(a) for a in rf)
@@ -343,7 +389,7 @@ def stream_native_clustering(table: HitTable, cfg: Config,
                          cfg.max_cover_gap1, cfg.max_cover_gap2,
                          cfg.min_dist_4_exon_edge], np.int64)
         keep += [rf, rmass, dcfg, icfg]
-        job = lib.strawb_cluster_start_fused(
+        job = starters[1](
             *args, 0, fuse_read_len,
             rf[0].ctypes.data_as(C.POINTER(C.c_int64)),
             rf[1].ctypes.data_as(C.POINTER(C.c_int8)),
@@ -358,7 +404,7 @@ def stream_native_clustering(table: HitTable, cfg: Config,
         rexlen = np.ascontiguousarray(rexlen, np.int64)
         pdf = np.ascontiguousarray(pdf, np.float64)
         keep += [rf, rexlen, pdf]
-        job = lib.strawb_cluster_start_qfused(
+        job = starters[2](
             *args, 0, read_len,
             rf[0].ctypes.data_as(C.POINTER(C.c_int64)),
             rf[1].ctypes.data_as(C.POINTER(C.c_int8)),
@@ -368,12 +414,23 @@ def stream_native_clustering(table: HitTable, cfg: Config,
             pdf.ctypes.data_as(C.POINTER(C.c_double)),
             len(pdf), base_lmin, 1 if long_read else 0)
     else:
-        job = lib.strawb_cluster_start(*args, 0)
+        job = starters[0](*args, 0)
     try:
-        nparts = lib.strawb_cluster_job_parts(job)
-        for k in range(nparts):
-            h = lib.strawb_cluster_job_wait(job, k)
-            yield from _decode_cluster_handle(lib, h, cfg, ref_mrnas)
+        if streaming:
+            k = 0
+            while True:
+                h = lib.strawb_cluster_job_wait_next(job, k)
+                if not h:
+                    break
+                yield from _decode_cluster_handle(lib, h, cfg, ref_mrnas)
+                k += 1
+            # surface a decode failure (wait_block raises on error)
+            table.wait_block(k + (1 << 60))
+        else:
+            nparts = lib.strawb_cluster_job_parts(job)
+            for k in range(nparts):
+                h = lib.strawb_cluster_job_wait(job, k)
+                yield from _decode_cluster_handle(lib, h, cfg, ref_mrnas)
     finally:
         lib.strawb_cluster_job_free(job)
         del keep

@@ -27,6 +27,13 @@
 #include <thread>
 #include <vector>
 
+#include <atomic>
+#include <condition_variable>
+#include <memory>
+#include <mutex>
+
+#include "sbam.h"
+
 #include <zlib.h>
 #if defined(__has_include)
 #if __has_include(<libdeflate.h>)
@@ -218,9 +225,17 @@ struct Partial {
   std::vector<int32_t> feat_len;
   std::vector<int32_t> seqlens;  // accepted-hit seq lens (capped at max_hist)
   int32_t paired_end = 0;
+
+  void clear() {  // keep capacity (streaming windows reuse the buffers)
+    ref_id.clear(); left.clear(); right.clear(); strand.clear();
+    flag.clear(); mate_ref.clear(); mate_pos.clear(); nh.clear();
+    read_id.clear(); cigar_hash.clear(); nfeat.clear(); feat_code.clear();
+    feat_left.clear(); feat_len.clear(); seqlens.clear();
+    paired_end = 0;
+  }
 };
 
-static void decode_range(const uint8_t* buf, const std::vector<size_t>& offs,
+static void decode_range(const uint8_t* buf, const size_t* offs,
                          size_t lo, size_t hi, const Config& cfg, Partial& R) {
   size_t cnt = hi - lo;
   R.ref_id.reserve(cnt);
@@ -474,13 +489,13 @@ static bool decode_records(const uint8_t* buf, size_t n, const Config& cfg,
   if (nrec < 4096) T = 1;
   std::vector<Partial> parts(T);
   if (T == 1) {
-    decode_range(buf, offs, 0, nrec, cfg, parts[0]);
+    decode_range(buf, offs.data(), 0, nrec, cfg, parts[0]);
   } else {
     std::vector<std::thread> pool;
     for (size_t t = 0; t < T; ++t) {
       size_t lo = nrec * t / T, hi = nrec * (t + 1) / T;
       pool.emplace_back([&, lo, hi, t]() {
-        decode_range(buf, offs, lo, hi, cfg, parts[t]);
+        decode_range(buf, offs.data(), lo, hi, cfg, parts[t]);
       });
     }
     for (auto& th : pool) th.join();
@@ -532,9 +547,627 @@ static bool decode_records(const uint8_t* buf, size_t n, const Config& cfg,
   return true;
 }
 
+// ----------------------------------------------------------- streaming ----
+// Prefix variant of bgzf_index: indexes only the complete BGZF blocks at the
+// front of `data`, reporting how many input bytes they cover (`consumed`) so
+// the caller can carry the trailing partial block into the next read chunk.
+// Returns false on malformed data (bad gzip magic / missing BC subfield).
+static bool bgzf_index_prefix(const uint8_t* data, size_t n,
+                              std::vector<BlockRef>& blocks, size_t& consumed,
+                              size_t& total_out) {
+  size_t pos = 0;
+  total_out = 0;
+  while (pos + 18 <= n) {
+    if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return false;
+    uint16_t xlen;
+    memcpy(&xlen, data + pos + 10, 2);
+    if (pos + 12 + (size_t)xlen > n) break;  // partial extra field
+    size_t xpos = pos + 12, xend = xpos + xlen;
+    uint32_t bsize = 0;
+    while (xpos + 4 <= xend) {
+      uint8_t si1 = data[xpos], si2 = data[xpos + 1];
+      uint16_t slen;
+      memcpy(&slen, data + xpos + 2, 2);
+      if (si1 == 0x42 && si2 == 0x43 && slen >= 2) {
+        uint16_t v;
+        memcpy(&v, data + xpos + 4, 2);
+        bsize = (uint32_t)v + 1;
+      }
+      xpos += 4 + slen;
+    }
+    if (bsize == 0) return false;
+    if (pos + bsize > n) break;  // partial block payload
+    uint32_t isize;
+    memcpy(&isize, data + pos + bsize - 4, 4);
+    if (isize > 0) {
+      BlockRef b;
+      b.comp_off = pos + 12 + xlen;
+      b.comp_len = bsize - 12 - xlen - 8;
+      b.isize = isize;
+      b.out_off = total_out;
+      blocks.push_back(b);
+      total_out += isize;
+    }
+    pos += bsize;
+  }
+  consumed = pos;
+  return true;
+}
+
+// One finalized per-chromosome SoA block of the stream.
+struct SbamBlock {
+  int32_t chrom = -1;
+  std::vector<int32_t> ref_id;
+  std::vector<int64_t> left, right;
+  std::vector<int8_t> strand;
+  std::vector<uint16_t> flag;
+  std::vector<int32_t> mate_ref;
+  std::vector<int64_t> mate_pos;
+  std::vector<int32_t> nh;
+  std::vector<uint64_t> read_id, cigar_hash;
+  std::vector<int64_t> feat_off;  // n+1
+  std::vector<int8_t> feat_code;
+  std::vector<int64_t> feat_left;
+  std::vector<int32_t> feat_len;
+};
+
 }  // namespace
 
 extern "C" {
+
+struct StrawbSbam {
+  Config cfg;
+  std::string path;
+  int n_threads = 1;
+
+  std::mutex mu;
+  std::condition_variable cv;
+  // header
+  std::string names_blob;
+  std::vector<int32_t> ref_len;
+  bool header_ready = false;
+  // read-length histogram over the first max_read_num_4_rl accepted hits
+  std::vector<int32_t> hist_len, hist_count;
+  bool hist_ready = false;
+  // blocks
+  std::vector<std::unique_ptr<SbamBlock>> blocks;
+  bool ended = false;
+  int32_t paired = 0;
+  int64_t total_hits = 0;
+  std::string error;
+
+  std::thread driver;
+
+  ~StrawbSbam() {
+    if (driver.joinable()) driver.join();
+  }
+
+  void fail(const std::string& msg) {
+    std::lock_guard<std::mutex> g(mu);
+    error = msg;
+    header_ready = hist_ready = ended = true;
+    cv.notify_all();
+  }
+
+  void run();
+};
+
+namespace {
+
+// Incremental driver state for the per-chromosome accumulation.
+struct SbamAccum {
+  StrawbSbam* S;
+  // current chromosome under accumulation
+  SbamBlock cur;
+  std::vector<int32_t> hist;  // dense seqlen histogram (first 50k accepted)
+  int64_t n_hist = 0;
+  bool hist_done = false;
+
+  explicit SbamAccum(StrawbSbam* s) : S(s) {}
+
+  void finalize_hist() {
+    if (hist_done) return;
+    hist_done = true;
+    std::lock_guard<std::mutex> g(S->mu);
+    for (size_t l = 0; l < hist.size(); ++l) {
+      if (hist[l]) {
+        S->hist_len.push_back((int32_t)l);
+        S->hist_count.push_back(hist[l]);
+      }
+    }
+    S->hist_ready = true;
+    S->cv.notify_all();
+  }
+
+  void finalize_block() {
+    if (cur.ref_id.empty()) return;
+    auto blk = std::make_unique<SbamBlock>();
+    std::swap(*blk, cur);
+    // rebuild feat_off as n+1 prefix (stored incrementally already)
+    std::lock_guard<std::mutex> g(S->mu);
+    S->total_hits += (int64_t)blk->ref_id.size();
+    S->blocks.push_back(std::move(blk));
+    S->cv.notify_all();
+  }
+
+  // Append one window's decoded Partials in record (= file) order, splitting
+  // at chromosome changes. BAM is position-sorted, so ref_id is
+  // non-decreasing across the whole stream.
+  void append(std::vector<Partial>& parts) {
+    for (auto& p : parts) {
+      S->paired |= p.paired_end;
+      size_t n = p.ref_id.size();
+      size_t i = 0, fcur = 0;
+      while (i < n) {
+        int32_t c = p.ref_id[i];
+        size_t j = i;
+        int64_t nf = 0;
+        while (j < n && p.ref_id[j] == c) nf += p.nfeat[j], ++j;
+        if (cur.chrom != c) {
+          finalize_block();
+          cur.chrom = c;
+          cur.feat_off.assign(1, 0);
+        }
+        auto app = [](auto& dst, const auto& src, size_t lo, size_t hi) {
+          dst.insert(dst.end(), src.begin() + lo, src.begin() + hi);
+        };
+        app(cur.ref_id, p.ref_id, i, j);
+        app(cur.left, p.left, i, j);
+        app(cur.right, p.right, i, j);
+        app(cur.strand, p.strand, i, j);
+        app(cur.flag, p.flag, i, j);
+        app(cur.mate_ref, p.mate_ref, i, j);
+        app(cur.mate_pos, p.mate_pos, i, j);
+        app(cur.nh, p.nh, i, j);
+        app(cur.read_id, p.read_id, i, j);
+        app(cur.cigar_hash, p.cigar_hash, i, j);
+        int64_t base = cur.feat_off.back();
+        for (size_t k = i; k < j; ++k) {
+          base += p.nfeat[k];
+          cur.feat_off.push_back(base);
+        }
+        app(cur.feat_code, p.feat_code, fcur, fcur + (size_t)nf);
+        app(cur.feat_left, p.feat_left, fcur, fcur + (size_t)nf);
+        app(cur.feat_len, p.feat_len, fcur, fcur + (size_t)nf);
+        fcur += (size_t)nf;
+        i = j;
+      }
+      if (!hist_done) {
+        for (int32_t sl : p.seqlens) {
+          if (n_hist >= S->cfg.max_read_num_4_rl) break;
+          if ((size_t)sl >= hist.size()) hist.resize(sl + 1, 0);
+          hist[sl]++;
+          n_hist++;
+        }
+        if (n_hist >= S->cfg.max_read_num_4_rl) finalize_hist();
+      }
+    }
+  }
+};
+
+// Parse the BAM header from `buf[0:n)`. Returns 1 and sets `pos` past the
+// header on success, 0 if more bytes are needed, -1 on bad magic.
+static int try_parse_header(const uint8_t* buf, size_t n, size_t& pos,
+                            std::string& names_blob,
+                            std::vector<int32_t>& ref_len) {
+  if (n < 4) return 0;
+  if (memcmp(buf, "BAM\1", 4) != 0) return -1;
+  size_t p = 4;
+  if (p + 4 > n) return 0;
+  int32_t l_text = rd_i32(buf + p);
+  p += 4 + (size_t)l_text;
+  if (p + 4 > n) return 0;
+  int32_t n_ref = rd_i32(buf + p);
+  p += 4;
+  std::string names;
+  std::vector<int32_t> lens;
+  for (int32_t i = 0; i < n_ref; ++i) {
+    if (p + 4 > n) return 0;
+    int32_t l_name = rd_i32(buf + p);
+    p += 4;
+    if (p + (size_t)l_name + 4 > n) return 0;
+    names.append((const char*)(buf + p), l_name - 1);
+    names.push_back('\n');
+    p += l_name;
+    lens.push_back(rd_i32(buf + p));
+    p += 4;
+  }
+  pos = p;
+  names_blob = std::move(names);
+  ref_len = std::move(lens);
+  return 1;
+}
+
+}  // namespace
+
+// Background decode pipeline: read compressed chunks -> index complete BGZF
+// blocks -> inflate them in parallel -> boundary-scan records -> parse in
+// parallel -> append per-chromosome (finalizing blocks as chromosomes
+// complete). Peak memory is O(window + retained blocks); the windowed read
+// replaces strawb_bam_load's whole-file slurp (ref streams one record at a
+// time via samread, src/read.cpp:459).
+void StrawbSbam::run() {
+  const bool dbg = getenv("STRAWB_NATIVE_DEBUG") != nullptr;
+  auto now = [] {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  double t_read = 0, t_index = 0, t_inflate = 0, t_scan = 0, t_parse = 0,
+         t_merge = 0, t_all = dbg ? now() : 0;
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) {
+    fail("cannot open BAM");
+    return;
+  }
+  const size_t CHUNK = 4u << 20;  // compressed bytes per read
+  std::vector<uint8_t> comp;      // unconsumed compressed carry + new bytes
+  // inflated window (icarry + new): grow-only heap buffer, avoiding
+  // std::vector's zero-fill of tens of MB per window
+  std::unique_ptr<uint8_t[]> win;
+  size_t win_cap = 0, win_n = 0;
+  std::vector<uint8_t> icarry;    // inflated partial-record carry
+  std::vector<uint8_t> hdr;       // header accumulation until parsed
+  bool header_done = false;
+  bool eof = false;
+  SbamAccum acc(this);
+  std::vector<std::size_t> offs;
+  size_t T = n_threads < 1 ? 1 : (size_t)n_threads;
+  std::vector<Partial> parts;
+
+  while (true) {
+    // top up the compressed buffer
+    if (!eof) {
+      double t0 = dbg ? now() : 0;
+      size_t old = comp.size();
+      comp.resize(old + CHUNK);
+      size_t got = fread(comp.data() + old, 1, CHUNK, f);
+      comp.resize(old + got);
+      if (got < CHUNK) eof = true;
+      if (dbg) t_read += now() - t0;
+    }
+    if (comp.empty()) break;
+
+    // index the complete BGZF blocks at the front
+    std::vector<BlockRef> blocks;
+    size_t consumed = 0, total_out = 0;
+    double t0i = dbg ? now() : 0;
+    bool idx_ok = bgzf_index_prefix(comp.data(), comp.size(), blocks, consumed,
+                                    total_out);
+    if (dbg) t_index += now() - t0i;
+    if (!idx_ok) {
+      fclose(f);
+      fail("malformed BGZF stream");
+      return;
+    }
+    if (blocks.empty()) {
+      if (eof) {
+        if (consumed < comp.size() && comp.size() - consumed > 28) {
+          fclose(f);
+          fail("truncated BGZF stream");
+          return;
+        }
+        break;
+      }
+      continue;  // need more bytes for even one block
+    }
+
+    // inflate into the window after the inflated carry
+    size_t carry_n = icarry.size();
+    win_n = carry_n + total_out;
+    if (win_n > win_cap) {
+      win_cap = win_n + win_n / 2;
+      win.reset(new uint8_t[win_cap]);
+    }
+    if (carry_n) memcpy(win.get(), icarry.data(), carry_n);
+    double t0f = dbg ? now() : 0;
+    {
+      std::atomic<int> ok{1};
+      size_t nb = blocks.size();
+      size_t TT = T < nb ? T : nb;
+      std::vector<std::thread> pool;
+      for (size_t t = 1; t < TT; ++t)
+        pool.emplace_back([&, t]() {
+#ifdef STRAWB_HAVE_LIBDEFLATE
+          libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+#endif
+          for (size_t i = t; i < nb; i += TT) {
+            const BlockRef& b = blocks[i];
+#ifdef STRAWB_HAVE_LIBDEFLATE
+            size_t actual = 0;
+            if (libdeflate_deflate_decompress(
+                    d, comp.data() + b.comp_off, b.comp_len,
+                    win.get() + carry_n + b.out_off, b.isize,
+                    &actual) != LIBDEFLATE_SUCCESS ||
+                actual != b.isize)
+              ok = 0;
+#else
+            if (!inflate_block(comp.data() + b.comp_off, b.comp_len,
+                               win.get() + carry_n + b.out_off, b.isize))
+              ok = 0;
+#endif
+          }
+#ifdef STRAWB_HAVE_LIBDEFLATE
+          libdeflate_free_decompressor(d);
+#endif
+        });
+      {
+#ifdef STRAWB_HAVE_LIBDEFLATE
+        libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+#endif
+        for (size_t i = 0; i < nb; i += TT) {
+          const BlockRef& b = blocks[i];
+#ifdef STRAWB_HAVE_LIBDEFLATE
+          size_t actual = 0;
+          if (libdeflate_deflate_decompress(
+                  d, comp.data() + b.comp_off, b.comp_len,
+                  win.get() + carry_n + b.out_off, b.isize,
+                  &actual) != LIBDEFLATE_SUCCESS ||
+              actual != b.isize)
+            ok = 0;
+#else
+          if (!inflate_block(comp.data() + b.comp_off, b.comp_len,
+                             win.get() + carry_n + b.out_off, b.isize))
+            ok = 0;
+#endif
+        }
+#ifdef STRAWB_HAVE_LIBDEFLATE
+        libdeflate_free_decompressor(d);
+#endif
+      }
+      for (auto& th : pool) th.join();
+      if (!ok) {
+        fclose(f);
+        fail("BGZF inflate failed");
+        return;
+      }
+    }
+    if (dbg) t_inflate += now() - t0f;
+    // shift out the consumed compressed bytes
+    comp.erase(comp.begin(), comp.begin() + consumed);
+
+    // header (may span windows)
+    const uint8_t* rbuf = win.get();
+    size_t rn = win_n;
+    if (!header_done) {
+      hdr.insert(hdr.end(), win.get(), win.get() + win_n);
+      size_t hpos = 0;
+      int rc = try_parse_header(hdr.data(), hdr.size(), hpos, names_blob,
+                                ref_len);
+      if (rc < 0) {
+        fclose(f);
+        fail("not a BAM file");
+        return;
+      }
+      if (rc == 0) {
+        icarry.clear();
+        if (eof && comp.empty()) break;
+        continue;
+      }
+      header_done = true;
+      {
+        std::lock_guard<std::mutex> g(mu);
+        header_ready = true;
+        cv.notify_all();
+      }
+      // the remainder of hdr is record bytes: parse from there this round
+      win_n = hdr.size() - hpos;
+      if (win_n > win_cap) {
+        win_cap = win_n + win_n / 2;
+        win.reset(new uint8_t[win_cap]);
+      }
+      memcpy(win.get(), hdr.data() + hpos, win_n);
+      std::vector<uint8_t>().swap(hdr);
+      icarry.clear();
+      rbuf = win.get();
+      rn = win_n;
+    }
+
+    // record boundary scan
+    offs.clear();
+    double t0s = dbg ? now() : 0;
+    size_t pos = 0;
+    while (pos + 4 <= rn) {
+      int32_t bs = rd_i32(rbuf + pos);
+      if (pos + 4 + (size_t)bs > rn) break;
+      offs.push_back(pos);
+      pos += 4 + (size_t)bs;
+    }
+    if (dbg) t_scan += now() - t0s;
+    // parse records in parallel
+    size_t nrec = offs.size();
+    if (nrec) {
+      double t0p = dbg ? now() : 0;
+      size_t TT = nrec < 4096 ? 1 : T;
+      if (parts.size() < TT) parts.resize(TT);
+      for (auto& pp : parts) pp.clear();
+      if (TT == 1) {
+        decode_range(rbuf, offs.data(), 0, nrec, cfg, parts[0]);
+      } else {
+        std::vector<std::thread> pool;
+        for (size_t t = 1; t < TT; ++t) {
+          size_t lo = nrec * t / TT, hi = nrec * (t + 1) / TT;
+          pool.emplace_back([&, lo, hi, t]() {
+            decode_range(rbuf, offs.data(), lo, hi, cfg, parts[t]);
+          });
+        }
+        decode_range(rbuf, offs.data(), 0, nrec / TT, cfg, parts[0]);
+        for (auto& th : pool) th.join();
+      }
+      if (dbg) t_parse += now() - t0p;
+      double t0m = dbg ? now() : 0;
+      acc.append(parts);
+      if (dbg) t_merge += now() - t0m;
+    }
+    // carry the partial trailing record
+    icarry.assign(win.get() + pos, win.get() + win_n);
+    if (eof && comp.empty()) break;
+  }
+  fclose(f);
+  if (!header_done) {
+    fail(hdr.empty() && icarry.empty() ? "empty BAM" : "truncated BAM header");
+    return;
+  }
+  if (!icarry.empty()) {
+    fail("truncated BAM record");
+    return;
+  }
+  acc.finalize_block();
+  acc.finalize_hist();
+  if (dbg)
+    fprintf(stderr,
+            "[sbam] total=%.3f read=%.3f index=%.3f inflate=%.3f scan=%.3f "
+            "parse=%.3f merge=%.3f\n",
+            now() - t_all, t_read, t_index, t_inflate, t_scan, t_parse,
+            t_merge);
+  std::lock_guard<std::mutex> g(mu);
+  ended = true;
+  cv.notify_all();
+}
+
+StrawbSbam* strawb_sbam_open(const char* path, int32_t max_intron,
+                             int32_t min_intron, int32_t unique_only,
+                             int32_t fr, int32_t rf, int32_t max_hist,
+                             int32_t min_mapq, int32_t n_threads) {
+  auto* S = new StrawbSbam();
+  S->path = path;
+  S->cfg.max_intron_length = max_intron;
+  S->cfg.min_intron_length = min_intron;
+  S->cfg.use_only_unique_hits = unique_only;
+  S->cfg.fr_strand = fr;
+  S->cfg.rf_strand = rf;
+  S->cfg.max_read_num_4_rl = max_hist;
+  S->cfg.min_map_qual = min_mapq;
+  S->n_threads = n_threads;
+  S->driver = std::thread([S]() { S->run(); });
+  return S;
+}
+
+void strawb_sbam_free(StrawbSbam* S) { delete S; }
+
+const char* strawb_sbam_error(StrawbSbam* S) {
+  std::unique_lock<std::mutex> g(S->mu);
+  S->cv.wait(g, [&] { return S->header_ready || S->ended; });
+  return S->error.empty() ? nullptr : S->error.c_str();
+}
+
+int32_t strawb_sbam_num_refs(StrawbSbam* S) {
+  std::unique_lock<std::mutex> g(S->mu);
+  S->cv.wait(g, [&] { return S->header_ready || S->ended; });
+  return (int32_t)S->ref_len.size();
+}
+const char* strawb_sbam_ref_names(StrawbSbam* S) {
+  std::unique_lock<std::mutex> g(S->mu);
+  S->cv.wait(g, [&] { return S->header_ready || S->ended; });
+  return S->names_blob.c_str();
+}
+const int32_t* strawb_sbam_ref_lens(StrawbSbam* S) {
+  std::unique_lock<std::mutex> g(S->mu);
+  S->cv.wait(g, [&] { return S->header_ready || S->ended; });
+  return S->ref_len.data();
+}
+
+int32_t strawb_sbam_hist_size(StrawbSbam* S) {
+  std::unique_lock<std::mutex> g(S->mu);
+  S->cv.wait(g, [&] { return S->hist_ready || S->ended; });
+  return (int32_t)S->hist_len.size();
+}
+const int32_t* strawb_sbam_hist_len(StrawbSbam* S) {
+  std::unique_lock<std::mutex> g(S->mu);
+  S->cv.wait(g, [&] { return S->hist_ready || S->ended; });
+  return S->hist_len.data();
+}
+const int32_t* strawb_sbam_hist_count(StrawbSbam* S) {
+  std::unique_lock<std::mutex> g(S->mu);
+  S->cv.wait(g, [&] { return S->hist_ready || S->ended; });
+  return S->hist_count.data();
+}
+
+int64_t strawb_sbam_num_hits(StrawbSbam* S) {
+  std::unique_lock<std::mutex> g(S->mu);
+  S->cv.wait(g, [&] { return S->ended; });
+  return S->total_hits;
+}
+int32_t strawb_sbam_paired(StrawbSbam* S) {
+  std::unique_lock<std::mutex> g(S->mu);
+  S->cv.wait(g, [&] { return S->ended; });
+  return S->paired;
+}
+int64_t strawb_sbam_num_blocks(StrawbSbam* S) {
+  std::unique_lock<std::mutex> g(S->mu);
+  S->cv.wait(g, [&] { return S->ended; });
+  return (int64_t)S->blocks.size();
+}
+
+int32_t strawb_sbam_wait_block(StrawbSbam* S, int64_t k) {
+  std::unique_lock<std::mutex> g(S->mu);
+  S->cv.wait(g, [&] { return (int64_t)S->blocks.size() > k || S->ended; });
+  if (!S->error.empty()) return -1;
+  return (int64_t)S->blocks.size() > k ? 1 : 0;
+}
+
+static SbamBlock* sblk(StrawbSbam* S, int64_t k) {
+  std::lock_guard<std::mutex> g(S->mu);
+  return S->blocks[k].get();
+}
+
+int32_t strawb_sbam_block_chrom(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->chrom;
+}
+int64_t strawb_sbam_block_n(StrawbSbam* S, int64_t k) {
+  return (int64_t)sblk(S, k)->ref_id.size();
+}
+int64_t strawb_sbam_block_nfeat(StrawbSbam* S, int64_t k) {
+  return (int64_t)sblk(S, k)->feat_code.size();
+}
+const int32_t* strawb_sbam_block_ref_id(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->ref_id.data();
+}
+const int64_t* strawb_sbam_block_left(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->left.data();
+}
+const int64_t* strawb_sbam_block_right(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->right.data();
+}
+const int8_t* strawb_sbam_block_strand(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->strand.data();
+}
+const uint16_t* strawb_sbam_block_flag(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->flag.data();
+}
+const int32_t* strawb_sbam_block_mate_ref(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->mate_ref.data();
+}
+const int64_t* strawb_sbam_block_mate_pos(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->mate_pos.data();
+}
+const int32_t* strawb_sbam_block_nh(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->nh.data();
+}
+const uint64_t* strawb_sbam_block_read_id(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->read_id.data();
+}
+const uint64_t* strawb_sbam_block_cigar_hash(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->cigar_hash.data();
+}
+const int64_t* strawb_sbam_block_feat_off(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->feat_off.data();
+}
+const int8_t* strawb_sbam_block_feat_code(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->feat_code.data();
+}
+const int64_t* strawb_sbam_block_feat_left(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->feat_left.data();
+}
+const int32_t* strawb_sbam_block_feat_len(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->feat_len.data();
+}
+
+void strawb_sbam_drop_block(StrawbSbam* S, int64_t k) {
+  std::lock_guard<std::mutex> g(S->mu);
+  if (k < (int64_t)S->blocks.size() && S->blocks[k])
+    *S->blocks[k] = SbamBlock();
+}
 
 struct StrawbBam {
   Result r;

@@ -27,6 +27,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <memory>
 #include <string>
 #include <unordered_map>
 #include <thread>
@@ -37,6 +38,7 @@
 
 #include "asmprep.h"
 #include "quantprep.h"
+#include "sbam.h"
 
 namespace {
 
@@ -1152,6 +1154,38 @@ struct StrawbClusters {
 // the caller consumes finished partitions (strawb_cluster_job_wait blocks
 // with the GIL released on the Python side, so cluster decode + downstream
 // prep overlap the clustering of later chromosomes).
+// Copy-concat of 2+ sbam blocks for the rare merged partition (adjacent
+// chromosomes' boundary refs sharing a gene code).
+struct OwnedHits {
+  std::vector<i32> ref_id;
+  std::vector<i64> left, right;
+  std::vector<int8_t> strand;
+  std::vector<uint16_t> flag;
+  std::vector<i32> mate_ref;
+  std::vector<i64> mate_pos;
+  std::vector<i32> nh;
+  std::vector<uint64_t> read_id, cigar_hash;
+  std::vector<i64> feat_off;
+  std::vector<int8_t> feat_code;
+  std::vector<i64> feat_left;
+  std::vector<i32> feat_len;
+
+  HitsIn view() const {
+    return HitsIn{(i64)ref_id.size(), ref_id.data(), left.data(),
+                  right.data(), strand.data(), flag.data(), mate_ref.data(),
+                  mate_pos.data(), nh.data(), read_id.data(),
+                  cigar_hash.data(), feat_off.data(), feat_code.data(),
+                  feat_left.data(), feat_len.data()};
+  }
+};
+
+// One unit of streaming work: a partition's hits (block-backed or owned
+// copy) plus its global refs range.
+struct PartWork {
+  HitsIn h;
+  i64 r0, r1;
+};
+
 struct StrawbClusterJob {
   Cfg cfg;
   HitsIn h;
@@ -1165,12 +1199,150 @@ struct StrawbClusterJob {
   std::condition_variable cv;
   std::atomic<size_t> next{0};
 
+  // sbam streaming mode: a dispatcher thread turns finalized decode blocks
+  // into PartWork items; `works`/`outs`/`done` grow under `mu`
+  StrawbSbam* sbam = nullptr;
+  std::vector<PartWork> works;
+  std::vector<std::unique_ptr<OwnedHits>> owned;
+  bool stream_done = false;
+  std::thread dispatcher;
+
   ~StrawbClusterJob() {
+    if (dispatcher.joinable()) dispatcher.join();
     for (auto& t : threads)
       if (t.joinable()) t.join();
     for (auto* p : outs) delete p;
   }
 };
+
+static HitsIn sbam_block_view(StrawbSbam* S, i64 k) {
+  return HitsIn{strawb_sbam_block_n(S, k),
+                strawb_sbam_block_ref_id(S, k),
+                strawb_sbam_block_left(S, k),
+                strawb_sbam_block_right(S, k),
+                strawb_sbam_block_strand(S, k),
+                strawb_sbam_block_flag(S, k),
+                strawb_sbam_block_mate_ref(S, k),
+                strawb_sbam_block_mate_pos(S, k),
+                strawb_sbam_block_nh(S, k),
+                strawb_sbam_block_read_id(S, k),
+                strawb_sbam_block_cigar_hash(S, k),
+                strawb_sbam_block_feat_off(S, k),
+                strawb_sbam_block_feat_code(S, k),
+                strawb_sbam_block_feat_left(S, k),
+                strawb_sbam_block_feat_len(S, k)};
+}
+
+// Sequentially assign refs to finalized decode blocks exactly as
+// compute_parts does over the whole table (including the linked-gene
+// partition merge, which needs one block of lookahead), and enqueue
+// PartWork items for the clustering workers.
+static void sbam_dispatch(StrawbClusterJob* job) {
+  StrawbSbam* S = job->sbam;
+  const RefsIn& r = job->r;
+  i64 rcur = 0, kblk = 0;
+  while (strawb_sbam_wait_block(S, kblk) == 1) {
+    std::vector<i64> blks{kblk};
+    i32 chrom = strawb_sbam_block_chrom(S, kblk);
+    i64 r0 = rcur, re = rcur;
+    while (re < r.n && r.ref_id[re] <= chrom) re++;
+    // chain-merge linked-gene partitions (compute_parts' merge loop)
+    while (re > r0 && re < r.n && r.gene[re - 1] != -1 &&
+           r.gene[re - 1] == r.gene[re]) {
+      if (strawb_sbam_wait_block(S, kblk + 1) != 1) break;
+      i32 c2 = strawb_sbam_block_chrom(S, kblk + 1);
+      if (r.ref_id[re] > c2) break;  // next part would carry no refs
+      kblk++;
+      blks.push_back(kblk);
+      chrom = c2;
+      while (re < r.n && r.ref_id[re] <= chrom) re++;
+    }
+    rcur = re;
+    PartWork w;
+    w.r0 = r0;
+    w.r1 = re;
+    if (blks.size() == 1) {
+      w.h = sbam_block_view(S, blks[0]);
+    } else {
+      auto own = std::make_unique<OwnedHits>();
+      own->feat_off.push_back(0);
+      for (i64 b : blks) {
+        HitsIn v = sbam_block_view(S, b);
+        i64 nf = strawb_sbam_block_nfeat(S, b);
+        own->ref_id.insert(own->ref_id.end(), v.ref_id, v.ref_id + v.n);
+        own->left.insert(own->left.end(), v.left, v.left + v.n);
+        own->right.insert(own->right.end(), v.right, v.right + v.n);
+        own->strand.insert(own->strand.end(), v.strand, v.strand + v.n);
+        own->flag.insert(own->flag.end(), v.flag, v.flag + v.n);
+        own->mate_ref.insert(own->mate_ref.end(), v.mate_ref,
+                             v.mate_ref + v.n);
+        own->mate_pos.insert(own->mate_pos.end(), v.mate_pos,
+                             v.mate_pos + v.n);
+        own->nh.insert(own->nh.end(), v.nh, v.nh + v.n);
+        own->read_id.insert(own->read_id.end(), v.read_id, v.read_id + v.n);
+        own->cigar_hash.insert(own->cigar_hash.end(), v.cigar_hash,
+                               v.cigar_hash + v.n);
+        i64 base = own->feat_off.back();
+        for (i64 i = 1; i <= v.n; ++i)
+          own->feat_off.push_back(base + v.feat_off[i]);
+        own->feat_code.insert(own->feat_code.end(), v.feat_code,
+                              v.feat_code + nf);
+        own->feat_left.insert(own->feat_left.end(), v.feat_left,
+                              v.feat_left + nf);
+        own->feat_len.insert(own->feat_len.end(), v.feat_len,
+                             v.feat_len + nf);
+      }
+      w.h = own->view();
+      std::lock_guard<std::mutex> g(job->mu);
+      job->owned.push_back(std::move(own));
+    }
+    {
+      std::lock_guard<std::mutex> g(job->mu);
+      job->works.push_back(w);
+      job->outs.push_back(nullptr);
+      job->done.push_back(0);
+    }
+    job->cv.notify_all();
+    kblk++;
+  }
+  std::lock_guard<std::mutex> g(job->mu);
+  job->stream_done = true;
+  job->cv.notify_all();
+}
+
+// launch the dispatcher + workers for a streaming (sbam-fed) job
+static void job_spawn_sbam(StrawbClusterJob* job, i32 n_threads) {
+  job->dispatcher = std::thread([job]() { sbam_dispatch(job); });
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t T = n_threads > 0 ? (size_t)n_threads : (hw > 1 ? 2 : 1);
+  for (size_t t = 0; t < T; ++t) {
+    job->threads.emplace_back([job]() {
+      for (;;) {
+        size_t k = job->next.fetch_add(1);
+        PartWork w;
+        {
+          std::unique_lock<std::mutex> g(job->mu);
+          job->cv.wait(g, [&] {
+            return job->works.size() > k || job->stream_done;
+          });
+          if (k >= job->works.size()) break;
+          w = job->works[k];
+        }
+        auto* out = new StrawbClusters();
+        Runner runner(job->cfg, w.h, job->r);
+        runner.run_range(out->o, 0, w.h.n, w.r0, w.r1);
+        if (job->fu.enabled) fuse_prep(job->cfg, job->r, job->fu, out->o);
+        if (job->fu.quant) fuse_quant(job->fu, out->o);
+        {
+          std::lock_guard<std::mutex> g(job->mu);
+          job->outs[k] = out;
+          job->done[k] = 1;
+        }
+        job->cv.notify_all();
+      }
+    });
+  }
+}
 
 // compute partitions and launch the worker threads (shared by the plain,
 // asm-fused and quant-fused entry points)
@@ -1317,6 +1489,104 @@ StrawbClusterJob* strawb_cluster_start_fused(
                             dcfg[6], icfg[4]};
   job_spawn(job, n_threads);
   return job;
+}
+
+// Streaming (sbam-fed) variants of the three job starters: the hit arrays
+// come from the decode stream's finalized chromosome blocks instead of a
+// pre-decoded whole-file table, so clustering starts as soon as the first
+// chromosome is parsed. Part count is unknown up front — consume with
+// strawb_cluster_job_wait_next until it returns NULL.
+StrawbClusterJob* strawb_cluster_start_sbam(
+    void* sbam,
+    i64 nref, const i32* rref_id, const i64* rleft, const i64* rright,
+    const i32* rgene, const int8_t* rstrand,
+    i64 max_olap_dist, i64 max_intron_length, i64 max_frag_span,
+    i32 enforce_ref_models, i32 utilize_ref_models, i32 min_read_for_assemb,
+    i32 mode, i32 n_threads) {
+  auto* job = new StrawbClusterJob();
+  job->sbam = (StrawbSbam*)sbam;
+  job->r = RefsIn{nref, rref_id, rleft, rright, rgene, rstrand};
+  job->cfg = Cfg{max_olap_dist, max_intron_length, max_frag_span,
+                 enforce_ref_models, utilize_ref_models, min_read_for_assemb,
+                 mode};
+  job_spawn_sbam(job, n_threads);
+  return job;
+}
+
+StrawbClusterJob* strawb_cluster_start_sbam_fused(
+    void* sbam,
+    i64 nref, const i32* rref_id, const i64* rleft, const i64* rright,
+    const i32* rgene, const int8_t* rstrand,
+    i64 max_olap_dist, i64 max_intron_length, i64 max_frag_span,
+    i32 enforce_ref_models, i32 utilize_ref_models, i32 min_read_for_assemb,
+    i32 mode, i32 n_threads,
+    i64 read_len, const i64* rf_off, const int8_t* rf_code,
+    const i64* rf_left, const i32* rf_len, const double* rmass,
+    const double* dcfg, const i64* icfg) {
+  auto* job = new StrawbClusterJob();
+  job->sbam = (StrawbSbam*)sbam;
+  job->r = RefsIn{nref, rref_id, rleft, rright, rgene, rstrand};
+  job->cfg = Cfg{max_olap_dist, max_intron_length, max_frag_span,
+                 enforce_ref_models, utilize_ref_models, min_read_for_assemb,
+                 mode};
+  job->fu.enabled = true;
+  job->fu.read_len = read_len;
+  job->fu.rf_off = rf_off;
+  job->fu.rf_code = rf_code;
+  job->fu.rf_left = rf_left;
+  job->fu.rf_len = rf_len;
+  job->fu.rmass = rmass;
+  job->fu.acfg = AsmPrepCfg{dcfg[0], dcfg[1], dcfg[2], dcfg[3], icfg[0],
+                            dcfg[4], (i32)icfg[1], dcfg[5], icfg[2], icfg[3],
+                            dcfg[6], icfg[4]};
+  job_spawn_sbam(job, n_threads);
+  return job;
+}
+
+StrawbClusterJob* strawb_cluster_start_sbam_qfused(
+    void* sbam,
+    i64 nref, const i32* rref_id, const i64* rleft, const i64* rright,
+    const i32* rgene, const int8_t* rstrand,
+    i64 max_olap_dist, i64 max_intron_length, i64 max_frag_span,
+    i32 enforce_ref_models, i32 utilize_ref_models, i32 min_read_for_assemb,
+    i32 mode, i32 n_threads,
+    i64 read_len, const i64* rf_off, const int8_t* rf_code,
+    const i64* rf_left, const i32* rf_len, const i64* rexlen,
+    const double* pdf, i64 pdf_len, i64 base_lmin, i32 long_read) {
+  auto* job = new StrawbClusterJob();
+  job->sbam = (StrawbSbam*)sbam;
+  job->r = RefsIn{nref, rref_id, rleft, rright, rgene, rstrand};
+  job->cfg = Cfg{max_olap_dist, max_intron_length, max_frag_span,
+                 enforce_ref_models, utilize_ref_models, min_read_for_assemb,
+                 mode};
+  job->fu.quant = true;
+  job->fu.read_len = read_len;
+  job->fu.rf_off = rf_off;
+  job->fu.rf_code = rf_code;
+  job->fu.rf_left = rf_left;
+  job->fu.rf_len = rf_len;
+  job->fu.rexlen = rexlen;
+  job->fu.pdf = pdf;
+  job->fu.pdf_len = pdf_len;
+  job->fu.base_lmin = base_lmin;
+  job->fu.long_read = long_read;
+  job_spawn_sbam(job, n_threads);
+  return job;
+}
+
+// Streaming consumption: blocks until part k is clustered (or the stream is
+// exhausted). Returns the part's handle (caller frees with
+// strawb_cluster_free) or NULL when the stream ended before part k.
+StrawbClusters* strawb_cluster_job_wait_next(StrawbClusterJob* job, i64 k) {
+  std::unique_lock<std::mutex> g(job->mu);
+  job->cv.wait(g, [&] {
+    return ((i64)job->done.size() > k && job->done[k]) ||
+           (job->stream_done && (i64)job->works.size() <= k);
+  });
+  if ((i64)job->done.size() <= k || !job->done[k]) return nullptr;
+  StrawbClusters* out = job->outs[k];
+  job->outs[k] = nullptr;
+  return out;
 }
 
 i64 strawb_cluster_job_parts(StrawbClusterJob* job) {

@@ -897,12 +897,26 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
                 gtf_box["error"] = e
         gtf_thread = threading.Thread(target=_read_gtf, daemon=True)
         gtf_thread.start()
-    with PROF.phase("bam_decode"):
+    multiproc = cfg.num_threads > 1 and not cfg.no_quant
+    table = None
+    if not multiproc and cfg.stream_decode and cfg.native_cluster:
+        # streaming decode: the BAM inflate+parse runs on a background
+        # pipeline and pass-1 clustering consumes chromosome blocks as they
+        # finalize, so decode wall time overlaps the pipeline instead of
+        # being a serial phase (and decode memory is O(window))
         try:
-            from .io.native import load_bam_native
-            table = load_bam_native(bam_path, cfg)
-        except Exception:
-            table = load_bam(bam_path, cfg)  # portable fallback
+            from .io.sbam import open_bam_stream
+            with PROF.phase("bam_open_stream"):
+                table = open_bam_stream(bam_path, cfg)
+        except OSError:
+            table = None  # native lib unavailable
+    if table is None:
+        with PROF.phase("bam_decode"):
+            try:
+                from .io.native import load_bam_native
+                table = load_bam_native(bam_path, cfg)
+            except Exception:
+                table = load_bam(bam_path, cfg)  # portable fallback
     sample = Sample(table, cfg, bam_path)
     if gtf_thread is not None:
         gtf_thread.join()
@@ -926,7 +940,10 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
             sys.stderr.write(PROF.report(total_reads=len(table)) + "\n")
         return sample
 
-    with PROF.phase("pass1_assemble", items=len(table)):
+    # len() on a streaming table blocks until EOF; don't force it pre-pass
+    from .io.sbam import StreamingHitTable
+    n_known = 0 if isinstance(table, StreamingHitTable) else len(table)
+    with PROF.phase("pass1_assemble", items=n_known):
         if cfg.no_assembly:
             sample.pre_process(log)
         else:
