@@ -92,7 +92,9 @@ class HitTable:
     nh: np.ndarray            # i32
     read_id: np.ndarray       # u64 (FNV-1 of qname)
     cigar_hash: np.ndarray    # u64 (FNV-1a over raw cigar words; dup collapse)
-    # genomic features (readhit_2_genomicFeats semantics: M runs with D merged,
+    # genomic features (readhit_2_genomicFeats semantics: one feature per M
+    # op with D extending the previous feature — adjacent M features stay
+    # split, matching contig.cpp:12-52 —
     # N runs; soft clips and I dropped) — flattened RLE
     feat_off: np.ndarray      # i64, shape (n+1,)
     feat_code: np.ndarray     # i8
@@ -326,7 +328,6 @@ def load_bam(path: str, config: Optional[Config] = None) -> HitTable:
 
         # genomic features (readhit_2_genomicFeats, contig.cpp:12-52)
         off = p0 + 1
-        nfeat0 = len(feat_code)
         for op, ln in ops:
             if op == 0:      # MATCH
                 feat_code.append(S_MATCH)
@@ -338,19 +339,13 @@ def load_bam(path: str, config: Optional[Config] = None) -> HitTable:
                 feat_left.append(off)
                 feat_len.append(ln)
                 off += ln
-            elif op == 2:    # D merged into previous MATCH
+            elif op == 2:    # D extends the previous MATCH feature
                 feat_len[-1] += ln
                 off += ln
-            # I and S contribute nothing genomic
-        # merge adjacent MATCH runs created by D-merge (M D M -> one M)
-        i = nfeat0 + 1
-        while i < len(feat_code):
-            if (feat_code[i] == S_MATCH and feat_code[i - 1] == S_MATCH and
-                    feat_left[i - 1] + feat_len[i - 1] == feat_left[i]):
-                feat_len[i - 1] += feat_len[i]
-                del feat_code[i], feat_left[i], feat_len[i]
-            else:
-                i += 1
+            # I and S contribute nothing genomic. NOTE: the M after a D (or
+            # an I) starts a NEW feature adjacent to the previous one — the
+            # reference does not merge them (contig.cpp:12-52), and the
+            # split/merged distinction is observable in exon-bin assignment.
 
         rid = name_cache.get(qname)
         if rid is None:

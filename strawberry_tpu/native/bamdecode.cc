@@ -396,19 +396,18 @@ static void decode_range(const uint8_t* buf, const size_t* offs,
 
     if (cfg.use_only_unique_hits && (nh > 1 || (flag & 0x100))) continue;
 
-    // genomic features (readhit_2_genomicFeats: M runs with D merged, N)
+    // genomic features (readhit_2_genomicFeats, contig.cpp:12-52): every M
+    // op is its own feature, D extends the previous feature, and the M
+    // after a D or I starts a NEW feature adjacent to the previous one —
+    // the reference does not merge such runs, and the split/merged
+    // distinction is observable downstream (exon-bin assignment)
     int64_t off = (int64_t)p0 + 1;
     size_t nf0 = R.feat_code.size();
     for (auto& o : ops) {
       if (o.first == 0) {
-        if (R.feat_code.size() > nf0 && R.feat_code.back() == 0 &&
-            R.feat_left.back() + R.feat_len.back() == off) {
-          R.feat_len.back() += o.second;  // merge M D M
-        } else {
-          R.feat_code.push_back(0);
-          R.feat_left.push_back(off);
-          R.feat_len.push_back(o.second);
-        }
+        R.feat_code.push_back(0);
+        R.feat_left.push_back(off);
+        R.feat_len.push_back(o.second);
         off += o.second;
       } else if (o.first == 3) {
         R.feat_code.push_back(1);

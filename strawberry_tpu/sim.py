@@ -73,6 +73,55 @@ class SimTranscript:
         return pos0, merged
 
 
+def mutate_cigar(rng: random.Random, cigar: List[Tuple[int, str]],
+                 indel_rate: float, clip_rate: float
+                 ) -> Tuple[int, List[Tuple[int, str]]]:
+    """Optionally inject a MATCH-sandwiched indel inside an M run and/or
+    terminal soft clips. Returns (pos0_shift, cigar).
+
+    Indels keep the genomic footprint unchanged (a D shortens the query,
+    an I lengthens it), so the read stays compatible with its source
+    transcript. Note the reference rejects I/D at cigar index <= 1 even when
+    MATCH-sandwiched (src/read.cpp:592-599) — reads mutated at the first M
+    of a spliced cigar exercise that drop path in both pipelines."""
+    cig = list(cigar)
+    if indel_rate and rng.random() < indel_rate:
+        idxs = [i for i, (ln, op) in enumerate(cig) if op == "M" and ln >= 16]
+        if idxs:
+            i = rng.choice(idxs)
+            ln, _ = cig[i]
+            k = rng.randint(1, 4)
+            a = rng.randint(4, ln - k - 8)
+            op2 = rng.choice("ID")
+            b = ln - a if op2 == "I" else ln - a - k
+            cig[i:i + 1] = [(a, "M"), (k, op2), (b, "M")]
+    shift = 0
+    if clip_rate and rng.random() < clip_rate:
+        k = rng.randint(1, 8)
+        if rng.random() < 0.5 and cig[0][1] == "M" and cig[0][0] > k + 4:
+            cig[0] = (cig[0][0] - k, "M")
+            cig.insert(0, (k, "S"))
+            shift = k
+        elif cig[-1][1] == "M" and cig[-1][0] > k + 4:
+            cig[-1] = (cig[-1][0] - k, "M")
+            cig.append((k, "S"))
+    return shift, cig
+
+
+def qlen_of(cigar: Sequence[Tuple[int, str]]) -> int:
+    return sum(ln for ln, op in cigar if op in "MIS")
+
+
+def _pair_orientation(protocol: Optional[str], strand: str) -> bool:
+    """read1-reverse bit such that --fr/--rf protocol inference
+    (read.cpp:639-653) recovers the transcript strand."""
+    if protocol == "fr":
+        return strand == "-"
+    if protocol == "rf":
+        return strand == "+"
+    return False
+
+
 def make_genes(rng: random.Random, chroms: Dict[str, int],
                n_genes: int, max_isoforms: int = 3,
                exon_range=(1, 6), exon_len=(80, 400),
@@ -155,12 +204,27 @@ def simulate_reads(rng: random.Random, txs: Sequence[SimTranscript],
                    n_frags: int, read_len: int = 75,
                    frag_mean: float = 250.0, frag_sd: float = 40.0,
                    paired: bool = True, with_xs: bool = True,
-                   read_len_range: Optional[Tuple[int, int]] = None
+                   read_len_range: Optional[Tuple[int, int]] = None,
+                   protocol: Optional[str] = None,
+                   multimap_frac: float = 0.0,
+                   indel_rate: float = 0.0,
+                   clip_rate: float = 0.0,
+                   mapq_range: Optional[Tuple[int, int]] = None
                    ) -> List[Tuple[str, BamRecord]]:
     """Sample fragments; returns (chrom, record) pairs, unsorted.
 
     read_len_range: per-read length drawn uniformly (long-read / PacBio CCS
-    simulation; implies single-end semantics per record)."""
+    simulation; implies single-end semantics per record).
+    protocol: 'fr'/'rf' orients read pairs so the reference's XS-less
+    protocol strand inference recovers the transcript strand (use with
+    with_xs=False plus the matching --fr/--rf flag).
+    multimap_frac: fraction of fragments also aligned at a second
+    transcript, all copies carrying NH=2 (secondary copy flagged 0x100) —
+    dropped under the default unique-hits mode, mass 1/NH under
+    --allow-multimapped-hits (read.cpp:49-53,679-684).
+    indel_rate/clip_rate: per-read probability of a MATCH-sandwiched I/D
+    and of a terminal soft clip (read.cpp:592-599 filter paths).
+    mapq_range: per-record uniform mapq (default 50)."""
     if abundances is None:
         abundances = [1.0] * len(txs)
     weights = [a * t.length for a, t in zip(abundances, txs)]
@@ -171,22 +235,66 @@ def simulate_reads(rng: random.Random, txs: Sequence[SimTranscript],
         acc += w
         cum.append(acc / total_w)
     records: List[Tuple[str, BamRecord]] = []
+
+    def mapq():
+        return rng.randint(*mapq_range) if mapq_range else 50
+
+    def tags_for(t: SimTranscript, nh: int):
+        tg = [("NH", "i", nh)]
+        if with_xs:
+            tg.append(("XS", "A", t.strand))
+        return tg
+
+    def emit_single(t: SimTranscript, qname: str, rl: int, nh: int,
+                    secondary: bool):
+        s = rng.randrange(0, t.length - rl + 1)
+        pos0, cig = t.cigar_for(s, rl)
+        shift, cig = mutate_cigar(rng, cig, indel_rate, clip_rate)
+        flag = 0x100 if secondary else 0
+        if protocol and ((protocol == "fr") == (t.strand == "+")):
+            flag |= 0x10  # XS-less single-end protocol inference
+        rec = BamRecord(qname=qname, flag=flag, ref_id=-1, pos=pos0 + shift,
+                        mapq=mapq(), cigar=cig, seq="A" * qlen_of(cig),
+                        tags=tags_for(t, nh))
+        records.append((t.chrom, rec))
+
+    def emit_pair(t: SimTranscript, qname: str, fl: int, nh: int,
+                  secondary: bool):
+        s = rng.randrange(0, t.length - fl + 1)
+        p1, c1 = t.cigar_for(s, read_len)
+        p2, c2 = t.cigar_for(s + fl - read_len, read_len)
+        if p1 == p2:
+            return  # equal-start pairs are rejected by both pipelines
+        sh1, c1 = mutate_cigar(rng, c1, indel_rate, clip_rate)
+        sh2, c2 = mutate_cigar(rng, c2, indel_rate, clip_rate)
+        p1 += sh1
+        p2 += sh2
+        span2 = sum(ln for ln, op in c2 if op in "MDN")
+        r1_rev = _pair_orientation(protocol, t.strand)
+        flag1 = 0x1 | 0x2 | 0x40 | (0x10 if r1_rev else 0x20)
+        flag2 = 0x1 | 0x2 | 0x80 | (0x20 if r1_rev else 0x10)
+        sec = 0x100 if secondary else 0
+        r1 = BamRecord(qname=qname, flag=flag1 | sec, ref_id=-1, pos=p1,
+                       mapq=mapq(), cigar=c1, next_ref_id=-2, next_pos=p2,
+                       tlen=(p2 + span2) - p1, seq="A" * qlen_of(c1),
+                       tags=tags_for(t, nh))
+        r2 = BamRecord(qname=qname, flag=flag2 | sec, ref_id=-1, pos=p2,
+                       mapq=mapq(), cigar=c2, next_ref_id=-2, next_pos=p1,
+                       tlen=-((p2 + span2) - p1), seq="A" * qlen_of(c2),
+                       tags=tags_for(t, nh))
+        records.append((t.chrom, r1))
+        records.append((t.chrom, r2))
+
     for fi in range(n_frags):
         u = rng.random()
         ti = 0
         while ti < len(cum) - 1 and u > cum[ti]:
             ti += 1
         t = txs[ti]
+        qname = f"frag{fi:08d}"
         if read_len_range is not None:
             rl = min(t.length, rng.randint(*read_len_range))
-            s = rng.randrange(0, t.length - rl + 1)
-            pos0, cig = t.cigar_for(s, rl)
-            tags = [("NH", "i", 1)]
-            if with_xs:
-                tags.append(("XS", "A", t.strand))
-            rec = BamRecord(qname=f"frag{fi:08d}", flag=0, ref_id=-1,
-                            pos=pos0, cigar=cig, seq="A" * rl, tags=tags)
-            records.append((t.chrom, rec))
+            emit_single(t, qname, rl, 1, False)
             continue
         if paired:
             fl = int(rng.gauss(frag_mean, frag_sd))
@@ -195,35 +303,24 @@ def simulate_reads(rng: random.Random, txs: Sequence[SimTranscript],
             fl = read_len
         if t.length < fl:
             continue
-        s = rng.randrange(0, t.length - fl + 1)
-        qname = f"frag{fi:08d}"
-        tags = [("NH", "i", 1)]
-        if with_xs:
-            tags = tags + [("XS", "A", t.strand)]
-        if not paired:
-            pos0, cig = t.cigar_for(s, read_len)
-            rec = BamRecord(qname=qname, flag=0, ref_id=-1, pos=pos0,
-                            cigar=cig, seq="A" * read_len, tags=list(tags))
-            records.append((t.chrom, rec))
-            continue
-        p1, c1 = t.cigar_for(s, read_len)
-        p2, c2 = t.cigar_for(s + fl - read_len, read_len)
-        span1 = sum(ln for ln, op in c1)
-        span2 = sum(ln for ln, op in c2)
-        if p1 == p2:
-            continue  # equal-start pairs are rejected by both pipelines
-        flag1 = 0x1 | 0x2 | 0x20 | 0x40
-        flag2 = 0x1 | 0x2 | 0x10 | 0x80
-        r1 = BamRecord(qname=qname, flag=flag1, ref_id=-1, pos=p1, cigar=c1,
-                       next_ref_id=-2, next_pos=p2,
-                       tlen=(p2 + span2) - p1,
-                       seq="A" * read_len, tags=list(tags))
-        r2 = BamRecord(qname=qname, flag=flag2, ref_id=-1, pos=p2, cigar=c2,
-                       next_ref_id=-2, next_pos=p1,
-                       tlen=-((p2 + span2) - p1),
-                       seq="A" * read_len, tags=list(tags))
-        records.append((t.chrom, r1))
-        records.append((t.chrom, r2))
+        # an NH=2 multimapper: the same fragment aligned at a second
+        # transcript, the copy marked secondary
+        t2 = None
+        if multimap_frac and rng.random() < multimap_frac and len(txs) > 1:
+            for _ in range(8):
+                cand = txs[rng.randrange(len(txs))]
+                if cand is not t and cand.length >= fl:
+                    t2 = cand
+                    break
+        nh = 2 if t2 is not None else 1
+        if paired:
+            emit_pair(t, qname, fl, nh, False)
+            if t2 is not None:
+                emit_pair(t2, qname, fl, nh, True)
+        else:
+            emit_single(t, qname, read_len, nh, False)
+            if t2 is not None:
+                emit_single(t2, qname, read_len, nh, True)
     return records
 
 
@@ -273,7 +370,10 @@ def make_dataset(outdir: str, seed: int = 42, n_genes_hint: int = 10,
                  paired: bool = True, max_isoforms: int = 3,
                  with_xs: bool = True, abundance_seed: Optional[int] = None,
                  read_len_range: Optional[Tuple[int, int]] = None,
-                 annotation_format: str = "gtf"):
+                 annotation_format: str = "gtf",
+                 protocol: Optional[str] = None, multimap_frac: float = 0.0,
+                 indel_rate: float = 0.0, clip_rate: float = 0.0,
+                 mapq_range: Optional[Tuple[int, int]] = None):
     """Convenience: genome + GTF + BAM in outdir. Returns (bam, gtf, txs)."""
     import os
     os.makedirs(outdir, exist_ok=True)
@@ -287,7 +387,9 @@ def make_dataset(outdir: str, seed: int = 42, n_genes_hint: int = 10,
     abund = [arng.uniform(0.2, 5.0) for _ in txs]
     recs = simulate_reads(rng, txs, abund, n_frags, read_len=read_len,
                           paired=paired, with_xs=with_xs,
-                          read_len_range=read_len_range)
+                          read_len_range=read_len_range, protocol=protocol,
+                          multimap_frac=multimap_frac, indel_rate=indel_rate,
+                          clip_rate=clip_rate, mapq_range=mapq_range)
     bam = os.path.join(outdir, "sample_01.sorted.bam")
     write_bam(bam, chroms, recs)
     if annotation_format == "gff3":

@@ -55,7 +55,9 @@ def test_filters(tmp_path):
         # MATCH-sandwiched — the reference requires index >= 2
         BamRecord("edgedel", 0, 0, 60,
                   cigar=[(20, "M"), (3, "D"), (27, "M")], seq="A" * 47),
-        # DEL at index >= 2, MATCH-sandwiched: kept, merged into one MATCH
+        # DEL at index >= 2, MATCH-sandwiched: kept; D extends the first
+        # MATCH and the following M starts a NEW adjacent feature
+        # (contig.cpp:12-52 — the reference does not merge them)
         BamRecord("del", 0, 0, 70,
                   cigar=[(3, "S"), (20, "M"), (3, "D"), (27, "M")],
                   seq="A" * 50),
@@ -63,10 +65,10 @@ def test_filters(tmp_path):
     t = load_bam(write(tmp_path, recs, ref_lens=(400000,)))
     assert len(t) == 2
     assert t.left.tolist() == [11, 71]
-    # D merged: single MATCH feature of len 50
     f0, f1 = t.feat_off[1], t.feat_off[2]
-    assert t.feat_code[f0:f1].tolist() == [0]
-    assert int(t.feat_len[f0]) == 50
+    assert t.feat_code[f0:f1].tolist() == [0, 0]
+    assert t.feat_len[f0:f1].tolist() == [23, 27]
+    assert t.feat_left[f0:f1].tolist() == [71, 94]
 
 
 def test_allow_multimapped(tmp_path):

@@ -100,8 +100,11 @@ def test_drop_block_releases_and_errors_surface(tmp_path):
     bad = os.path.join(str(tmp_path), "trunc.bam")
     with open(bad, "wb") as f:
         f.write(raw[:len(raw) // 2 + 13])
-    s2 = open_bam_stream(bad, Config())
+    # the decode error surfaces either at open (small file: pipeline fails
+    # before the header wait returns) or from a block wait
     with pytest.raises(IOError):
-        while s2.wait_block(0):  # pragma: no branch
-            break
+        s2 = open_bam_stream(bad, Config())
+        k = 0
+        while s2.wait_block(k):
+            k += 1
         s2.wait_block(1 << 60)
