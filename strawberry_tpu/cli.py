@@ -99,9 +99,26 @@ def config_from_args(args) -> Config:
     return cfg
 
 
+def _maybe_init_distributed() -> int:
+    """Multi-host launch (SURVEY §5 distribution): when the launcher sets
+    STRAWB_DIST_COORD / STRAWB_DIST_NPROCS / STRAWB_DIST_PROCID, initialize
+    jax.distributed BEFORE any JAX use and return this host's process id
+    (0 when single-host)."""
+    nprocs = int(os.environ.get("STRAWB_DIST_NPROCS", "1"))
+    if nprocs <= 1:
+        return 0
+    coord = os.environ.get("STRAWB_DIST_COORD", "127.0.0.1:9731")
+    pid = int(os.environ.get("STRAWB_DIST_PROCID", "0"))
+    from .parallel.collectives import init_distributed
+    init_distributed(coord, nprocs, pid)
+    return pid
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    _maybe_init_distributed()
+    distributed = int(os.environ.get("STRAWB_DIST_NPROCS", "1")) > 1
 
     if os.path.exists(cfg.output_gtf):
         print(f"{cfg.output_gtf} exists! Exit.", file=sys.stderr)
@@ -117,7 +134,12 @@ def main(argv=None) -> int:
         fragfh = open(cfg.frag_context_out, "w") \
             if cfg.print_frag_context else None
         try:
-            if args.shards > 0:
+            if distributed:
+                # each pod host runs exactly its genome shard; host 0 gets
+                # the gathered, globally-normalized GTF
+                from .parallel.distributed import run_distributed
+                run_distributed(args.bam, cfg, out, log, fragfh)
+            elif args.shards > 0:
                 from .io.bamreader import load_bam
                 from .parallel.distributed import run_sharded
                 from .parallel.mesh import make_mesh

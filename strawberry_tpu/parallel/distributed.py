@@ -186,3 +186,155 @@ def run_sharded(table: HitTable, cfg: Config, bam_path: str, out: TextIO,
         print2gtf(out, i.contig, ref_name, i.fpkm_s, i.frac_s, i.tpm_s,
                   i.gene_str, i.isoform_str, i.ref_gene_id, i.ref_gene_name)
     return all_isoforms
+
+
+# ---------------------------------------------------------------------------
+# Real multi-host execution: one process per pod host (jax.distributed),
+# each running exactly its genome shard; the cross-shard statistics ride
+# collectives over the GLOBAL device mesh and the per-shard isoform records
+# gather to every process (process_allgather over DCN), with host 0 writing
+# the ordered GTF. SURVEY §5 "Distributed communication backend".
+
+
+def _global_mesh():
+    from ..utils import jaxsetup  # noqa: F401
+    import jax
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()), ("dp",))
+
+
+def allreduce_rows_multihost(local_row: np.ndarray) -> np.ndarray:
+    """Sum one (H,) float64 contribution per process over the global device
+    mesh (psum via jit-under-sharding; rides ICI within a slice, DCN
+    across). Every process must call with the same H."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = _global_mesh()
+    D = jax.local_device_count()
+    local = np.zeros((D, local_row.shape[0]), np.float64)
+    local[0] = local_row
+    g = multihost_utils.host_local_array_to_global_array(
+        local, mesh, P("dp", None))
+    out = jax.jit(lambda h: jnp.sum(h, axis=0),
+                  in_shardings=NamedSharding(mesh, P("dp", None)),
+                  out_shardings=NamedSharding(mesh, P(None)))(g)
+    return np.asarray(out.addressable_data(0))
+
+
+def allgather_bytes(payload: bytes) -> List[bytes]:
+    """Gather one byte blob per process to every process (ragged: lengths
+    gather first, payloads zero-pad to the max)."""
+    from jax.experimental import multihost_utils
+    lens = multihost_utils.process_allgather(
+        np.array([len(payload)], np.int64)).reshape(-1)
+    H = max(1, int(lens.max()))
+    buf = np.zeros(H, np.uint8)
+    if payload:
+        buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)
+    return [gathered[k, :int(lens[k])].tobytes()
+            for k in range(gathered.shape[0])]
+
+
+def run_distributed(bam_path: str, cfg: Config, out: TextIO,
+                    log: Optional[TextIO] = None,
+                    fragfile=None) -> List[Isoform]:
+    """Multi-host two-pass pipeline: this process runs shard
+    jax.process_index() of the chromosome split. jax.distributed must be
+    initialized (collectives.init_distributed). Host 0 writes the merged,
+    globally-TPM-normalized GTF; the return value is this shard's isoforms.
+
+    Byte parity with the single-process run is asserted by
+    tests/test_multihost.py over real multi-process CPU meshes."""
+    import pickle
+
+    import jax
+
+    from .multiproc import _renumber_parent, _renumber_trans
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    log = log or _NullLog()
+    try:
+        from ..io.native import load_bam_native
+        table = load_bam_native(bam_path, cfg)
+    except (OSError, ImportError):
+        from ..io.bamreader import load_bam
+        table = load_bam(bam_path, cfg)
+
+    shards = split_by_chrom(table, nproc)
+    mine = shards[pid] if pid < len(shards) else []
+    sub = shard_table(table, mine)
+    s = Sample(sub, cfg, bam_path)
+    s.long_read_sample = table.is_long_read_sample(cfg.long_read_len) \
+        or cfg.long_read_sample
+    if cfg.ref_gtf_filename:
+        s.load_ref_gtf(cfg.ref_gtf_filename)
+        ids = set(mine)
+        s.factory.set_ref_mrnas(
+            [r for r in s.factory.ref_mrnas if r.ref_id in ids])
+
+    # ---- pass 1 on this shard ---------------------------------------------
+    if cfg.no_assembly:
+        if s.factory.ref_mrnas:
+            s.pre_process(log)
+    else:
+        s.assemble_sample(log)
+
+    # ---- global statistics between the passes -----------------------------
+    # cluster-count exclusive scan -> renumber this shard's assembly so the
+    # merged naming matches the sequential single-process numbering
+    from jax.experimental import multihost_utils
+    counts = multihost_utils.process_allgather(
+        np.array([s.num_cluster], np.int64)).reshape(-1)
+    base = int(counts[:pid].sum())
+    if base:
+        for c in s.assembly:
+            c.parent_id = _renumber_parent(c.parent_id, base)
+            c.trans_id = _renumber_trans(c.trans_id, base)
+
+    # fragment-length histogram + total mapped reads: psum over the mesh
+    # (ragged: gather the max first so every process builds the same H)
+    maxes = multihost_utils.process_allgather(np.array(
+        [max(s.frag_dist) if s.frag_dist else 0], np.int64)).reshape(-1)
+    H = int(maxes.max()) + 1
+    local_hist = np.zeros(H + 1, np.float64)
+    for v in s.frag_dist:
+        local_hist[v] += 1
+    local_hist[H] = s.total_mapped_reads
+    summed = allreduce_rows_multihost(local_hist)
+    total_mapped = int(summed[H] + 0.5)
+    global_frag: List[int] = []
+    for v in range(H):
+        global_frag.extend([v] * int(summed[v] + 0.5))
+
+    # ---- pass 2 on this shard with the global statistics -------------------
+    iso: List[Isoform] = []
+    runnable = (s.factory.ref_mrnas if cfg.no_assembly else s.assembly)
+    if runnable:
+        s.total_mapped_reads = total_mapped
+        s.frag_dist = global_frag
+        s.select_insert_size()
+        iso = s.proc_sample(io.StringIO(), log, fragfile)
+
+    # ---- gather isoform records; host 0 writes the ordered GTF -------------
+    blobs = allgather_bytes(pickle.dumps(iso))
+    if pid == 0:
+        all_isoforms: List[Isoform] = []
+        for b in blobs:
+            all_isoforms.extend(pickle.loads(b))
+        total_fpkm = sum(i.fpkm for i in all_isoforms)
+        for i in all_isoforms:
+            i.tpm = 1e6 * i.fpkm / total_fpkm if total_fpkm != 0 \
+                else float("nan")
+            i.tpm_s = c_str(i.tpm)
+        # shards are contiguous chromosome ranges in genome order, so the
+        # gathered order is already the single-process output order
+        for i in all_isoforms:
+            ref_name = table.ref_real_names[i.contig.ref_id] \
+                if i.contig.ref_id >= 0 else "?"
+            print2gtf(out, i.contig, ref_name, i.fpkm_s, i.frac_s, i.tpm_s,
+                      i.gene_str, i.isoform_str, i.ref_gene_id,
+                      i.ref_gene_name)
+    return iso
