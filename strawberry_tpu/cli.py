@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--min-isoform-frac", type=float, default=0.01)
     p.add_argument("-f", "--fragment-context", default="")
     p.add_argument("-e", "--filter-low-expression", type=float, default=None)
+    p.add_argument("--low-mem", action="store_true",
+                   help="bounded-memory streaming: decoded chromosome "
+                        "blocks are dropped as consumed and pass 2 "
+                        "re-decodes the BAM (peak RSS O(decode window), "
+                        "not O(file))")
     p.add_argument("--no-tpu", action="store_true",
                    help="run host-only (skip JAX device kernels)")
     p.add_argument("--fast-em", action="store_true",
@@ -85,6 +90,7 @@ def config_from_args(args) -> Config:
         frag_context_out=args.fragment_context or "./frag_context.csv",
         device_batch=not args.no_tpu,
         fast_em=args.fast_em,
+        low_mem=args.low_mem,
     )
     if args.filter_low_expression is not None:
         cfg = cfg.replace(min_isoform_frac=args.filter_low_expression)

@@ -76,6 +76,8 @@ class Config:
     device_batch: bool = True               # run batched kernels on the JAX device
     native_cluster: bool = True             # C++ clusterizer (validated vs oracle)
     stream_decode: bool = True              # streaming BAM decode overlapping pass 1
+    low_mem: bool = False                   # --low-mem: drop decoded blocks as consumed;
+                                            # pass 2 re-decodes (O(window) peak RSS)
     fast_em: bool = False                   # f32 Pallas EM (throughput mode;
                                             # trades golden bit-parity for speed)
     mesh_shape: tuple = ()                  # () = single device; e.g. (8,) data-parallel

@@ -55,7 +55,7 @@ def _bind(lib):
         C.c_int64, C.c_int64, C.c_int32]
     sbam_args = ([C.c_void_p]
                  + [C.c_int64, i32p, i64p, i64p, i32p, i8p]
-                 + [C.c_int64] * 3 + [C.c_int32] * 5)
+                 + [C.c_int64] * 3 + [C.c_int32] * 6)  # incl. drop_consumed
     lib.strawb_cluster_start_sbam.restype = C.c_void_p
     lib.strawb_cluster_start_sbam.argtypes = sbam_args
     lib.strawb_cluster_start_sbam_fused.restype = C.c_void_p
@@ -370,10 +370,12 @@ def stream_native_clustering(table: HitTable, cfg: Config,
         starters = (lib.strawb_cluster_start_sbam,
                     lib.strawb_cluster_start_sbam_fused,
                     lib.strawb_cluster_start_sbam_qfused)
+        tail = [0, 1 if table.low_mem else 0]  # n_threads, drop_consumed
     else:
         args, keep = _pack_cluster_inputs(table, cfg, ref_mrnas, mode)
         starters = (lib.strawb_cluster_start, lib.strawb_cluster_start_fused,
                     lib.strawb_cluster_start_qfused)
+        tail = [0]  # n_threads
     if fuse_read_len is not None:
         rf = flatten_contigs(ref_mrnas)
         rf = tuple(np.ascontiguousarray(a) for a in rf)
@@ -390,7 +392,7 @@ def stream_native_clustering(table: HitTable, cfg: Config,
                          cfg.min_dist_4_exon_edge], np.int64)
         keep += [rf, rmass, dcfg, icfg]
         job = starters[1](
-            *args, 0, fuse_read_len,
+            *args, *tail, fuse_read_len,
             rf[0].ctypes.data_as(C.POINTER(C.c_int64)),
             rf[1].ctypes.data_as(C.POINTER(C.c_int8)),
             rf[2].ctypes.data_as(C.POINTER(C.c_int64)),
@@ -405,7 +407,7 @@ def stream_native_clustering(table: HitTable, cfg: Config,
         pdf = np.ascontiguousarray(pdf, np.float64)
         keep += [rf, rexlen, pdf]
         job = starters[2](
-            *args, 0, read_len,
+            *args, *tail, read_len,
             rf[0].ctypes.data_as(C.POINTER(C.c_int64)),
             rf[1].ctypes.data_as(C.POINTER(C.c_int8)),
             rf[2].ctypes.data_as(C.POINTER(C.c_int64)),
@@ -414,7 +416,7 @@ def stream_native_clustering(table: HitTable, cfg: Config,
             pdf.ctypes.data_as(C.POINTER(C.c_double)),
             len(pdf), base_lmin, 1 if long_read else 0)
     else:
-        job = starters[0](*args, 0)
+        job = starters[0](*args, *tail)
     try:
         if streaming:
             k = 0

@@ -72,6 +72,8 @@ def _bind(lib):
         fn.argtypes = [C.c_void_p, C.c_int64]
     lib.strawb_sbam_drop_block.restype = None
     lib.strawb_sbam_drop_block.argtypes = [C.c_void_p, C.c_int64]
+    lib.strawb_sbam_set_max_retained.restype = None
+    lib.strawb_sbam_set_max_retained.argtypes = [C.c_void_p, C.c_int64]
     _bound = True
     return lib
 
@@ -105,6 +107,12 @@ class StreamingHitTable:
         self.handle = h
         self.path = path
         self.low_mem = low_mem
+        self._cfg = cfg
+        self._n_threads = n_threads
+        if low_mem:
+            # decode backpressure: stall ahead-of-consumer block production
+            # past ~256MB of retained SoA (2 live blocks always admitted)
+            lib.strawb_sbam_set_max_retained(h, 256 << 20)
         err = lib.strawb_sbam_error(h)  # blocks until header or failure
         if err:
             raise IOError(f"{path}: {err.decode()}")
@@ -210,6 +218,13 @@ class StreamingHitTable:
         """Low-memory mode: release block k's buffers (invalidates any
         block_table(k) views)."""
         self._lib.strawb_sbam_drop_block(self.handle, k)
+
+    def reopen(self) -> "StreamingHitTable":
+        """Low-memory pass 2: re-decode the file as a fresh stream (the
+        reference's bgzf_seek rewind, src/read.cpp:428-478, re-reads the
+        file the same way)."""
+        return StreamingHitTable(self.path, self._cfg, self._n_threads,
+                                 self.low_mem)
 
 
 def open_bam_stream(path: str, config: Optional[Config] = None,

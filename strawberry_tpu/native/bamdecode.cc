@@ -630,6 +630,12 @@ struct StrawbSbam {
   bool hist_ready = false;
   // blocks
   std::vector<std::unique_ptr<SbamBlock>> blocks;
+  // low-memory mode: bytes retained in undropped blocks; the driver stalls
+  // before finalizing a new block while over the cap (consumers drop
+  // consumed blocks, releasing it). 0 = unbounded (default).
+  int64_t max_retained = 0;
+  int64_t retained = 0;
+  int64_t n_live = 0;
   bool ended = false;
   int32_t paired = 0;
   int64_t total_hits = 0;
@@ -678,12 +684,25 @@ struct SbamAccum {
     S->cv.notify_all();
   }
 
+  static int64_t bytes_of(const SbamBlock& b) {
+    return (int64_t)(b.ref_id.size() * 63 + b.feat_off.size() * 8 +
+                     b.feat_code.size() * 13);
+  }
+
   void finalize_block() {
     if (cur.ref_id.empty()) return;
     auto blk = std::make_unique<SbamBlock>();
     std::swap(*blk, cur);
-    // rebuild feat_off as n+1 prefix (stored incrementally already)
-    std::lock_guard<std::mutex> g(S->mu);
+    int64_t sz = bytes_of(*blk);
+    std::unique_lock<std::mutex> g(S->mu);
+    // low-mem backpressure: wait for consumers to drop earlier blocks
+    // (always admit 2 live blocks so progress is guaranteed)
+    if (S->max_retained > 0)
+      S->cv.wait(g, [&] {
+        return S->n_live < 2 || S->retained + sz <= S->max_retained;
+      });
+    S->retained += sz;
+    S->n_live++;
     S->total_hits += (int64_t)blk->ref_id.size();
     S->blocks.push_back(std::move(blk));
     S->cv.notify_all();
@@ -1164,8 +1183,19 @@ const int32_t* strawb_sbam_block_feat_len(StrawbSbam* S, int64_t k) {
 
 void strawb_sbam_drop_block(StrawbSbam* S, int64_t k) {
   std::lock_guard<std::mutex> g(S->mu);
-  if (k < (int64_t)S->blocks.size() && S->blocks[k])
+  if (k < (int64_t)S->blocks.size() && S->blocks[k] &&
+      !S->blocks[k]->ref_id.empty()) {
+    S->retained -= SbamAccum::bytes_of(*S->blocks[k]);
+    S->n_live--;
     *S->blocks[k] = SbamBlock();
+    S->cv.notify_all();
+  }
+}
+
+void strawb_sbam_set_max_retained(StrawbSbam* S, int64_t bytes) {
+  std::lock_guard<std::mutex> g(S->mu);
+  S->max_retained = bytes;
+  S->cv.notify_all();
 }
 
 struct StrawbBam {

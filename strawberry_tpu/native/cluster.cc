@@ -1184,6 +1184,7 @@ struct OwnedHits {
 struct PartWork {
   HitsIn h;
   i64 r0, r1;
+  i64 blk0 = -1, blk1 = -1;  // sbam block range [blk0, blk1] of this part
 };
 
 struct StrawbClusterJob {
@@ -1202,6 +1203,7 @@ struct StrawbClusterJob {
   // sbam streaming mode: a dispatcher thread turns finalized decode blocks
   // into PartWork items; `works`/`outs`/`done` grow under `mu`
   StrawbSbam* sbam = nullptr;
+  i32 drop_consumed = 0;  // low-mem: drop each part's blocks after use
   std::vector<PartWork> works;
   std::vector<std::unique_ptr<OwnedHits>> owned;
   bool stream_done = false;
@@ -1261,6 +1263,8 @@ static void sbam_dispatch(StrawbClusterJob* job) {
     PartWork w;
     w.r0 = r0;
     w.r1 = re;
+    w.blk0 = blks.front();
+    w.blk1 = blks.back();
     if (blks.size() == 1) {
       w.h = sbam_block_view(S, blks[0]);
     } else {
@@ -1333,6 +1337,9 @@ static void job_spawn_sbam(StrawbClusterJob* job, i32 n_threads) {
         runner.run_range(out->o, 0, w.h.n, w.r0, w.r1);
         if (job->fu.enabled) fuse_prep(job->cfg, job->r, job->fu, out->o);
         if (job->fu.quant) fuse_quant(job->fu, out->o);
+        if (job->drop_consumed)  // low-mem: outputs are cluster-owned copies
+          for (i64 b = w.blk0; b <= w.blk1; ++b)
+            strawb_sbam_drop_block(job->sbam, b);
         {
           std::lock_guard<std::mutex> g(job->mu);
           job->outs[k] = out;
@@ -1502,9 +1509,10 @@ StrawbClusterJob* strawb_cluster_start_sbam(
     const i32* rgene, const int8_t* rstrand,
     i64 max_olap_dist, i64 max_intron_length, i64 max_frag_span,
     i32 enforce_ref_models, i32 utilize_ref_models, i32 min_read_for_assemb,
-    i32 mode, i32 n_threads) {
+    i32 mode, i32 n_threads, i32 drop_consumed) {
   auto* job = new StrawbClusterJob();
   job->sbam = (StrawbSbam*)sbam;
+  job->drop_consumed = drop_consumed;
   job->r = RefsIn{nref, rref_id, rleft, rright, rgene, rstrand};
   job->cfg = Cfg{max_olap_dist, max_intron_length, max_frag_span,
                  enforce_ref_models, utilize_ref_models, min_read_for_assemb,
@@ -1519,12 +1527,13 @@ StrawbClusterJob* strawb_cluster_start_sbam_fused(
     const i32* rgene, const int8_t* rstrand,
     i64 max_olap_dist, i64 max_intron_length, i64 max_frag_span,
     i32 enforce_ref_models, i32 utilize_ref_models, i32 min_read_for_assemb,
-    i32 mode, i32 n_threads,
+    i32 mode, i32 n_threads, i32 drop_consumed,
     i64 read_len, const i64* rf_off, const int8_t* rf_code,
     const i64* rf_left, const i32* rf_len, const double* rmass,
     const double* dcfg, const i64* icfg) {
   auto* job = new StrawbClusterJob();
   job->sbam = (StrawbSbam*)sbam;
+  job->drop_consumed = drop_consumed;
   job->r = RefsIn{nref, rref_id, rleft, rright, rgene, rstrand};
   job->cfg = Cfg{max_olap_dist, max_intron_length, max_frag_span,
                  enforce_ref_models, utilize_ref_models, min_read_for_assemb,
@@ -1549,12 +1558,13 @@ StrawbClusterJob* strawb_cluster_start_sbam_qfused(
     const i32* rgene, const int8_t* rstrand,
     i64 max_olap_dist, i64 max_intron_length, i64 max_frag_span,
     i32 enforce_ref_models, i32 utilize_ref_models, i32 min_read_for_assemb,
-    i32 mode, i32 n_threads,
+    i32 mode, i32 n_threads, i32 drop_consumed,
     i64 read_len, const i64* rf_off, const int8_t* rf_code,
     const i64* rf_left, const i32* rf_len, const i64* rexlen,
     const double* pdf, i64 pdf_len, i64 base_lmin, i32 long_read) {
   auto* job = new StrawbClusterJob();
   job->sbam = (StrawbSbam*)sbam;
+  job->drop_consumed = drop_consumed;
   job->r = RefsIn{nref, rref_id, rleft, rright, rgene, rstrand};
   job->cfg = Cfg{max_olap_dist, max_intron_length, max_frag_span,
                  enforce_ref_models, utilize_ref_models, min_read_for_assemb,

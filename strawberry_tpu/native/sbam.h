@@ -64,5 +64,9 @@ const int32_t* strawb_sbam_block_feat_len(StrawbSbam*, int64_t k);
 // low-memory mode: release block k's buffers once every consumer of the
 // current pass is done with them (pass 2 then re-opens the stream)
 void strawb_sbam_drop_block(StrawbSbam*, int64_t k);
+// low-memory mode: stall the decoder before finalizing a new block while
+// more than `bytes` are retained in undropped blocks (min 2 live blocks
+// always admitted so consumers can make progress). 0 = unbounded.
+void strawb_sbam_set_max_retained(StrawbSbam*, int64_t bytes);
 
 }  // extern "C"

@@ -907,7 +907,7 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
         try:
             from .io.sbam import open_bam_stream
             with PROF.phase("bam_open_stream"):
-                table = open_bam_stream(bam_path, cfg)
+                table = open_bam_stream(bam_path, cfg, low_mem=cfg.low_mem)
         except OSError:
             table = None  # native lib unavailable
     if table is None:
@@ -967,7 +967,13 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
     if fragfile is not None:
         from .quant.fragcontext import FRAG_HEADER
         fragfile.write("\t".join(FRAG_HEADER) + "\n")
-    with PROF.phase("pass2_quant", items=len(table)):
+    if isinstance(table, StreamingHitTable) and cfg.low_mem:
+        # pass 1 dropped its blocks as it consumed them; re-decode for
+        # pass 2 (the reference's bgzf_seek rewind, src/read.cpp:1740)
+        sample.table = table = table.reopen()
+    with PROF.phase("pass2_quant",
+                    items=0 if isinstance(table, StreamingHitTable)
+                    and cfg.low_mem else len(table)):
         sample.proc_sample(out, log, fragfile)
     PROF.stop_trace()
     if cfg.verbose:

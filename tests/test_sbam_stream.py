@@ -86,6 +86,33 @@ def test_stream_pipeline_matches_batch_pipeline(tmp_path):
     assert outs[True]
 
 
+def test_low_mem_pipeline_matches_default(tmp_path):
+    """--low-mem: pass 1 drops blocks as consumed (decoder backpressure),
+    pass 2 re-decodes; output must stay byte-identical and the consumed
+    blocks must actually be released."""
+    bam, gtf, _ = make_dataset(str(tmp_path), seed=15, n_frags=3000,
+                               n_chroms=3)
+    from strawberry_tpu.pipeline import run_driver
+    outs = {}
+    samples = {}
+    for low in (False, True):
+        cfg = Config(ref_gtf_filename=gtf, utilize_ref_models=True,
+                     low_mem=low)
+        out = io.StringIO()
+        samples[low] = run_driver(bam, cfg, out, io.StringIO())
+        outs[low] = out.getvalue()
+    assert outs[True] == outs[False]
+    assert outs[True]
+    # every block of the (re-opened) pass-2 stream was dropped after use
+    t = samples[True].table
+    for k in range(t.num_blocks()):
+        assert int(t._lib.strawb_sbam_block_n(t.handle, k)) == 0
+    # the default run retains its blocks
+    t0 = samples[False].table
+    assert sum(int(t0._lib.strawb_sbam_block_n(t0.handle, k))
+               for k in range(t0.num_blocks())) == len(t0)
+
+
 def test_drop_block_releases_and_errors_surface(tmp_path):
     bam, _gtf, _ = make_dataset(str(tmp_path), seed=14, n_frags=500,
                                 n_chroms=2)
