@@ -124,17 +124,21 @@ _NODE_BUCKETS = (8, 16, 32, 64, 128, 256)
 
 
 def batched_mcf(problems: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
-                device_min_nodes: int = 128
+                device_min_nodes: int = 64
                 ) -> List[Optional[np.ndarray]]:
     """Solve many dense MCF problems, bucketed by node count.
 
     problems: [(cost, has_arc, lower)] with (M,M) matrices.
-    Graphs below device_min_nodes solve on host (typical loci have <10
-    exon segments — the numpy spec clears hundreds of those per ms, far
-    under device dispatch cost); big-node buckets batch on the TPU where
-    the dense min-plus relaxations actually fill the VPU. Both paths are
-    the identical integer algorithm. Returns per-problem flow matrix or
-    None (infeasible)."""
+    Graphs below device_min_nodes solve on host; larger buckets batch on
+    the TPU where the dense min-plus relaxations fill the VPU. The
+    threshold is set by the recorded chip-vs-host crossover
+    (benchmarks/mcf_crossover.json, tools/bench_mcf_crossover.py): the
+    real chip wins 1.1x at 64 nodes, ~5x at 128, ~3.7x at 256, while
+    typical <32-node loci solve fastest on host (the native SSP clears
+    them in tens of us, under device dispatch cost). Both paths are the
+    identical integer algorithm (flows cross-checked bit-equal in the
+    crossover run). Returns per-problem flow matrix or None
+    (infeasible)."""
     import os
     if os.environ.get("STRAWB_FORCE_HOST"):
         device_min_nodes = 1 << 30
