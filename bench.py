@@ -57,16 +57,50 @@ def main():
     em = getattr(sample, "em_stats", {})
     solved = em.get("device", 0) + em.get("host", 0)
     device_frac = em.get("device", 0) / solved if solved else 0.0
+
+    # --fast-em (chip f32 Pallas EM, the measured on-chip winner —
+    # benchmarks/em_crossover.json): reads/s plus its TPM deviation from
+    # the byte-golden run
+    fcfg = cfg.replace(fast_em=True)
+    run_driver(bam, fcfg, io.StringIO(), Sink())   # warm-up / compile
+    fdt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fout = io.StringIO()
+        fsample = run_driver(bam, fcfg, fout, Sink())
+        fdt = min(fdt, time.perf_counter() - t0)
+    fem = getattr(fsample, "em_stats", {})
+
+    def tpms(text):
+        out = {}
+        for line in text.splitlines():
+            if "\ttranscript\t" in line:
+                attrs = line.rsplit("\t", 1)[-1]
+                tid = attrs.split('transcript_id "')[1].split('"')[0]
+                out[tid] = float(attrs.split('TPM "')[1].split('"')[0])
+        return out
+
+    g, f = tpms(out.getvalue()), tpms(fout.getvalue())
+    errs = [abs(f[k] - v) / max(1e-9, abs(v)) for k, v in g.items()
+            if k in f]
+    tpm_p99 = sorted(errs)[int(len(errs) * 0.99)] if errs else float("nan")
+
     print(json.dumps({
         "metric": "aligned_reads_per_sec_assembly_quant",
         "value": round(rps, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
         "device_frac": round(device_frac, 4),
+        "fast_em_reads_per_sec": round(n_reads / fdt, 1),
+        "fast_em_device_frac": round(fem.get("device", 0) / max(
+            1, fem.get("device", 0) + fem.get("host", 0)), 4),
+        "fast_em_tpm_p99_rel_err": round(tpm_p99, 8),
     }))
     print(f"# {n_reads} reads, {dt:.2f}s end-to-end, "
           f"{out.getvalue().count(chr(9) + 'transcript' + chr(9))} transcripts"
-          f", EM device/host = {em.get('device', 0)}/{em.get('host', 0)}",
+          f", EM device/host = {em.get('device', 0)}/{em.get('host', 0)}"
+          f"; fast-em {fdt:.2f}s, device/host = "
+          f"{fem.get('device', 0)}/{fem.get('host', 0)}",
           file=sys.stderr)
 
 

@@ -144,7 +144,15 @@ class EmDispatcher:
         self.dtype = dtype
         self.use_pallas = use_pallas and not os.environ.get(
             "STRAWB_FORCE_HOST")
-        self.force_host = bool(os.environ.get("STRAWB_FORCE_HOST"))
+        # Measured routing (benchmarks/em_crossover.json, real 10M-run
+        # locus problems on a v5e): host native EM 12ms, device f64 tiers
+        # 22ms (fp64 is EMULATED on v5e-class chips), Pallas f32 8ms. The
+        # golden f64 path therefore runs on host; the chip carries EM in
+        # --fast-em (f32 Pallas) mode, where it wins. STRAWB_DEVICE_EM=1
+        # forces the f64 tiers onto the device for experiments.
+        self.force_host = bool(os.environ.get("STRAWB_FORCE_HOST")) or (
+            not self.use_pallas
+            and not os.environ.get("STRAWB_DEVICE_EM"))
         # per-tier fill state: list of (idx, u, F, total, niso)
         self._fills: List[List[tuple]] = [[] for _ in _TIERS]
         self._host_items: List[tuple] = []

@@ -101,10 +101,14 @@ def em_bucket_pallas(F_raw, u, theta0, valid_row, active,
     B, R, C = F_raw.shape
     if tile_b is None:
         # tile such that F tile + U temp fit comfortably in VMEM (~16MB);
-        # power of two >= 8 for Mosaic's sublane tiling
-        # ~8 live (TB,R,C) f32 temporaries inside the loop; keep each tile
-        # buffer around 256KB so the Mosaic stack stays under the 16MB VMEM
-        budget = 256 * 1024 // (R * C * 4)
+        # power of two >= 8 for Mosaic's sublane tiling.
+        # ~8 live (TB,R,C) f32 temporaries inside the loop; budget against
+        # the VREG-PADDED footprint (last dim pads to 128 lanes, second-to-
+        # last to 8 sublanes), or a (128,8,64) tier blows the 16MB scoped
+        # VMEM 16x through lane padding alone
+        rp = -(-R // 8) * 8
+        cp = -(-C // 128) * 128
+        budget = 256 * 1024 // (rp * cp * 4)
         tile_b = 8
         while tile_b * 2 <= min(B, max(8, budget)):
             tile_b *= 2

@@ -71,18 +71,34 @@ def test_batched_em_all_rows_dropped():
     assert batched_em([p])[0] is None
 
 
-def test_em_dispatcher_routing_counts():
-    """Every problem that fits the tier menu must dispatch to the device
-    (round-1 regression: thresholds routed 0% to the chip)."""
+def test_em_dispatcher_routing_counts(monkeypatch):
+    """Routing follows the measured crossover (benchmarks/
+    em_crossover.json): the golden f64 path solves on host; with
+    STRAWB_DEVICE_EM=1 (or --fast-em) every fitting problem dispatches to
+    the device tiers."""
     from strawberry_tpu.quant.device import EmDispatcher, _TIERS
     rng = np.random.default_rng(1)
     problems = random_problems(rng, 40)
+    n_fit = sum(1 for p in problems if p.filtered()[0].size > 0)
+
+    # default golden mode: host carries the f64 EM
+    d0 = EmDispatcher()
+    for i, p in enumerate(problems):
+        d0.add(i, p)
+    r0 = d0.finish()
+    assert d0.n_host == n_fit and d0.n_device == 0
+
+    # forced device mode: everything that fits the menu goes on-chip
+    monkeypatch.setenv("STRAWB_DEVICE_EM", "1")
     d = EmDispatcher()
     for i, p in enumerate(problems):
         d.add(i, p)
     res = d.finish()
-    n_fit = sum(1 for p in problems if p.filtered()[0].size > 0)
     assert d.n_device == n_fit and d.n_host == 0
+    for a, b in zip(r0, res):  # same numerics either way (device f64 vs
+        assert (a is None) == (b is None)  # host: 1e-9, like the oracle
+        if a is not None:                  # parity tests above)
+            np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-9)
     # oversized problems fall back to the host solver
     big_r = _TIERS[-1][0] + 1
     big = LocusProblem(counts=np.ones(big_r),
