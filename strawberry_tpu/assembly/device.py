@@ -122,9 +122,40 @@ def _mcf_bucket(cost, has_arc, lower, active, max_aug=4096):
 
 _NODE_BUCKETS = (8, 16, 32, 64, 128, 256)
 
+# device dispatches use FIXED (nodes, batch) shapes so the whole program
+# compiles at most three flow kernels (shape churn = ~1-min remote
+# compiles per shape over the tunnel)
+_DEVICE_SHAPES = {64: 16, 128: 8, 256: 4}
+
+
+def _device_solve_with_timeout(args, timeout_s: float):
+    """Dispatch _mcf_bucket on a side thread with a wall timeout: a remote
+    (tunneled) device can wedge a dispatch indefinitely; on timeout the
+    caller falls back to the host solver and stops using the device for
+    the rest of the process (the orphaned daemon thread stays blocked —
+    harmless)."""
+    import concurrent.futures as cf
+    import jax.numpy as jnp
+
+    def run():
+        flow, infeasible = _mcf_bucket(*[jnp.asarray(a) for a in args])
+        return np.asarray(flow), np.asarray(infeasible)
+
+    ex = cf.ThreadPoolExecutor(max_workers=1)
+    fut = ex.submit(run)
+    ex.shutdown(wait=False)
+    try:
+        return fut.result(timeout=timeout_s)
+    except cf.TimeoutError:
+        return None
+
+
+_device_disabled = False
+
 
 def batched_mcf(problems: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
-                device_min_nodes: int = 64
+                device_min_nodes: int = 64,
+                stats: Optional[Dict[str, int]] = None
                 ) -> List[Optional[np.ndarray]]:
     """Solve many dense MCF problems, bucketed by node count.
 
@@ -139,40 +170,56 @@ def batched_mcf(problems: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     identical integer algorithm (flows cross-checked bit-equal in the
     crossover run). Returns per-problem flow matrix or None
     (infeasible)."""
+    global _device_disabled
     import os
-    if os.environ.get("STRAWB_FORCE_HOST"):
+    if os.environ.get("STRAWB_FORCE_HOST") or _device_disabled:
         device_min_nodes = 1 << 30
+    timeout_s = float(os.environ.get("STRAWB_DEVICE_TIMEOUT", "300"))
     from .mincostflow import solve_dense
     results: List[Optional[np.ndarray]] = [None] * len(problems)
     buckets: Dict[int, List[int]] = {}
+    n_dev = 0
     for i, (c, _h, _l) in enumerate(problems):
         m = c.shape[0]
-        mb = next((b for b in _NODE_BUCKETS if m <= b), _NODE_BUCKETS[-1])
-        if m < device_min_nodes or m > _NODE_BUCKETS[-1]:
+        mb = next((b for b in _DEVICE_SHAPES if m <= b), None)
+        if m < device_min_nodes or mb is None:
             results[i] = solve_dense(*[x.copy() for x in problems[i]])
             continue
         buckets.setdefault(mb, []).append(i)
+        n_dev += 1
+    if stats is not None:
+        stats["device"] = stats.get("device", 0) + n_dev
+        stats["host"] = stats.get("host", 0) + len(problems) - n_dev
 
     for mb, idxs in sorted(buckets.items()):
-        B = max(4, 1 << (len(idxs) - 1).bit_length())
-        cost = np.zeros((B, mb, mb), np.int64)
-        has = np.zeros((B, mb, mb), bool)
-        low = np.zeros((B, mb, mb), np.int64)
-        act = np.zeros((B,), bool)
-        for b, i in enumerate(idxs):
-            c, h, l = problems[i]
-            m = c.shape[0]
-            cost[b, :m, :m] = c
-            has[b, :m, :m] = h
-            low[b, :m, :m] = l
-            act[b] = True
-        flow, infeasible = _mcf_bucket(jnp.asarray(cost), jnp.asarray(has),
-                                       jnp.asarray(low), jnp.asarray(act))
-        flow = np.asarray(flow)
-        infeasible = np.asarray(infeasible)
-        for b, i in enumerate(idxs):
-            m = problems[i][0].shape[0]
-            results[i] = None if infeasible[b] else flow[b, :m, :m]
+        B = _DEVICE_SHAPES[mb]
+        for lo in range(0, len(idxs), B):
+            chunk = idxs[lo:lo + B]
+            cost = np.zeros((B, mb, mb), np.int64)
+            has = np.zeros((B, mb, mb), bool)
+            low = np.zeros((B, mb, mb), np.int64)
+            act = np.zeros((B,), bool)
+            for b, i in enumerate(chunk):
+                c, h, l = problems[i]
+                m = c.shape[0]
+                cost[b, :m, :m] = c
+                has[b, :m, :m] = h
+                low[b, :m, :m] = l
+                act[b] = True
+            out = None if _device_disabled else _device_solve_with_timeout(
+                (cost, has, low, act), timeout_s)
+            if out is None:
+                # wedged/overdue dispatch: solve this chunk on host and
+                # stop using the device for the rest of the process
+                _device_disabled = True
+                for i in chunk:
+                    results[i] = solve_dense(
+                        *[x.copy() for x in problems[i]])
+                continue
+            flow, infeasible = out
+            for b, i in enumerate(chunk):
+                m = problems[i][0].shape[0]
+                results[i] = None if infeasible[b] else flow[b, :m, :m]
     return results
 
 

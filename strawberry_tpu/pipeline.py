@@ -68,6 +68,7 @@ class Sample:
         self.long_read_sample = False
         self.read_len = table.read_len_mode()
         self.fasta = None  # FastaInterface when -b is given
+        self.flow_stats = {}  # batched_mcf host/device routing counts
         self._fld_specs = []  # deferred fragLenDist inputs (cluster order)
         self._fld_futures = []  # in-flight chunks (cluster order)
         self._fld_pool = None
@@ -586,8 +587,11 @@ class Sample:
                     if task.fn is not None:
                         index.append((ci, ui))
                         problems.append(task.dense)
-            with PROF.phase("device_flow_dp", items=len(problems)):
-                flows_flat = batched_mcf(problems)
+            # host/device split recorded in flow_stats (truthful labels:
+            # typical <64-node graphs solve on host per the recorded
+            # crossover, benchmarks/mcf_crossover.json)
+            with PROF.phase("flow_dp", items=len(problems)):
+                flows_flat = batched_mcf(problems, stats=self.flow_stats)
             flowmap = dict(zip(index, flows_flat))
             for ci, (cluster, units) in enumerate(collected):
                 flows = [flowmap.get((ci, ui))
