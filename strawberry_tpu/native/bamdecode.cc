@@ -252,9 +252,6 @@ static void decode_range(const uint8_t* buf, const size_t* offs,
   R.feat_code.reserve(cnt * 2);
   R.feat_left.reserve(cnt * 2);
   R.feat_len.reserve(cnt * 2);
-  std::vector<std::pair<uint8_t, uint32_t>> ops;
-  ops.reserve(64);
-
   for (size_t ri = lo; ri < hi; ++ri) {
     size_t rec = offs[ri] + 4;
     size_t rec_end = rec + (size_t)rd_i32(buf + offs[ri]);
@@ -278,12 +275,25 @@ static void decode_range(const uint8_t* buf, const size_t* offs,
       fprintf(stderr, "Read %s has not reached min mapq: %d\n", qname,
               cfg.min_map_qual);
 
+    // Single pass over the CIGAR: emit genomic features directly
+    // (rolled back below if any filter fires) while replicating the
+    // reference's op checks against the CIGAR-op sequence with H and P
+    // removed (the reference's _cigar vector, read.cpp:542-599):
+    //   * zero-length op or unknown op -> drop
+    //   * intron (N) length outside [min,max] -> drop
+    //   * I/D must sit at kept-op index >= 2 (read.cpp's `i-1 <= 0` quirk:
+    //     an indel as the SECOND op is rejected even after a leading M),
+    //     be preceded AND followed by an M, and not be the last kept op
     bool okr = true;
     int64_t read_len = 0;  // genomic span: M + D + N
     int64_t seq_len = 0;   // query length: M + S + I + H
     int64_t eff = 0;       // M only
     uint64_t chash = 0xcbf29ce484222325ull;
-    ops.clear();
+    size_t nf0 = R.feat_code.size();
+    int64_t goff = (int64_t)p0 + 1;
+    size_t kept = 0;        // index within the H/P-stripped op sequence
+    int prev_kept = -1;     // code of previous kept op
+    bool need_m_next = false;  // pending I/D sandwich: next kept must be M
     for (uint32_t ci = 0; ci < n_cigar; ++ci) {
       uint32_t v = rd_u32(buf + cig + 4 * ci);
       chash = (chash ^ (uint64_t)v) * 1099511628211ull;
@@ -292,56 +302,69 @@ static void decode_range(const uint8_t* buf, const size_t* offs,
         okr = false;
         break;
       }
+      if (op == 5) {  // H: not a kept op
+        seq_len += ln;
+        continue;
+      }
+      if (op == 6) continue;  // P: not a kept op
+      if (op > 6) {
+        okr = false;
+        break;
+      }
+      if (need_m_next && op != 0) {
+        okr = false;
+        break;
+      }
+      need_m_next = false;
       switch (op) {
-        case 0:  // M
+        case 0:  // M: its own feature (runs after D/I stay split)
           read_len += ln;
           eff += ln;
           seq_len += ln;
-          ops.emplace_back(0, ln);
+          R.feat_code.push_back(0);
+          R.feat_left.push_back(goff);
+          R.feat_len.push_back(ln);
+          goff += ln;
           break;
         case 1:  // I
           seq_len += ln;
-          ops.emplace_back(1, ln);
+          if (kept <= 1 || prev_kept != 0) okr = false;
+          need_m_next = true;
           break;
-        case 2:  // D
+        case 2:  // D: extends the previous (M) feature
           read_len += ln;
-          ops.emplace_back(2, ln);
+          if (kept <= 1 || prev_kept != 0) okr = false;
+          else {
+            R.feat_len.back() += ln;
+            goff += ln;
+          }
+          need_m_next = true;
           break;
         case 3:  // N
           read_len += ln;
-          ops.emplace_back(3, ln);
           if ((int64_t)ln > cfg.max_intron_length ||
               (int64_t)ln < cfg.min_intron_length)
             okr = false;
+          R.feat_code.push_back(1);
+          R.feat_left.push_back(goff);
+          R.feat_len.push_back(ln);
+          goff += ln;
           break;
         case 4:  // S
           seq_len += ln;
-          ops.emplace_back(4, ln);
           break;
-        case 5:  // H
-          seq_len += ln;
-          break;
-        case 6:  // P
-          break;
-        default:
-          okr = false;
       }
       if (!okr) break;
+      prev_kept = (int)op;
+      ++kept;
     }
-    if (!okr) continue;
-    for (size_t i = 0; i < ops.size(); ++i) {
-      if (ops[i].first == 1 || ops[i].first == 2) {
-        if ((int64_t)i - 1 <= 0 || i + 1 >= ops.size()) {
-          okr = false;
-          break;
-        }
-        if (ops[i - 1].first != 0 || ops[i + 1].first != 0) {
-          okr = false;
-          break;
-        }
-      }
+    if (need_m_next) okr = false;  // I/D was the last kept op
+    if (!okr || eff <= 1) {
+      R.feat_code.resize(nf0);
+      R.feat_left.resize(nf0);
+      R.feat_len.resize(nf0);
+      continue;
     }
-    if (!okr || eff <= 1) continue;
 
     if (flag & 0x1) R.paired_end = 1;
 
@@ -394,32 +417,19 @@ static void decode_range(const uint8_t* buf, const size_t* offs,
       else strand = key ? 2 : 1;
     }
 
-    if (cfg.use_only_unique_hits && (nh > 1 || (flag & 0x100))) continue;
-
-    // genomic features (readhit_2_genomicFeats, contig.cpp:12-52): every M
-    // op is its own feature, D extends the previous feature, and the M
-    // after a D or I starts a NEW feature adjacent to the previous one —
-    // the reference does not merge such runs, and the split/merged
-    // distinction is observable downstream (exon-bin assignment)
-    int64_t off = (int64_t)p0 + 1;
-    size_t nf0 = R.feat_code.size();
-    for (auto& o : ops) {
-      if (o.first == 0) {
-        R.feat_code.push_back(0);
-        R.feat_left.push_back(off);
-        R.feat_len.push_back(o.second);
-        off += o.second;
-      } else if (o.first == 3) {
-        R.feat_code.push_back(1);
-        R.feat_left.push_back(off);
-        R.feat_len.push_back(o.second);
-        off += o.second;
-      } else if (o.first == 2) {
-        R.feat_len.back() += o.second;
-        off += o.second;
-      }
+    if (cfg.use_only_unique_hits && (nh > 1 || (flag & 0x100))) {
+      R.feat_code.resize(nf0);  // roll back the directly-emitted features
+      R.feat_left.resize(nf0);
+      R.feat_len.resize(nf0);
+      continue;
     }
 
+    // genomic features (readhit_2_genomicFeats, contig.cpp:12-52) were
+    // emitted directly in the CIGAR pass above: every M op is its own
+    // feature, D extends the previous feature, and the M after a D or I
+    // starts a NEW feature adjacent to the previous one — the reference
+    // does not merge such runs, and the split/merged distinction is
+    // observable downstream (exon-bin assignment).
     R.ref_id.push_back(tid);
     R.left.push_back((int64_t)p0 + 1);
     R.right.push_back((int64_t)p0 + read_len);
@@ -722,9 +732,26 @@ struct SbamAccum {
         int64_t nf = 0;
         while (j < n && p.ref_id[j] == c) nf += p.nfeat[j], ++j;
         if (cur.chrom != c) {
+          size_t ln = cur.ref_id.size(), lf = cur.feat_code.size();
           finalize_block();
           cur.chrom = c;
           cur.feat_off.assign(1, 0);
+          if (ln) {  // expect the next chrom to be of similar size: one
+            cur.ref_id.reserve(ln);       // up-front allocation instead of
+            cur.left.reserve(ln);         // log2(n) doubling re-copies of
+            cur.right.reserve(ln);        // the whole accumulation
+            cur.strand.reserve(ln);
+            cur.flag.reserve(ln);
+            cur.mate_ref.reserve(ln);
+            cur.mate_pos.reserve(ln);
+            cur.nh.reserve(ln);
+            cur.read_id.reserve(ln);
+            cur.cigar_hash.reserve(ln);
+            cur.feat_off.reserve(ln + 1);
+            cur.feat_code.reserve(lf);
+            cur.feat_left.reserve(lf);
+            cur.feat_len.reserve(lf);
+          }
         }
         auto app = [](auto& dst, const auto& src, size_t lo, size_t hi) {
           dst.insert(dst.end(), src.begin() + lo, src.begin() + hi);
@@ -818,7 +845,11 @@ void StrawbSbam::run() {
     fail("cannot open BAM");
     return;
   }
-  const size_t CHUNK = 4u << 20;  // compressed bytes per read
+  // compressed bytes per read: the first chunk is small so the header (and
+  // with it strawb_sbam_error/ref_names, which the Python open blocks on)
+  // is ready after a few ms instead of after a full 4MB window's inflate
+  size_t CHUNK = 256u << 10;
+  const size_t CHUNK_STEADY = 4u << 20;
   std::vector<uint8_t> comp;      // unconsumed compressed carry + new bytes
   // inflated window (icarry + new): grow-only heap buffer, avoiding
   // std::vector's zero-fill of tens of MB per window
@@ -842,6 +873,7 @@ void StrawbSbam::run() {
       size_t got = fread(comp.data() + old, 1, CHUNK, f);
       comp.resize(old + got);
       if (got < CHUNK) eof = true;
+      if (header_done) CHUNK = CHUNK_STEADY;
       if (dbg) t_read += now() - t0;
     }
     if (comp.empty()) break;
