@@ -19,6 +19,8 @@
 // Build: tools/build_native.sh -> strawberry_tpu/native/libstrawberry_host.so
 
 #include <chrono>
+#include <deque>
+#include <memory>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -832,40 +834,178 @@ static int try_parse_header(const uint8_t* buf, size_t n, size_t& pos,
 // replaces strawb_bam_load's whole-file slurp (ref streams one record at a
 // time via samread, src/read.cpp:459).
 void StrawbSbam::run() {
+  // Two-stage decode pipeline (this thread = stage 1, one consumer thread
+  // = stage 2), replacing the reference's single samread loop
+  // (src/read.cpp:459) with window-granular overlap:
+  //   stage 1: fread -> BGZF block index -> parallel inflate -> queue
+  //   stage 2: record boundary scan -> parallel record parse -> per-
+  //            chromosome accumulation (SbamAccum)
+  // so window k's record work runs while window k+1 inflates. The bounded
+  // queue (2 windows) caps memory; low-mem backpressure inside
+  // finalize_block stalls stage 2, which fills the queue and stalls
+  // stage 1.
   const bool dbg = getenv("STRAWB_NATIVE_DEBUG") != nullptr;
   auto now = [] {
     return std::chrono::duration<double>(
                std::chrono::steady_clock::now().time_since_epoch())
         .count();
   };
-  double t_read = 0, t_index = 0, t_inflate = 0, t_scan = 0, t_parse = 0,
-         t_merge = 0, t_all = dbg ? now() : 0;
+  double t_read = 0, t_index = 0, t_inflate = 0, t_all = dbg ? now() : 0;
+  double t_scan = 0, t_parse = 0, t_merge = 0;
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) {
     fail("cannot open BAM");
     return;
   }
+
+  struct Win {
+    std::unique_ptr<uint8_t[]> buf;
+    size_t n = 0;
+  };
+  std::mutex qmu;
+  std::condition_variable qcv;
+  std::deque<Win> q;
+  bool q_done = false;
+  std::atomic<int> q_fail{0};  // stage-2 failure: stage 1 stops reading
+  const size_t QDEPTH = 2;
+
+  std::thread consumer([&]() {
+    SbamAccum acc(this);
+    std::vector<uint8_t> carry;  // partial trailing record bytes
+    std::vector<uint8_t> hdr;    // header accumulation until parsed
+    bool header_done = false;
+    bool failed = false;
+    std::vector<size_t> offs;
+    size_t T = n_threads < 1 ? 1 : (size_t)n_threads;
+    std::vector<Partial> parts;
+    std::vector<Partial> carry_part(1);
+
+    // scan+parse+merge one contiguous chunk of record bytes; the record
+    // spanning the previous chunk's tail is completed from `carry` and
+    // parsed first so the accumulation (and the first-50k read-length
+    // histogram) stays in exact file order
+    auto process = [&](const uint8_t* buf, size_t n) {
+      size_t pos = 0;
+      if (!carry.empty()) {
+        while (carry.size() < 4 && pos < n) carry.push_back(buf[pos++]);
+        if (carry.size() < 4) return;
+        size_t need = 4 + (size_t)rd_i32(carry.data());
+        size_t take = need > carry.size() ? need - carry.size() : 0;
+        if (take > n - pos) take = n - pos;
+        carry.insert(carry.end(), buf + pos, buf + pos + take);
+        pos += take;
+        if (carry.size() < need) return;  // consumed the whole chunk
+        size_t off0 = 0;
+        carry_part[0].clear();
+        double t0 = dbg ? now() : 0;
+        decode_range(carry.data(), &off0, 0, 1, cfg, carry_part[0]);
+        if (dbg) t_parse += now() - t0;
+        double t0m = dbg ? now() : 0;
+        acc.append(carry_part);
+        if (dbg) t_merge += now() - t0m;
+        carry.clear();
+      }
+      double t0s = dbg ? now() : 0;
+      offs.clear();
+      size_t p = pos;
+      while (p + 4 <= n) {
+        int32_t bs = rd_i32(buf + p);
+        if (p + 4 + (size_t)bs > n) break;
+        offs.push_back(p);
+        p += 4 + (size_t)bs;
+      }
+      if (dbg) t_scan += now() - t0s;
+      size_t nrec = offs.size();
+      if (nrec) {
+        double t0p = dbg ? now() : 0;
+        size_t TT = nrec < 4096 ? 1 : T;
+        if (parts.size() < TT) parts.resize(TT);
+        for (size_t t = 0; t < TT; ++t) parts[t].clear();
+        if (TT == 1) {
+          decode_range(buf, offs.data(), 0, nrec, cfg, parts[0]);
+        } else {
+          std::vector<std::thread> pool;
+          for (size_t t = 1; t < TT; ++t) {
+            size_t lo = nrec * t / TT, hi = nrec * (t + 1) / TT;
+            pool.emplace_back([&, lo, hi, t]() {
+              decode_range(buf, offs.data(), lo, hi, cfg, parts[t]);
+            });
+          }
+          decode_range(buf, offs.data(), 0, nrec / TT, cfg, parts[0]);
+          for (auto& th : pool) th.join();
+        }
+        if (dbg) t_parse += now() - t0p;
+        double t0m = dbg ? now() : 0;
+        acc.append(parts);
+        if (dbg) t_merge += now() - t0m;
+      }
+      carry.assign(buf + p, buf + n);
+    };
+
+    while (true) {
+      Win w;
+      {
+        std::unique_lock<std::mutex> g(qmu);
+        qcv.wait(g, [&] { return !q.empty() || q_done; });
+        if (q.empty()) break;
+        w = std::move(q.front());
+        q.pop_front();
+        qcv.notify_all();
+      }
+      if (failed) continue;  // drain remaining windows
+      const uint8_t* rbuf = w.buf.get();
+      size_t rn = w.n;
+      if (!header_done) {
+        hdr.insert(hdr.end(), rbuf, rbuf + rn);
+        size_t hpos = 0;
+        int rc = try_parse_header(hdr.data(), hdr.size(), hpos, names_blob,
+                                  ref_len);
+        if (rc < 0) {
+          fail("not a BAM file");
+          q_fail = 1;
+          failed = true;
+          continue;
+        }
+        if (rc == 0) continue;  // need more bytes
+        header_done = true;
+        {
+          std::lock_guard<std::mutex> g(mu);
+          header_ready = true;
+          cv.notify_all();
+        }
+        process(hdr.data() + hpos, hdr.size() - hpos);
+        std::vector<uint8_t>().swap(hdr);
+        continue;
+      }
+      process(rbuf, rn);
+    }
+    if (failed) return;
+    if (!header_done) {
+      fail(hdr.empty() && carry.empty() ? "empty BAM"
+                                        : "truncated BAM header");
+      return;
+    }
+    if (!carry.empty()) {
+      fail("truncated BAM record");
+      return;
+    }
+    acc.finalize_block();
+    acc.finalize_hist();
+    std::lock_guard<std::mutex> g(mu);
+    ended = true;
+    cv.notify_all();
+  });
+
+  // ---- stage 1: read -> index -> inflate -> queue -----------------------
   // compressed bytes per read: the first chunk is small so the header (and
   // with it strawb_sbam_error/ref_names, which the Python open blocks on)
   // is ready after a few ms instead of after a full 4MB window's inflate
   size_t CHUNK = 256u << 10;
   const size_t CHUNK_STEADY = 4u << 20;
-  std::vector<uint8_t> comp;      // unconsumed compressed carry + new bytes
-  // inflated window (icarry + new): grow-only heap buffer, avoiding
-  // std::vector's zero-fill of tens of MB per window
-  std::unique_ptr<uint8_t[]> win;
-  size_t win_cap = 0, win_n = 0;
-  std::vector<uint8_t> icarry;    // inflated partial-record carry
-  std::vector<uint8_t> hdr;       // header accumulation until parsed
-  bool header_done = false;
+  std::vector<uint8_t> comp;  // unconsumed compressed carry + new bytes
   bool eof = false;
-  SbamAccum acc(this);
-  std::vector<std::size_t> offs;
-  size_t T = n_threads < 1 ? 1 : (size_t)n_threads;
-  std::vector<Partial> parts;
-
-  while (true) {
-    // top up the compressed buffer
+  bool s1_failed = false;
+  while (!q_fail.load(std::memory_order_relaxed)) {
     if (!eof) {
       double t0 = dbg ? now() : 0;
       size_t old = comp.size();
@@ -873,206 +1013,102 @@ void StrawbSbam::run() {
       size_t got = fread(comp.data() + old, 1, CHUNK, f);
       comp.resize(old + got);
       if (got < CHUNK) eof = true;
-      if (header_done) CHUNK = CHUNK_STEADY;
+      CHUNK = CHUNK_STEADY;
       if (dbg) t_read += now() - t0;
     }
     if (comp.empty()) break;
 
-    // index the complete BGZF blocks at the front
     std::vector<BlockRef> blocks;
     size_t consumed = 0, total_out = 0;
     double t0i = dbg ? now() : 0;
-    bool idx_ok = bgzf_index_prefix(comp.data(), comp.size(), blocks, consumed,
-                                    total_out);
+    bool idx_ok = bgzf_index_prefix(comp.data(), comp.size(), blocks,
+                                    consumed, total_out);
     if (dbg) t_index += now() - t0i;
     if (!idx_ok) {
-      fclose(f);
       fail("malformed BGZF stream");
-      return;
+      s1_failed = true;
+      break;
     }
     if (blocks.empty()) {
       if (eof) {
         if (consumed < comp.size() && comp.size() - consumed > 28) {
-          fclose(f);
           fail("truncated BGZF stream");
-          return;
+          s1_failed = true;
         }
         break;
       }
       continue;  // need more bytes for even one block
     }
 
-    // inflate into the window after the inflated carry
-    size_t carry_n = icarry.size();
-    win_n = carry_n + total_out;
-    if (win_n > win_cap) {
-      win_cap = win_n + win_n / 2;
-      win.reset(new uint8_t[win_cap]);
-    }
-    if (carry_n) memcpy(win.get(), icarry.data(), carry_n);
+    Win w;
+    w.n = total_out;
+    w.buf.reset(new uint8_t[total_out]);
     double t0f = dbg ? now() : 0;
     {
       std::atomic<int> ok{1};
       size_t nb = blocks.size();
+      size_t T = n_threads < 1 ? 1 : (size_t)n_threads;
       size_t TT = T < nb ? T : nb;
-      std::vector<std::thread> pool;
-      for (size_t t = 1; t < TT; ++t)
-        pool.emplace_back([&, t]() {
-#ifdef STRAWB_HAVE_LIBDEFLATE
-          libdeflate_decompressor* d = libdeflate_alloc_decompressor();
-#endif
-          for (size_t i = t; i < nb; i += TT) {
-            const BlockRef& b = blocks[i];
-#ifdef STRAWB_HAVE_LIBDEFLATE
-            size_t actual = 0;
-            if (libdeflate_deflate_decompress(
-                    d, comp.data() + b.comp_off, b.comp_len,
-                    win.get() + carry_n + b.out_off, b.isize,
-                    &actual) != LIBDEFLATE_SUCCESS ||
-                actual != b.isize)
-              ok = 0;
-#else
-            if (!inflate_block(comp.data() + b.comp_off, b.comp_len,
-                               win.get() + carry_n + b.out_off, b.isize))
-              ok = 0;
-#endif
-          }
-#ifdef STRAWB_HAVE_LIBDEFLATE
-          libdeflate_free_decompressor(d);
-#endif
-        });
-      {
+      auto infl = [&](size_t t0) {
 #ifdef STRAWB_HAVE_LIBDEFLATE
         libdeflate_decompressor* d = libdeflate_alloc_decompressor();
 #endif
-        for (size_t i = 0; i < nb; i += TT) {
+        for (size_t i = t0; i < nb; i += TT) {
           const BlockRef& b = blocks[i];
 #ifdef STRAWB_HAVE_LIBDEFLATE
           size_t actual = 0;
           if (libdeflate_deflate_decompress(
                   d, comp.data() + b.comp_off, b.comp_len,
-                  win.get() + carry_n + b.out_off, b.isize,
+                  w.buf.get() + b.out_off, b.isize,
                   &actual) != LIBDEFLATE_SUCCESS ||
               actual != b.isize)
             ok = 0;
 #else
           if (!inflate_block(comp.data() + b.comp_off, b.comp_len,
-                             win.get() + carry_n + b.out_off, b.isize))
+                             w.buf.get() + b.out_off, b.isize))
             ok = 0;
 #endif
         }
 #ifdef STRAWB_HAVE_LIBDEFLATE
         libdeflate_free_decompressor(d);
 #endif
-      }
+      };
+      std::vector<std::thread> pool;
+      for (size_t t = 1; t < TT; ++t) pool.emplace_back(infl, t);
+      infl(0);
       for (auto& th : pool) th.join();
       if (!ok) {
-        fclose(f);
         fail("BGZF inflate failed");
-        return;
+        s1_failed = true;
       }
     }
     if (dbg) t_inflate += now() - t0f;
-    // shift out the consumed compressed bytes
+    if (s1_failed) break;
     comp.erase(comp.begin(), comp.begin() + consumed);
 
-    // header (may span windows)
-    const uint8_t* rbuf = win.get();
-    size_t rn = win_n;
-    if (!header_done) {
-      hdr.insert(hdr.end(), win.get(), win.get() + win_n);
-      size_t hpos = 0;
-      int rc = try_parse_header(hdr.data(), hdr.size(), hpos, names_blob,
-                                ref_len);
-      if (rc < 0) {
-        fclose(f);
-        fail("not a BAM file");
-        return;
-      }
-      if (rc == 0) {
-        icarry.clear();
-        if (eof && comp.empty()) break;
-        continue;
-      }
-      header_done = true;
-      {
-        std::lock_guard<std::mutex> g(mu);
-        header_ready = true;
-        cv.notify_all();
-      }
-      // the remainder of hdr is record bytes: parse from there this round
-      win_n = hdr.size() - hpos;
-      if (win_n > win_cap) {
-        win_cap = win_n + win_n / 2;
-        win.reset(new uint8_t[win_cap]);
-      }
-      memcpy(win.get(), hdr.data() + hpos, win_n);
-      std::vector<uint8_t>().swap(hdr);
-      icarry.clear();
-      rbuf = win.get();
-      rn = win_n;
+    {
+      std::unique_lock<std::mutex> g(qmu);
+      qcv.wait(g, [&] {
+        return q.size() < QDEPTH || q_fail.load(std::memory_order_relaxed);
+      });
+      q.push_back(std::move(w));
+      qcv.notify_all();
     }
-
-    // record boundary scan
-    offs.clear();
-    double t0s = dbg ? now() : 0;
-    size_t pos = 0;
-    while (pos + 4 <= rn) {
-      int32_t bs = rd_i32(rbuf + pos);
-      if (pos + 4 + (size_t)bs > rn) break;
-      offs.push_back(pos);
-      pos += 4 + (size_t)bs;
-    }
-    if (dbg) t_scan += now() - t0s;
-    // parse records in parallel
-    size_t nrec = offs.size();
-    if (nrec) {
-      double t0p = dbg ? now() : 0;
-      size_t TT = nrec < 4096 ? 1 : T;
-      if (parts.size() < TT) parts.resize(TT);
-      for (auto& pp : parts) pp.clear();
-      if (TT == 1) {
-        decode_range(rbuf, offs.data(), 0, nrec, cfg, parts[0]);
-      } else {
-        std::vector<std::thread> pool;
-        for (size_t t = 1; t < TT; ++t) {
-          size_t lo = nrec * t / TT, hi = nrec * (t + 1) / TT;
-          pool.emplace_back([&, lo, hi, t]() {
-            decode_range(rbuf, offs.data(), lo, hi, cfg, parts[t]);
-          });
-        }
-        decode_range(rbuf, offs.data(), 0, nrec / TT, cfg, parts[0]);
-        for (auto& th : pool) th.join();
-      }
-      if (dbg) t_parse += now() - t0p;
-      double t0m = dbg ? now() : 0;
-      acc.append(parts);
-      if (dbg) t_merge += now() - t0m;
-    }
-    // carry the partial trailing record
-    icarry.assign(win.get() + pos, win.get() + win_n);
     if (eof && comp.empty()) break;
   }
   fclose(f);
-  if (!header_done) {
-    fail(hdr.empty() && icarry.empty() ? "empty BAM" : "truncated BAM header");
-    return;
+  {
+    std::lock_guard<std::mutex> g(qmu);
+    q_done = true;
+    qcv.notify_all();
   }
-  if (!icarry.empty()) {
-    fail("truncated BAM record");
-    return;
-  }
-  acc.finalize_block();
-  acc.finalize_hist();
+  consumer.join();
   if (dbg)
     fprintf(stderr,
             "[sbam] total=%.3f read=%.3f index=%.3f inflate=%.3f scan=%.3f "
             "parse=%.3f merge=%.3f\n",
             now() - t_all, t_read, t_index, t_inflate, t_scan, t_parse,
             t_merge);
-  std::lock_guard<std::mutex> g(mu);
-  ended = true;
-  cv.notify_all();
 }
 
 StrawbSbam* strawb_sbam_open(const char* path, int32_t max_intron,
