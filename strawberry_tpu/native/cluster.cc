@@ -513,7 +513,12 @@ class Runner {
         if (i < 0) continue;
         double ln = (double)(h_.right[i] - h_.left[i] + 1);
         double x = (ln - mean) / sd;  // may be inf/nan, like the reference
-        if (phi_as(x) > 0.999) {
+        // phi_as(x) > 0.999 needs x in the far right tail: A&S 7.1.26's
+        // max error is 1.5e-7, so for x <= 3.0 phi_as(x) <= 0.99866 and
+        // the test cannot fire — skip the exp() for the common case.
+        // NaN passes !(x <= 3.0) and reaches the exact evaluation, where
+        // NaN > 0.999 is false (hit kept), same as the reference.
+        if (!(x <= 3.0) && phi_as(x) > 0.999) {
           skip = true;
           break;
         }
