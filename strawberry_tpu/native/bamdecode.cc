@@ -661,7 +661,9 @@ struct StrawbSbam {
 
   void fail(const std::string& msg) {
     std::lock_guard<std::mutex> g(mu);
-    error = msg;
+    // first error wins: the consumer's end-of-stream truncation check must
+    // not overwrite a more specific inflate/stream failure from stage 1
+    if (error.empty()) error = msg;
     header_ready = hist_ready = ended = true;
     cv.notify_all();
   }
