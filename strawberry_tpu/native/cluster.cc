@@ -268,6 +268,117 @@ struct Cluster {
   }
 };
 
+// ---- global mate pairing -------------------------------------------------
+// The reference pairs mates per cluster through an open-mates multimap
+// (addOpenHit, alignments.cpp:490-651).  Pairing is closed under read_id
+// (chains are per-id) and every match condition is row-local
+// (left[i]==mate_pos[j] && mate_pos[i]==left[j] && id/ref equal && strand
+// agree), so the per-cluster outcome is derivable from a single whole-
+// partition pairing: for "simple" ids — every row has at most one matching
+// candidate and candidates are mutual — the exact chain algorithm pairs row
+// j with its unique candidate iff that candidate was added to the same
+// cluster (and nothing else, since no other row can consume either mate).
+// Ids where any row has >=2 same-key candidates (duplicate alignments of
+// one read name, or FNV-1 name collisions) keep FIFO chain semantics and
+// are demoted id-wide to the exact slow path.  This turns the O(n) hash
+// multimap work of BOTH passes into one cache-friendly scan per partition.
+struct GlobalPairs {
+  std::vector<i32> partner;       // local row -> local partner row, -1 none
+  std::vector<uint8_t> demoted;   // row of a complex id -> exact slow path
+  bool any_demoted = false;
+};
+
+static void compute_global_pairs(const HitsIn& h, i64 h0, i64 h1,
+                                 i64 max_frag_span, GlobalPairs& gp) {
+  i64 n = h1 - h0;
+  gp.partner.assign(n, -1);
+  gp.demoted.assign(n, 0);
+  gp.any_demoted = false;
+  if (n == 0) return;
+  std::vector<uint8_t> openable(n, 0);
+  std::vector<uint8_t> cand_cnt(n, 0);
+  for (i64 k = 0; k < n; ++k) {
+    i64 i = h0 + k;
+    if (h.mate_pos[i] == 0 || h.mate_ref[i] == -1 ||
+        h.mate_ref[i] != h.ref_id[i])
+      continue;  // singleton: never enters a chain
+    if (h.mate_pos[i] == h.left[i]) continue;  // can neither open nor match
+    if (std::llabs(h.right[i] - h.left[i]) > max_frag_span)
+      continue;  // kMaxFragSpan reject: row never added anywhere
+    openable[k] = 1;
+  }
+  // per chromosome run (rows are (ref, left)-sorted; merged multi-chrom
+  // partitions restart left at each ref boundary)
+  i64 k0 = 0;
+  while (k0 < n) {
+    i64 k1 = k0;
+    i32 ref = h.ref_id[h0 + k0];
+    while (k1 < n && h.ref_id[h0 + k1] == ref) ++k1;
+    for (i64 j = k0; j < k1; ++j) {
+      if (!openable[j]) continue;
+      i64 want = h.mate_pos[h0 + j];  // candidates have left == want
+      // galloping bracket from j (mates are overwhelmingly nearby), then
+      // binary search the first row with left >= want inside it
+      i64 lo, hi;
+      if (want <= h.left[h0 + j]) {
+        hi = j + 1;  // j itself has left >= want
+        i64 step = 1;
+        lo = j;
+        while (lo > k0 && h.left[h0 + lo] >= want) {
+          lo -= step;
+          step <<= 1;
+        }
+        if (lo < k0) lo = k0;
+      } else {
+        lo = j;  // j has left < want (BAM sorted: left <= mate_pos here)
+        i64 step = 1;
+        hi = j + 1;
+        while (hi < k1 && h.left[h0 + hi] < want) {
+          lo = hi;
+          hi += step;
+          step <<= 1;
+        }
+        if (hi > k1) hi = k1;
+      }
+      while (lo < hi) {
+        i64 mid = (lo + hi) >> 1;
+        if (h.left[h0 + mid] < want) lo = mid + 1; else hi = mid;
+      }
+      uint64_t jid = h.read_id[h0 + j];
+      i64 jleft = h.left[h0 + j];
+      int8_t js = h.strand[h0 + j];
+      for (i64 i = lo; i < k1 && h.left[h0 + i] == want; ++i) {
+        if (i == j || !openable[i]) continue;
+        if (h.read_id[h0 + i] != jid) continue;
+        if (h.mate_pos[h0 + i] != jleft) continue;
+        int8_t is = h.strand[h0 + i];
+        if (!(is == js || is == 0 || js == 0)) continue;
+        if (cand_cnt[j] < 2) ++cand_cnt[j];
+        gp.partner[j] = (i32)i;
+      }
+    }
+    k0 = k1;
+  }
+  // mutual unique candidates pair; anything ambiguous demotes the whole id
+  std::unordered_set<uint64_t> bad_ids;
+  for (i64 k = 0; k < n; ++k) {
+    if (!cand_cnt[k]) { gp.partner[k] = -1; continue; }
+    bool simple = cand_cnt[k] == 1;
+    i32 p = gp.partner[k];
+    if (simple && !(cand_cnt[p] == 1 && gp.partner[p] == (i32)k))
+      simple = false;
+    if (!simple) bad_ids.insert(h.read_id[h0 + k]);
+  }
+  if (!bad_ids.empty()) {
+    gp.any_demoted = true;
+    for (i64 k = 0; k < n; ++k)
+      if (bad_ids.count(h.read_id[h0 + k])) {
+        gp.demoted[k] = 1;
+        gp.partner[k] = -1;
+      }
+  }
+}
+
 static double phi_as(double x) {
   if (std::isnan(x)) return std::numeric_limits<double>::quiet_NaN();
   const double a1 = 0.254829592, a2 = -0.284496736, a3 = 1.421413741,
@@ -295,6 +406,10 @@ class Runner {
     ref_off_ = r0;
     r_end_ = r1;
     has_load_all_refs_ = false;
+    compute_global_pairs(h_, h0, h1, cfg_.max_frag_span, gp_);
+    gp_base_ = h0;
+    open_serial_.assign((size_t)(h1 - h0), -1);
+    cur_serial_ = 0;
     // capacity guesses (paired data: ~0.55 contigs/hit, ~1.6 feats/contig)
     // avoid repeated geometric-growth memcpys in the emit loop
     i64 nh = h1 - h0;
@@ -389,6 +504,28 @@ class Runner {
       PH p;
       if (rev) p.b = i; else p.a = i;
       c.hits.push_back(p);
+      return true;
+    }
+    i64 k = i - gp_base_;
+    if (!gp_.any_demoted || !gp_.demoted[k]) {
+      // fast path: the global pairing proved this id is simple — either a
+      // mutual unique mate (pairs iff both rows land in this cluster) or
+      // provably never pairs (no matching candidate exists anywhere, so the
+      // exact chain would leave it open and finalize drops it)
+      i32 p = gp_.partner[k];
+      if (p < 0) return hpp != hl;  // mimic the hpp==hl `return false`
+      if (p < (i32)k) {
+        if (open_serial_[p] == (i32)cur_serial_) {
+          PH ph;
+          i32 pi = (i32)(p + gp_base_);
+          if (h_.mate_pos[pi] > h_.left[pi]) { ph.a = pi; ph.b = i; }
+          else { ph.a = i; ph.b = pi; }
+          c.hits.push_back(ph);
+          open_serial_[p] = -1;
+        }
+        return true;
+      }
+      open_serial_[k] = (i32)cur_serial_;
       return true;
     }
     OpenMap::Slot* it = c.open.find(hid);
@@ -873,7 +1010,9 @@ class Runner {
   }
 
   void run(Out& o) {
-    strawb_perf::Scope _ps(strawb_perf::kClusterScan);
+    const bool p2 = cfg_.mode == 1;
+    strawb_perf::Scope _ps(p2 ? strawb_perf::kScan2
+                              : strawb_perf::kClusterScan);
     const bool dbg = getenv("STRAWB_NATIVE_DEBUG") != nullptr;
     double t_scan = 0, t_collapse = 0, t_emit = 0, t0 = 0;
     auto now = [] {
@@ -887,6 +1026,7 @@ class Runner {
     Cluster c;
     while (true) {
       c.reset();
+      ++cur_serial_;  // invalidates open_serial_ fast-path entries
       if (dbg) t0 = now();
       int rc = cfg_.mode == 1 ? next_cluster_ref_demand(c)
                               : next_cluster_refguide(c);
@@ -897,7 +1037,8 @@ class Runner {
       if (c.size() > 0) {
         if (dbg) t0 = now();
         {
-          strawb_perf::Scope _pc(strawb_perf::kClusterCollapse);
+          strawb_perf::Scope _pc(p2 ? strawb_perf::kCollapse2
+                                    : strawb_perf::kClusterCollapse);
           collapse(c);
         }
         if (dbg) t_collapse += now() - t0;
@@ -920,7 +1061,8 @@ class Runner {
       // emit
       if (dbg) t0 = now();
       {
-        strawb_perf::Scope _pe(strawb_perf::kClusterEmit);
+        strawb_perf::Scope _pe(p2 ? strawb_perf::kEmit2
+                                  : strawb_perf::kClusterEmit);
         o.cl_left.push_back(c.leftmost);
         o.cl_right.push_back(c.rightmost);
         o.cl_ref_id.push_back(c.ref_id);
@@ -954,6 +1096,10 @@ class Runner {
   i64 h_end_ = 0;
   i64 r_end_ = 0;
   bool has_load_all_refs_ = false;
+  GlobalPairs gp_;
+  i64 gp_base_ = 0;
+  std::vector<i32> open_serial_;  // row -> serial of the cluster it opened in
+  i64 cur_serial_ = 0;
 };
 
 // One (hits, refs) chromosome partition. Clusters never span ref_ids, so
@@ -1648,7 +1794,7 @@ StrawbClusters* strawb_cluster_run(
   if (getenv("STRAWB_FORCE_1T")) n_threads = 1;  // profiling aid
   if (parts.size() <= 1 || n_threads <= 1) {
     Runner runner(cfg, h, r);
-    runner.run(out->o);
+    runner.run_range(out->o, 0, h.n, 0, r.n);
     return out;
   }
 

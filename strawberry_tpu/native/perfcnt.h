@@ -13,6 +13,10 @@ enum Counter {
   kClusterScan,
   kClusterCollapse,
   kClusterEmit,
+  kQuantWeights,   // the fl-sum weight loop inside quant prep
+  kScan2,          // pass-2 (refdemand) variants of the cluster phases
+  kCollapse2,
+  kEmit2,
   kNumCounters
 };
 

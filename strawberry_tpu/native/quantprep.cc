@@ -407,6 +407,7 @@ void strawb_quant_locus(
     i64 nbins = (i64)rows.size();
 
     // ---- theoretical weights per (iso, bin) ----------------------------
+    strawb_perf::Scope _pw(strawb_perf::kQuantWeights);
     std::vector<double> alpha((size_t)(nbins * ni), 0.0);
     std::vector<i64> bin_segs, seg_lens, implicit;
     for (i64 t = 0; t < ni; ++t) {
