@@ -80,6 +80,11 @@ class Config:
                                             # pass 2 re-decodes (O(window) peak RSS)
     fast_em: bool = False                   # f32 Pallas EM (throughput mode;
                                             # trades golden bit-parity for speed)
+    device_prep: bool = None                # TPU integer compat/row kernels for
+                                            # pass-2 quant prep (byte-exact).
+                                            # None = auto: on when the JAX
+                                            # backend is a real accelerator;
+                                            # STRAWB_DEVICE_PREP=0/1 overrides
     mesh_shape: tuple = ()                  # () = single device; e.g. (8,) data-parallel
 
     def replace(self, **kw) -> "Config":

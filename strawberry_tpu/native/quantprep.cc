@@ -168,6 +168,53 @@ static i64 effective_len(const std::vector<i64>& s,
   return num_pos;
 }
 
+// disjoint exon segments (interval.hpp:150-191) incl. the out-of-range
+// reopen quirk — shared by the locus kernel and the standalone segs batch
+static void disjoint_segs(const i64* t_off, const i8* t_code,
+                          const i64* t_left, const i32* t_len,
+                          const i64* iso_ids, i64 ni,
+                          std::vector<i64>& seg_l, std::vector<i64>& seg_r) {
+  std::vector<std::pair<i64, i64>> raw;  // unique (left,len), sorted
+  for (i64 ti = 0; ti < ni; ++ti) {
+    i64 t = iso_ids[ti];
+    for (i64 f = t_off[t]; f < t_off[t + 1]; ++f)
+      if (t_code[f] == 0) raw.push_back({t_left[f], (i64)t_len[f]});
+  }
+  std::sort(raw.begin(), raw.end());
+  raw.erase(std::unique(raw.begin(), raw.end()), raw.end());
+  if (raw.empty()) return;
+  i64 lo = raw[0].first, hi = 0;
+  std::vector<i64> bars;
+  for (auto& p : raw) {
+    i64 e = p.first + p.second;  // half-open end
+    if (e > hi) hi = e;
+    bars.push_back(p.first);
+    bars.push_back(e);
+  }
+  std::vector<i32> cov(hi - lo, 0);
+  for (auto& p : raw)
+    for (i64 q = p.first; q < p.first + p.second; ++q) cov[q - lo]++;
+  std::sort(bars.begin(), bars.end());
+  bars.erase(std::unique(bars.begin(), bars.end()), bars.end());
+  bool have_pending = false;
+  i64 pending = 0;
+  for (size_t bi = 0; bi < bars.size(); ++bi) {
+    i64 b = bars[bi];
+    if (!have_pending) {
+      pending = b;
+      have_pending = true;
+    } else {
+      seg_l.push_back(pending);
+      seg_r.push_back(b - 1);  // closed right end
+      // reference reads cov[b-lo] even one-past-the-end (UB read,
+      // interval.hpp:178); out-of-range == don't reopen
+      if (b - lo < (i64)cov.size() && cov[b - lo] > 0) bi--;
+      have_pending = false;
+    }
+  }
+  // trailing unmatched left dropped (reference pops it)
+}
+
 }  // namespace
 
 extern "C" {
@@ -275,6 +322,24 @@ void strawb_quant_locus(
     const i64* iso_ids, i64 ni, const i64* t_exlen,
     const double* pdf, i64 pdf_len, i64 read_len, i64 base_lmin,
     i32 long_read, QuantLocusOut& P_out) {
+  strawb_quant_locus_pre(h_off, h_code, h_left, h_len, h_mass, hbeg, hend,
+                         t_off, t_code, t_left, t_len, iso_ids, ni, t_exlen,
+                         pdf, pdf_len, read_len, base_lmin, long_read,
+                         nullptr, nullptr, 0, P_out);
+}
+
+// Variant taking PRECOMPUTED per-(hit,iso) compatibility (hit-major 0/1
+// bytes) and per-hit packed seg-overlap bit rows — the integer halves that
+// the TPU computes bit-exactly (quant/device_prep.py). Passing nullptrs
+// recomputes both on host (the original all-host path).
+void strawb_quant_locus_pre(
+    const i64* h_off, const i8* h_code, const i64* h_left, const i32* h_len,
+    const double* h_mass, i64 hbeg, i64 hend,
+    const i64* t_off, const i8* t_code, const i64* t_left, const i32* t_len,
+    const i64* iso_ids, i64 ni, const i64* t_exlen,
+    const double* pdf, i64 pdf_len, i64 read_len, i64 base_lmin,
+    i32 long_read, const uint8_t* compat_pre, const uint8_t* rows_pre,
+    i64 row_bytes, QuantLocusOut& P_out) {
   strawb_perf::Scope _ps(strawb_perf::kQuantPrep);
   Feats H{h_off, h_code, h_left, h_len};
   Feats T{t_off, t_code, t_left, t_len};
@@ -287,48 +352,7 @@ void strawb_quant_locus(
   std::vector<std::vector<uint8_t>> bin_hit_iso;
   {
     // ---- disjoint exon segments (interval.hpp:150-191) -----------------
-    {
-      std::vector<std::pair<i64, i64>> raw;  // unique (left,len), sorted
-      for (i64 ti = 0; ti < ni; ++ti) {
-        i64 t = iso_ids[ti];
-        for (i64 f = t_off[t]; f < t_off[t + 1]; ++f)
-          if (t_code[f] == 0) raw.push_back({t_left[f], (i64)t_len[f]});
-      }
-      std::sort(raw.begin(), raw.end());
-      raw.erase(std::unique(raw.begin(), raw.end()), raw.end());
-      if (!raw.empty()) {
-        i64 lo = raw[0].first, hi = 0;
-        std::vector<i64> bars;
-        for (auto& p : raw) {
-          i64 e = p.first + p.second;  // half-open end
-          if (e > hi) hi = e;
-          bars.push_back(p.first);
-          bars.push_back(e);
-        }
-        std::vector<i32> cov(hi - lo, 0);
-        for (auto& p : raw)
-          for (i64 q = p.first; q < p.first + p.second; ++q) cov[q - lo]++;
-        std::sort(bars.begin(), bars.end());
-        bars.erase(std::unique(bars.begin(), bars.end()), bars.end());
-        bool have_pending = false;
-        i64 pending = 0;
-        for (size_t bi = 0; bi < bars.size(); ++bi) {
-          i64 b = bars[bi];
-          if (!have_pending) {
-            pending = b;
-            have_pending = true;
-          } else {
-            seg_l.push_back(pending);
-            seg_r.push_back(b - 1);  // closed right end
-            // reference reads cov[b-lo] even one-past-the-end (UB read,
-            // interval.hpp:178); out-of-range == don't reopen
-            if (b - lo < (i64)cov.size() && cov[b - lo] > 0) bi--;
-            have_pending = false;
-          }
-        }
-        // trailing unmatched left dropped (reference pops it)
-      }
-    }
+    disjoint_segs(t_off, t_code, t_left, t_len, iso_ids, ni, seg_l, seg_r);
     i64 ns = (i64)seg_l.size();
 
     // ---- per-iso exon lists + compatible segs (is_compatible_feat) -----
@@ -364,20 +388,37 @@ void strawb_quant_locus(
     for (i64 h = 0; h < nh; ++h) {
       i64 hh = hbeg + h;
       bool any = false;
-      for (i64 t = 0; t < ni; ++t) {
-        cc[t] = compat_hit_iso(H, hh, T, iso_ids[t], iso_exons[t]) ? 1 : 0;
-        any |= cc[t];
+      if (compat_pre != nullptr) {
+        const uint8_t* cp = compat_pre + h * ni;
+        for (i64 t = 0; t < ni; ++t) {
+          cc[t] = cp[t];
+          any |= cc[t];
+        }
+      } else {
+        for (i64 t = 0; t < ni; ++t) {
+          cc[t] = compat_hit_iso(H, hh, T, iso_ids[t], iso_exons[t]) ? 1 : 0;
+          any |= cc[t];
+        }
       }
       if (!any) continue;
       bool nonempty = false;
-      for (i64 s = 0; s < ns; ++s) {
-        uint8_t hit = 0;
-        for (i64 f = h_off[hh]; f < h_off[hh + 1] && !hit; ++f) {
-          if (h_code[f] != 0) continue;
-          if (h_left[f] <= seg_r[s] && seg_l[s] <= fright(H, f)) hit = 1;
+      if (rows_pre != nullptr) {
+        const uint8_t* rp = rows_pre + h * row_bytes;
+        for (i64 s = 0; s < ns; ++s) {
+          uint8_t hit = (rp[s >> 3] >> (s & 7)) & 1;
+          row[s] = hit;
+          nonempty |= hit;
         }
-        row[s] = hit;
-        nonempty |= hit;
+      } else {
+        for (i64 s = 0; s < ns; ++s) {
+          uint8_t hit = 0;
+          for (i64 f = h_off[hh]; f < h_off[hh + 1] && !hit; ++f) {
+            if (h_code[f] != 0) continue;
+            if (h_left[f] <= seg_r[s] && seg_l[s] <= fright(H, f)) hit = 1;
+          }
+          row[s] = hit;
+          nonempty |= hit;
+        }
       }
       if (!nonempty) continue;
       std::string key((const char*)row.data(), row.size());
@@ -491,6 +532,120 @@ void strawb_quant_locus(
 }
 
 extern "C" {
+
+// ---- standalone disjoint-segs batch (device-prep marshaling input) ------
+struct StrawbSegs {
+  std::vector<i64> seg_off;  // n_loci+1
+  std::vector<i64> seg_l, seg_r;
+};
+
+StrawbSegs* strawb_quant_segs_batch(
+    i64 n_loci, const i64* iso_loc_off, const i64* iso_idx,
+    const i64* t_off, const i8* t_code, const i64* t_left, const i32* t_len) {
+  auto* S = new StrawbSegs();
+  S->seg_off.push_back(0);
+  std::vector<i64> ids;
+  for (i64 L = 0; L < n_loci; ++L) {
+    ids.clear();
+    for (i64 q = iso_loc_off[L]; q < iso_loc_off[L + 1]; ++q)
+      ids.push_back(iso_idx[q]);
+    disjoint_segs(t_off, t_code, t_left, t_len, ids.data(), (i64)ids.size(),
+                  S->seg_l, S->seg_r);
+    S->seg_off.push_back((i64)S->seg_l.size());
+  }
+  return S;
+}
+
+i64 strawb_segs_n(StrawbSegs* s) { return (i64)s->seg_l.size(); }
+const i64* strawb_segs_off(StrawbSegs* s) { return s->seg_off.data(); }
+const i64* strawb_segs_l(StrawbSegs* s) { return s->seg_l.data(); }
+const i64* strawb_segs_r(StrawbSegs* s) { return s->seg_r.data(); }
+void strawb_segs_free(StrawbSegs* s) { delete s; }
+
+// ---- finish batch: bins/counts/weights from device-computed bits --------
+// compat_bits: per locus, hit-major x iso-minor 0/1 bytes, concatenated in
+// locus order. row_bits: per GLOBAL hit (hit_loc_off indexing), row_bytes
+// packed little-endian seg-overlap bits. iso_idx: flat global ref ids.
+StrawbQuant* strawb_quant_finish_batch(
+    i64 n_loci, const i64* hit_loc_off, const i64* iso_loc_off,
+    const i64* iso_idx,
+    const i64* h_off, const i8* h_code, const i64* h_left, const i32* h_len,
+    const double* h_mass,
+    const i64* t_off, const i8* t_code, const i64* t_left, const i32* t_len,
+    const i64* t_exlen,
+    const uint8_t* compat_bits, const uint8_t* row_bits, i64 row_bytes,
+    const double* pdf, i64 pdf_len, i64 read_len, i64 base_lmin,
+    i32 long_read) {
+  auto* Q = new StrawbQuant();
+  Q->bin_off.push_back(0);
+  Q->alpha_off.push_back(0);
+  std::vector<i64> pair_base(n_loci + 1, 0);
+  for (i64 L = 0; L < n_loci; ++L) {
+    i64 nh = hit_loc_off[L + 1] - hit_loc_off[L];
+    i64 ni = iso_loc_off[L + 1] - iso_loc_off[L];
+    pair_base[L + 1] = pair_base[L] + nh * ni;
+  }
+
+  auto process_range = [&](i64 L_lo, i64 L_hi, StrawbQuant& P) {
+    std::vector<i64> ids;
+    QuantLocusOut out;
+    for (i64 L = L_lo; L < L_hi; ++L) {
+      i64 tbeg = iso_loc_off[L], tend = iso_loc_off[L + 1];
+      ids.clear();
+      for (i64 q = tbeg; q < tend; ++q) ids.push_back(iso_idx[q]);
+      out.counts.clear();
+      out.alpha.clear();
+      strawb_quant_locus_pre(
+          h_off, h_code, h_left, h_len, h_mass,
+          hit_loc_off[L], hit_loc_off[L + 1],
+          t_off, t_code, t_left, t_len, ids.data(), (i64)ids.size(),
+          t_exlen, pdf, pdf_len, read_len, base_lmin, long_read,
+          compat_bits + pair_base[L],
+          row_bits + hit_loc_off[L] * row_bytes, row_bytes, out);
+      P.counts.insert(P.counts.end(), out.counts.begin(), out.counts.end());
+      P.alpha.insert(P.alpha.end(), out.alpha.begin(), out.alpha.end());
+      P.nbins.push_back((i64)out.counts.size());
+    }
+  };
+
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t TN = hw > 1 ? (hw < 8 ? hw : 8) : 1;
+  if (n_loci < 64) TN = 1;
+  std::vector<StrawbQuant> parts(TN);
+  if (TN == 1) {
+    process_range(0, n_loci, parts[0]);
+  } else {
+    i64 total_h = hit_loc_off[n_loci];
+    std::vector<i64> cut(TN + 1, n_loci);
+    cut[0] = 0;
+    {
+      i64 L = 0;
+      for (size_t t = 1; t < TN; ++t) {
+        i64 want = total_h * (i64)t / (i64)TN;
+        while (L < n_loci && hit_loc_off[L] < want) ++L;
+        cut[t] = L;
+      }
+    }
+    std::vector<std::thread> pool;
+    for (size_t t = 0; t < TN; ++t)
+      pool.emplace_back([&, t]() { process_range(cut[t], cut[t + 1],
+                                                 parts[t]); });
+    for (auto& th : pool) th.join();
+  }
+  for (size_t t = 0; t < TN; ++t) {
+    StrawbQuant& P = parts[t];
+    Q->counts.insert(Q->counts.end(), P.counts.begin(), P.counts.end());
+    Q->alpha.insert(Q->alpha.end(), P.alpha.begin(), P.alpha.end());
+    i64 Lbase = (i64)Q->nbins.size();
+    for (size_t k = 0; k < P.nbins.size(); ++k) {
+      i64 ni = iso_loc_off[Lbase + (i64)k + 1] - iso_loc_off[Lbase + (i64)k];
+      Q->bin_off.push_back(Q->bin_off.back() + P.nbins[k]);
+      Q->alpha_off.push_back(Q->alpha_off.back() + P.nbins[k] * ni);
+      Q->nbins.push_back(P.nbins[k]);
+    }
+  }
+  return Q;
+}
 
 const i64* strawb_quant_nbins(StrawbQuant* q) { return q->nbins.data(); }
 const i64* strawb_quant_binoff(StrawbQuant* q) { return q->bin_off.data(); }

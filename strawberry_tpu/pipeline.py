@@ -104,6 +104,34 @@ class Sample:
             self._fld_pool = None
 
     # ------------------------------------------------------------------
+    def _use_device_prep(self) -> str:
+        """Resolve the device-prep routing: "all" (every eligible locus on
+        the chip), "budget" (a bounded slice of the reads x isoforms pairs
+        offloaded concurrently — the auto mode on accelerators whose
+        integer throughput trails the host, see
+        benchmarks/device_characterization.json), or "off".
+        cfg.device_prep=True/False forces all/off; STRAWB_DEVICE_PREP=
+        all|budget|1|0 overrides the auto resolution."""
+        v = self.cfg.device_prep
+        if v is True:
+            return "all"
+        if v is False:
+            return "off"
+        env = os.environ.get("STRAWB_DEVICE_PREP")
+        if env is not None:
+            if env in ("0", "false", ""):
+                return "off"
+            return "all" if env in ("1", "all", "true") else "budget"
+        # auto default is OFF: measured on the tunneled v5e, the chip's
+        # integer path (68M gathers/s, ~22GB/s streaming) loses to the
+        # 2-core host's SIMD on every offload size tried (full offload 6x
+        # slower end-to-end, self-paced 2% slice still +17% wall from
+        # dispatch/GIL overheads) — benchmarks/device_characterization.json
+        # and benchmarks/prep_crossover.json hold the numbers. On hardware
+        # with local HBM-class gather rates the "budget"/"all" modes win;
+        # flip with STRAWB_DEVICE_PREP=budget|all.
+        return "off"
+
     @property
     def sample_name(self) -> str:
         return os.path.basename(self.bam_path).split(".")[0]
@@ -686,8 +714,12 @@ class Sample:
                 ref_flat = None
 
         # fused quant prep: the clustering workers compute each locus's EM
-        # inputs (quantprep.cc) as soon as its cluster is built
+        # inputs (quantprep.cc) as soon as its cluster is built. With
+        # device prep enabled, the reads x isoforms integer kernels run on
+        # the TPU instead (quant/device_prep.py) and the clustering workers
+        # only cluster.
         fuse_quant = rexlen = None
+        prep_state = None
         if use_fast and ref_flat is not None:
             from .quant.binweights import pdf_table
             off, code, _left, lens = ref_flat
@@ -705,8 +737,18 @@ class Sample:
                     self.insert_dist._pdf_table = tbl
                 base_lmin = self.insert_dist.start_offset \
                     if self.insert_dist.use_emp else self.read_len
-            fuse_quant = (self.read_len, ref_flat, rexlen, tbl, base_lmin,
-                          self.long_read_sample)
+            prep_mode = self._use_device_prep()
+            if prep_mode != "off":
+                from .quant.device_prep import PrepState
+                prep_state = PrepState(ref_flat, rexlen, tbl, base_lmin,
+                                       self.read_len, self.long_read_sample)
+                if prep_mode == "budget":
+                    prep_state.budget_pairs = int(os.environ.get(
+                        "STRAWB_PREP_BUDGET", "8192"))
+                self.prep_stats = prep_state.stats
+            else:
+                fuse_quant = (self.read_len, ref_flat, rexlen, tbl,
+                              base_lmin, self.long_read_sample)
         native_specs = []  # (index into pending, spec)
         # quantprep chunks run on a side thread (the native call releases
         # the GIL) so C++ bin/weight computation overlaps the cluster stream
@@ -734,17 +776,60 @@ class Sample:
                     _em_add(i, est)
                 fut_drained += 1
 
+        dev_pool = dev_fut = None
+
         def _flush():
-            nonlocal chunk_start
+            nonlocal chunk_start, dev_pool, dev_fut
             chunk = native_specs[chunk_start:]
             if not chunk:
                 return
             chunk_start = len(native_specs)
-            from .quant.fastlocus import build_batch_native
-            futures.append((chunk, pool.submit(
-                build_batch_native, self.cfg, self.read_len,
-                self.insert_dist, [s for _, s in chunk],
-                long_read_sample=self.long_read_sample)))
+            if prep_state is not None and prep_state.budget_pairs is None:
+                # "all" mode: every eligible locus on the chip
+                from .quant.device_prep import build_batch_device
+                futures.append((chunk, pool.submit(
+                    build_batch_device, self.cfg, self.read_len,
+                    self.insert_dist, [s for _, s in chunk], prep_state,
+                    self.long_read_sample)))
+                _drain_ready_futures()
+                return
+            if prep_state is not None and (dev_fut is None
+                                           or dev_fut.done()):
+                # self-pacing offload: carve one granule of (hit x iso)
+                # pairs for the chip only when it is idle, so device prep
+                # runs concurrently with the host batches and never blocks
+                # the critical path (the chip's integer throughput trails
+                # the host's — benchmarks/device_characterization.json)
+                from .quant.device_prep import build_batch_device
+                granule = prep_state.budget_pairs
+                acc = 0
+                ndev = 0
+                for (_i, s) in chunk:
+                    p = (len(s[0][0]) - 1) * (len(s[4])
+                                              if s[4] is not None else 0)
+                    if ndev and acc + p > granule:
+                        break
+                    acc += p
+                    ndev += 1
+                dev_chunk, chunk = chunk[:ndev], chunk[ndev:]
+                if dev_chunk:
+                    if dev_pool is None:
+                        from concurrent.futures import ThreadPoolExecutor
+                        dev_pool = ThreadPoolExecutor(
+                            max_workers=1, thread_name_prefix="dev-prep")
+                    dev_fut = dev_pool.submit(
+                        build_batch_device, self.cfg, self.read_len,
+                        self.insert_dist, [s for _, s in dev_chunk],
+                        prep_state, self.long_read_sample)
+                    futures.append((dev_chunk, dev_fut))
+            if chunk:
+                from .quant.fastlocus import build_batch_native
+                if prep_state is not None:  # honest device_frac denominator
+                    prep_state.stats["host_loci"] += len(chunk)
+                futures.append((chunk, pool.submit(
+                    build_batch_native, self.cfg, self.read_len,
+                    self.insert_dist, [s[:4] for _, s in chunk],
+                    long_read_sample=self.long_read_sample)))
             _drain_ready_futures()
 
         for cluster in self.iter_clusters("refdemand", fuse_quant=fuse_quant):
@@ -767,7 +852,9 @@ class Sample:
                         else _fc(cluster.ref_mrnas)
                     native_specs.append(
                         (len(pending), (cluster.flat, cluster.flat_mass,
-                                        cluster.ref_mrnas, iso_flat)))
+                                        cluster.ref_mrnas, iso_flat,
+                                        getattr(cluster, "ref_indices",
+                                                None))))
                     pending.append((cluster, None))
                     if len(native_specs) - chunk_start >= 128:
                         _flush()
@@ -793,6 +880,8 @@ class Sample:
                         _em_add(i, est)
         if pool is not None:
             pool.shutdown(wait=False)
+        if dev_pool is not None:
+            dev_pool.shutdown(wait=False)
 
         with PROF.phase("em_finish", items=len(pending)):
             thetas = dispatcher.finish()
