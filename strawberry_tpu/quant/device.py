@@ -156,6 +156,7 @@ class EmDispatcher:
         # per-tier fill state: list of (idx, u, F, total, niso)
         self._fills: List[List[tuple]] = [[] for _ in _TIERS]
         self._host_items: List[tuple] = []
+        self._launched: List[tuple] = []  # (device theta, items) to fetch
         self._futures: List = []
         self._pool = None
         self.n_device = 0
@@ -193,7 +194,12 @@ class EmDispatcher:
         self._submit(self._run_batch, tier, items)
 
     def _run_batch(self, tier: int, items: List[tuple]):
-        """Worker-thread body: pad, transfer, solve, fetch, scatter."""
+        """Worker-thread body: pad, transfer, launch — WITHOUT fetching.
+        JAX dispatch is async; fetching here would serialize one tunnel
+        round-trip per batch on the single worker (the measured cause of
+        --fast-em's end-to-end regression: ~6 batches x up-to-28ms RTT
+        jitter for an 8ms total kernel win). finish() fetches every
+        launched batch in one pass once the chip has pipelined them all."""
         rb, cb, bb = _TIERS[tier]
         F = np.zeros((bb, rb, cb), dtype=np.float64)
         u = np.zeros((bb, rb), dtype=np.float64)
@@ -216,11 +222,9 @@ class EmDispatcher:
                                         jnp.asarray(theta0, self.dtype),
                                         jnp.asarray(valid),
                                         jnp.asarray(active))
-        theta = np.asarray(theta, np.float64)   # blocks until ready
         # single worker thread => no concurrent writers; finish() joins
-        # the worker before the main thread reads results
-        for b, (idx, _uu, _FF, _total, niso) in enumerate(items):
-            self.results[idx] = theta[b, :niso]
+        # the worker before fetching
+        self._launched.append((theta, items))
 
     def finish(self) -> List[Optional[np.ndarray]]:
         from ..utils.profiling import GLOBAL as PROF
@@ -233,6 +237,16 @@ class EmDispatcher:
         with PROF.phase("device_em_fetch", items=self.n_device):
             for f in self._futures:
                 f.result()   # propagate worker exceptions
+            for theta_d, _items in self._launched:
+                try:
+                    theta_d.copy_to_host_async()  # overlap the tunnel RTTs
+                except AttributeError:
+                    pass
+            for theta_d, items in self._launched:
+                theta = np.asarray(theta_d, np.float64)
+                for b, (idx, _uu, _FF, _total, niso) in enumerate(items):
+                    self.results[idx] = theta[b, :niso]
+            self._launched = []
         if self._pool is not None:
             self._pool.shutdown(wait=True)
         return self.results
