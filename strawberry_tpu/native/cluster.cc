@@ -309,53 +309,57 @@ static void compute_global_pairs(const HitsIn& h, i64 h0, i64 h1,
     openable[k] = 1;
   }
   // per chromosome run (rows are (ref, left)-sorted; merged multi-chrom
-  // partitions restart left at each ref boundary)
+  // partitions restart left at each ref boundary). Openable rows are
+  // radix-sorted by mate_pos and merged once against the left-sorted rows
+  // — O(n) sequential passes instead of a binary search per row.
+  std::vector<u32> order, scratch;
+  std::vector<u32> cnt0(65536), cnt1(65536);
   i64 k0 = 0;
   while (k0 < n) {
     i64 k1 = k0;
     i32 ref = h.ref_id[h0 + k0];
     while (k1 < n && h.ref_id[h0 + k1] == ref) ++k1;
-    for (i64 j = k0; j < k1; ++j) {
-      if (!openable[j]) continue;
-      i64 want = h.mate_pos[h0 + j];  // candidates have left == want
-      // galloping bracket from j (mates are overwhelmingly nearby), then
-      // binary search the first row with left >= want inside it
-      i64 lo, hi;
-      if (want <= h.left[h0 + j]) {
-        hi = j + 1;  // j itself has left >= want
-        i64 step = 1;
-        lo = j;
-        while (lo > k0 && h.left[h0 + lo] >= want) {
-          lo -= step;
-          step <<= 1;
-        }
-        if (lo < k0) lo = k0;
-      } else {
-        lo = j;  // j has left < want (BAM sorted: left <= mate_pos here)
-        i64 step = 1;
-        hi = j + 1;
-        while (hi < k1 && h.left[h0 + hi] < want) {
-          lo = hi;
-          hi += step;
-          step <<= 1;
-        }
-        if (hi > k1) hi = k1;
+    order.clear();
+    for (i64 j = k0; j < k1; ++j)
+      if (openable[j]) order.push_back((u32)j);
+    size_t m = order.size();
+    if (m) {
+      // LSB radix by mate_pos (BAM positions fit u32): two 16-bit passes
+      scratch.resize(m);
+      std::fill(cnt0.begin(), cnt0.end(), 0);
+      std::fill(cnt1.begin(), cnt1.end(), 0);
+      for (u32 j : order) {
+        u32 w = (u32)h.mate_pos[h0 + j];
+        cnt0[w & 0xffff]++;
+        cnt1[w >> 16]++;
       }
-      while (lo < hi) {
-        i64 mid = (lo + hi) >> 1;
-        if (h.left[h0 + mid] < want) lo = mid + 1; else hi = mid;
+      u32 s0 = 0, s1 = 0;
+      for (int b = 0; b < 65536; ++b) {
+        u32 c = cnt0[b]; cnt0[b] = s0; s0 += c;
+        c = cnt1[b]; cnt1[b] = s1; s1 += c;
       }
-      uint64_t jid = h.read_id[h0 + j];
-      i64 jleft = h.left[h0 + j];
-      int8_t js = h.strand[h0 + j];
-      for (i64 i = lo; i < k1 && h.left[h0 + i] == want; ++i) {
-        if (i == j || !openable[i]) continue;
-        if (h.read_id[h0 + i] != jid) continue;
-        if (h.mate_pos[h0 + i] != jleft) continue;
-        int8_t is = h.strand[h0 + i];
-        if (!(is == js || is == 0 || js == 0)) continue;
-        if (cand_cnt[j] < 2) ++cand_cnt[j];
-        gp.partner[j] = (i32)i;
+      for (u32 j : order)
+        scratch[cnt0[(u32)h.mate_pos[h0 + j] & 0xffff]++] = j;
+      for (u32 j : scratch)
+        order[cnt1[(u32)h.mate_pos[h0 + j] >> 16]++] = j;
+      // merge: advance p over rows (left-sorted) to the first row with
+      // left >= want for each j in want order
+      i64 p = k0;
+      for (u32 j : order) {
+        i64 want = h.mate_pos[h0 + j];
+        while (p < k1 && h.left[h0 + p] < want) ++p;
+        uint64_t jid = h.read_id[h0 + j];
+        i64 jleft = h.left[h0 + j];
+        int8_t js = h.strand[h0 + j];
+        for (i64 i = p; i < k1 && h.left[h0 + i] == want; ++i) {
+          if (i == (i64)j || !openable[i]) continue;
+          if (h.read_id[h0 + i] != jid) continue;
+          if (h.mate_pos[h0 + i] != jleft) continue;
+          int8_t is = h.strand[h0 + i];
+          if (!(is == js || is == 0 || js == 0)) continue;
+          if (cand_cnt[j] < 2) ++cand_cnt[j];
+          gp.partner[j] = (i32)i;
+        }
       }
     }
     k0 = k1;
@@ -407,7 +411,11 @@ class Runner {
     ref_off_ = r0;
     r_end_ = r1;
     has_load_all_refs_ = false;
-    compute_global_pairs(h_, h0, h1, cfg_.max_frag_span, gp_);
+    {
+      strawb_perf::Scope _pg(cfg_.mode == 1 ? strawb_perf::kScan2
+                                            : strawb_perf::kClusterScan);
+      compute_global_pairs(h_, h0, h1, cfg_.max_frag_span, gp_);
+    }
     gp_base_ = h0;
     open_serial_.assign((size_t)(h1 - h0), -1);
     cur_serial_ = 0;

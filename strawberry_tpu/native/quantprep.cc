@@ -23,8 +23,7 @@
 #include <cstddef>
 #include <cstdint>
 #include <string>
-#include <unordered_map>
-#include <unordered_set>
+#include <cstring>
 #include <utility>
 #include <thread>
 #include <vector>
@@ -377,13 +376,26 @@ void strawb_quant_locus_pre(
     }
 
     // ---- hits -> bins (first-encounter order) --------------------------
+    // flat open-addressing tables instead of unordered_map<string>/
+    // per-bin unordered_set: the node + string mallocs were two heap
+    // allocations per hit on the hot quantification path
     rows.clear();
     counts.clear();
     bin_hit_iso.clear();
-    std::unordered_map<std::string, i64> row_index;
-    std::vector<std::unordered_set<uint64_t>> bin_keys;
+    struct RowSlot { uint64_t h; i64 bin; };   // bin -1 = empty
+    size_t row_cap = 64;
+    std::vector<RowSlot> row_tab(row_cap, {0, -1});
+    struct FragSlot { uint64_t fk; i64 bin; };  // bin -1 = empty
+    size_t frag_cap = 256;
+    std::vector<FragSlot> frag_tab(frag_cap, {0, -1});
+    size_t frag_used = 0;
     std::vector<char> cc(ni);
     std::vector<uint8_t> row(ns);
+    auto row_hash = [&](const uint8_t* r) {
+      uint64_t x = 0xcbf29ce484222325ull;
+      for (i64 s = 0; s < ns; ++s) x = (x ^ r[s]) * 1099511628211ull;
+      return x;
+    };
 
     for (i64 h = 0; h < nh; ++h) {
       i64 hh = hbeg + h;
@@ -421,26 +433,81 @@ void strawb_quant_locus_pre(
         }
       }
       if (!nonempty) continue;
-      std::string key((const char*)row.data(), row.size());
-      i64 b;
-      auto it = row_index.find(key);
-      if (it == row_index.end()) {
-        b = (i64)rows.size();
-        row_index.emplace(std::move(key), b);
-        rows.push_back(std::vector<uint8_t>(row.begin(), row.end()));
-        counts.push_back(0.0);
-        bin_hit_iso.push_back(std::vector<uint8_t>(ni, 0));
-        bin_keys.push_back({});
-      } else {
-        b = it->second;
+      // bin lookup: hash of the row bytes, exact-compare on probe (first-
+      // encounter bin order preserved)
+      uint64_t rh = row_hash(row.data());
+      i64 b = -1;
+      {
+        if ((rows.size() + 1) * 4 >= row_cap * 3) {
+          size_t nc = row_cap * 2;
+          std::vector<RowSlot> nt(nc, {0, -1});
+          for (const RowSlot& s : row_tab)
+            if (s.bin >= 0) {
+              size_t i2 = (size_t)s.h & (nc - 1);
+              while (nt[i2].bin >= 0) i2 = (i2 + 1) & (nc - 1);
+              nt[i2] = s;
+            }
+          row_tab.swap(nt);
+          row_cap = nc;
+        }
+        size_t i2 = (size_t)rh & (row_cap - 1);
+        for (;;) {
+          RowSlot& s = row_tab[i2];
+          if (s.bin < 0) {
+            b = (i64)rows.size();
+            s.h = rh;
+            s.bin = b;
+            rows.push_back(std::vector<uint8_t>(row.begin(), row.end()));
+            counts.push_back(0.0);
+            bin_hit_iso.push_back(std::vector<uint8_t>(ni, 0));
+            break;
+          }
+          if (s.h == rh &&
+              std::memcmp(rows[s.bin].data(), row.data(), ns) == 0) {
+            b = s.bin;
+            break;
+          }
+          i2 = (i2 + 1) & (row_cap - 1);
+        }
       }
-      // fragment-set dedupe key: FNV over (left,len) pairs (compat.cc)
+      // fragment-set dedupe key: FNV over (left,len) pairs (compat.cc);
+      // membership is exact on (bin, fk)
       uint64_t fk = 0xcbf29ce484222325ull;
       for (i64 f = h_off[hh]; f < h_off[hh + 1]; ++f) {
         fk = (fk ^ (uint64_t)h_left[f]) * 1099511628211ull;
         fk = (fk ^ (uint64_t)(uint32_t)h_len[f]) * 1099511628211ull;
       }
-      if (bin_keys[b].insert(fk).second) counts[b] += h_mass[hh];
+      {
+        if ((frag_used + 1) * 4 >= frag_cap * 3) {
+          size_t nc = frag_cap * 2;
+          std::vector<FragSlot> nt(nc, {0, -1});
+          for (const FragSlot& s : frag_tab)
+            if (s.bin >= 0) {
+              uint64_t hh2 = (s.fk ^ ((uint64_t)s.bin * 0x9E3779B97F4A7C15ull));
+              hh2 ^= hh2 >> 29;
+              size_t i2 = (size_t)hh2 & (nc - 1);
+              while (nt[i2].bin >= 0) i2 = (i2 + 1) & (nc - 1);
+              nt[i2] = s;
+            }
+          frag_tab.swap(nt);
+          frag_cap = nc;
+        }
+        uint64_t hh2 = (fk ^ ((uint64_t)b * 0x9E3779B97F4A7C15ull));
+        hh2 ^= hh2 >> 29;
+        size_t i2 = (size_t)hh2 & (frag_cap - 1);
+        for (;;) {
+          FragSlot& s = frag_tab[i2];
+          if (s.bin < 0) {
+            s.fk = fk;
+            s.bin = b;
+            frag_used++;
+            counts[b] += h_mass[hh];
+            break;
+          }
+          if (s.fk == fk && s.bin == b) break;  // already counted
+          i2 = (i2 + 1) & (frag_cap - 1);
+        }
+      }
       for (i64 t = 0; t < ni; ++t)
         if (cc[t]) bin_hit_iso[b][t] |= cc[t];
     }

@@ -960,8 +960,9 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
                fragfile: Optional[TextIO] = None,
                cmdline: str = "") -> Sample:
     """driver() (Strawberry.cpp:237-371)."""
-    from .utils.malloctune import tune
+    from .utils.malloctune import tune, cap_blas_threads
     tune()
+    cap_blas_threads()
     log = log or _NullLog()
     if cfg.verbose:
         from .utils import profiling

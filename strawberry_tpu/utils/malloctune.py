@@ -39,3 +39,41 @@ def tune(threshold: int = 1 << 30) -> bool:
         return ok
     except Exception:
         return False
+
+
+_blas_done = False
+
+
+def cap_blas_threads(n: int = 1) -> bool:
+    """Pin numpy's OpenBLAS pool to one thread. The tiny dgemv/dgemm calls
+    in this pipeline never benefit from BLAS threading, but OpenBLAS's
+    spin-waiting blas_thread_server threads burn a measurable slice of the
+    2-vCPU host (gprofng: ~30% of sampled CPU). Runtime call, so it works
+    after numpy is already imported."""
+    global _blas_done
+    if _blas_done:
+        return True
+    try:
+        import glob
+        import os
+        import numpy
+        pats = [os.path.join(os.path.dirname(numpy.__file__), "..",
+                             "numpy.libs", "libscipy_openblas*"),
+                os.path.join(os.path.dirname(numpy.__file__), "..",
+                             "numpy.libs", "libopenblas*")]
+        for pat in pats:
+            for so in glob.glob(pat):
+                lib = ctypes.CDLL(so)
+                for sym in ("scipy_openblas_set_num_threads64_",
+                            "openblas_set_num_threads64_",
+                            "openblas_set_num_threads"):
+                    fn = getattr(lib, sym, None)
+                    if fn is not None:
+                        fn.argtypes = [ctypes.c_int]
+                        fn.restype = None
+                        fn(n)
+                        _blas_done = True
+                        return True
+        return False
+    except Exception:
+        return False
