@@ -223,15 +223,8 @@ def batched_mcf(problems: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     return results
 
 
-@partial(jax.jit, static_argnames=("L",))
-def _coverage_bucket(feat_left, feat_len, feat_mass, is_match, locus_left,
-                     L: int):
-    """feat_*: (B, F) padded per-locus MATCH features; returns (B, L)
-    per-base depth rows. Positions beyond the locus are masked by padding
-    features having mass 0."""
-    posn = jax.lax.broadcasted_iota(jnp.int64, (1, 1, L), 2) \
-        + locus_left[:, None, None]
-    lo = feat_left[:, :, None]
-    hi = (feat_left + feat_len - 1)[:, :, None]
-    inrange = (posn >= lo) & (posn <= hi) & is_match[:, :, None]
-    return jnp.sum(jnp.where(inrange, feat_mass[:, :, None], 0.0), axis=1)
+# (A jitted per-base coverage kernel used to live here; it was never wired
+# into the pipeline and the measured device characterization —
+# benchmarks/device_characterization.json, f64 non-IEEE + weak gather path
+# — rules out a golden-path win, so it was removed rather than kept as a
+# dead surface.)

@@ -107,6 +107,138 @@ def _arr(ptr, n, dtype):
     return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
 
 
+_span_bound = False
+
+
+def _bind_span(lib):
+    global _span_bound
+    if _span_bound:
+        return lib
+    lib.strawb_span_open.restype = C.c_void_p
+    lib.strawb_span_open.argtypes = [C.c_char_p] + [C.c_int32] * 10
+    lib.strawb_span_error.restype = C.c_char_p
+    lib.strawb_span_error.argtypes = [C.c_void_p]
+    lib.strawb_span_end.restype = C.c_int64
+    lib.strawb_span_end.argtypes = [C.c_void_p, C.c_int64]
+    lib.strawb_span_parse.restype = C.c_int32
+    lib.strawb_span_parse.argtypes = [C.c_void_p, C.c_int64, C.c_int64]
+    for name, rt in [("header_end", C.c_int64),
+                     ("owned_end_ucomp", C.c_int64),
+                     ("total_ucomp", C.c_int64), ("comp_bytes", C.c_int64),
+                     ("num_refs", C.c_int32), ("num_hits", C.c_int64),
+                     ("num_feats", C.c_int64), ("paired", C.c_int32),
+                     ("num_seqlens", C.c_int32)]:
+        fn = getattr(lib, f"strawb_span_{name}")
+        fn.restype = rt
+        fn.argtypes = [C.c_void_p]
+    lib.strawb_span_ref_names.restype = C.c_char_p
+    lib.strawb_span_ref_names.argtypes = [C.c_void_p]
+    for name, ct in [
+        ("ref_lens", C.c_int32), ("seqlens", C.c_int32),
+        ("ref_id", C.c_int32), ("left", C.c_int64), ("right", C.c_int64),
+        ("strand", C.c_int8), ("flag", C.c_uint16), ("mate_ref", C.c_int32),
+        ("mate_pos", C.c_int64), ("nh", C.c_int32), ("read_id", C.c_uint64),
+        ("cigar_hash", C.c_uint64), ("feat_off", C.c_int64),
+        ("feat_code", C.c_int8), ("feat_left", C.c_int64),
+        ("feat_len", C.c_int32),
+    ]:
+        fn = getattr(lib, f"strawb_span_{name}")
+        fn.restype = C.POINTER(ct)
+        fn.argtypes = [C.c_void_p]
+    lib.strawb_span_free.restype = None
+    lib.strawb_span_free.argtypes = [C.c_void_p]
+    _span_bound = True
+    return lib
+
+
+class SpanDecoder:
+    """Per-process ranged BAM ingest: index the BGZF blocks, inflate only
+    this process's ~1/N compressed-byte span, and parse the records that
+    START inside it (the exact start offset comes from the previous span's
+    relay — parallel/distributed.py drives the collective rounds).
+    Replaces the every-process-decodes-everything distributed ingest (ref
+    design anchor: bgzf_seek ranged access, src/read.cpp:428-478)."""
+
+    def __init__(self, path: str, pid: int, nproc: int,
+                 config: Optional[Config] = None, n_threads: int = 0):
+        cfg = config or Config()
+        self._lib = _bind_span(get_lib())
+        if n_threads <= 0:
+            n_threads = min(8, os.cpu_count() or 1)
+        self._h = self._lib.strawb_span_open(
+            path.encode(), pid, nproc, cfg.max_intron_length,
+            cfg.min_intron_length, 1 if cfg.use_only_unique_hits else 0,
+            1 if cfg.fr_strand else 0, 1 if cfg.rf_strand else 0,
+            cfg.max_read_num_4_rl, cfg.min_map_qual, n_threads)
+        if not self._h:
+            raise IOError(f"cannot open BAM: {path}")
+        err = self._lib.strawb_span_error(self._h)
+        if err:
+            msg = err.decode()
+            self._lib.strawb_span_free(self._h)
+            self._h = None
+            raise IOError(f"{path}: {msg}")
+        h = self._h
+        self.header_end = self._lib.strawb_span_header_end(h)
+        self.owned_end = self._lib.strawb_span_owned_end_ucomp(h)
+        self.total_ucomp = self._lib.strawb_span_total_ucomp(h)
+        names = self._lib.strawb_span_ref_names(h).decode().split("\n")[:-1]
+        self.ref_real_names = names
+        self.ref_names = [x.lower() for x in names]
+        nref = self._lib.strawb_span_num_refs(h)
+        self.ref_lens = _arr(self._lib.strawb_span_ref_lens(h), nref,
+                             np.int32).tolist()
+
+    @property
+    def comp_bytes(self) -> int:
+        if self._h:
+            return self._lib.strawb_span_comp_bytes(self._h)
+        return getattr(self, "_comp_bytes_final", 0)
+
+    def end_from(self, start: int) -> int:
+        end = self._lib.strawb_span_end(self._h, start)
+        if end < 0:
+            err = self._lib.strawb_span_error(self._h)
+            raise IOError(err.decode() if err else "span_end failed")
+        return int(end)
+
+    def parse(self, start: int, end: int):
+        """Returns (arrays dict, ordered seq_lens, paired_end)."""
+        lib, h = self._lib, self._h
+        if not lib.strawb_span_parse(h, start, end):
+            err = lib.strawb_span_error(h)
+            raise IOError(err.decode() if err else "span_parse failed")
+        n = lib.strawb_span_num_hits(h)
+        nf = lib.strawb_span_num_feats(h)
+        o = _Owner(lib.strawb_span_free, h)
+        self._h = None  # ownership transferred to the views
+        arrs = dict(
+            ref_id=_view(lib.strawb_span_ref_id(h), n, np.int32, o),
+            left=_view(lib.strawb_span_left(h), n, np.int64, o),
+            right=_view(lib.strawb_span_right(h), n, np.int64, o),
+            strand=_view(lib.strawb_span_strand(h), n, np.int8, o),
+            flag=_view(lib.strawb_span_flag(h), n, np.uint16, o),
+            mate_ref=_view(lib.strawb_span_mate_ref(h), n, np.int32, o),
+            mate_pos=_view(lib.strawb_span_mate_pos(h), n, np.int64, o),
+            nh=_view(lib.strawb_span_nh(h), n, np.int32, o),
+            read_id=_view(lib.strawb_span_read_id(h), n, np.uint64, o),
+            cigar_hash=_view(lib.strawb_span_cigar_hash(h), n, np.uint64,
+                             o),
+            feat_off=_view(lib.strawb_span_feat_off(h), n + 1, np.int64, o),
+            feat_code=_view(lib.strawb_span_feat_code(h), nf, np.int8, o),
+            feat_left=_view(lib.strawb_span_feat_left(h), nf, np.int64, o),
+            feat_len=_view(lib.strawb_span_feat_len(h), nf, np.int32, o))
+        nsl = lib.strawb_span_num_seqlens(h)
+        seq_lens = _arr(lib.strawb_span_seqlens(h), nsl, np.int32)
+        self._comp_bytes_final = lib.strawb_span_comp_bytes(h)
+        return arrs, seq_lens, bool(lib.strawb_span_paired(h))
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.strawb_span_free(self._h)
+            self._h = None
+
+
 def load_bam_native(path: str, config: Optional[Config] = None,
                     n_threads: int = 0) -> HitTable:
     cfg = config or Config()

@@ -1350,6 +1350,404 @@ const int32_t* strawb_bam_feat_len(StrawbBam* h) { return h->r.feat_len.data(); 
 
 void strawb_bam_free(StrawbBam* h) { delete h; }
 
+// ------------------------------------------------------ ranged ingest ----
+// Distributed per-process BAM span decode (SURVEY §2 "per-host BAM range
+// reading"; ref design: bgzf_seek virtual offsets, src/read.cpp:428-478).
+// Each process indexes the BGZF blocks (compressed-byte scan, no inflate),
+// inflates ONLY its ~1/N compressed-byte span (plus the tiny header prefix
+// and an on-demand overlap for the record straddling its end), and parses
+// records whose start offset falls inside its span. Record boundaries are
+// not self-synchronizing in BAM, so the exact start offset of span p+1 is
+// produced by span p's cheap record-length skip-scan and relayed through
+// one collective round per process (parallel/distributed.py).
+struct StrawbSpan {
+  Config cfg;
+  std::string path;
+  std::vector<uint8_t> raw;        // whole compressed file (index + slices)
+  std::vector<BlockRef> blocks;    // all blocks, comp_off into raw
+  std::vector<uint64_t> ucum;      // nb+1 global uncompressed offsets
+  size_t b0 = 0, b1 = 0;           // owned block range [b0, b1)
+  size_t binf1 = 0;                // inflated through block binf1 (>= b1)
+  std::vector<uint8_t> buf;        // inflated bytes of [b0, binf1)
+  uint64_t base = 0;               // ucum[b0]
+  int64_t comp_bytes = 0;          // compressed bytes this process inflated
+  std::string names_blob;
+  std::vector<int32_t> ref_len;
+  uint64_t header_end = 0;         // global offset of the first record
+  uint64_t end_off = 0;            // result of strawb_span_end
+  Result R;
+  std::vector<int32_t> seq_lens;   // ordered accepted seq lens (capped)
+  std::string error;
+  int n_threads = 2;
+
+  bool extend_to(size_t bnew) {    // inflate further blocks on demand
+    if (bnew > blocks.size()) bnew = blocks.size();
+    if (bnew <= binf1) return true;
+    size_t old = buf.size();
+    buf.resize(old + (size_t)(ucum[bnew] - ucum[binf1]));
+    for (size_t i = binf1; i < bnew; ++i) {
+      const BlockRef& b = blocks[i];
+      uint8_t* dst = buf.data() + (size_t)(ucum[i] - base);
+#ifdef STRAWB_HAVE_LIBDEFLATE
+      libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+      size_t actual = 0;
+      bool ok = libdeflate_deflate_decompress(
+                    d, raw.data() + b.comp_off, b.comp_len, dst, b.isize,
+                    &actual) == LIBDEFLATE_SUCCESS && actual == b.isize;
+      libdeflate_free_decompressor(d);
+#else
+      bool ok = inflate_block(raw.data() + b.comp_off, b.comp_len, dst,
+                              b.isize);
+#endif
+      if (!ok) {
+        error = "BGZF inflate failed";
+        return false;
+      }
+      comp_bytes += (int64_t)b.comp_len;
+    }
+    binf1 = bnew;
+    return true;
+  }
+};
+
+StrawbSpan* strawb_span_open(const char* path, int32_t pid, int32_t nproc,
+                             int32_t max_intron, int32_t min_intron,
+                             int32_t unique_only, int32_t fr, int32_t rf,
+                             int32_t max_hist, int32_t min_mapq,
+                             int32_t n_threads) {
+  auto* S = new StrawbSpan();
+  S->path = path;
+  S->cfg.max_intron_length = max_intron;
+  S->cfg.min_intron_length = min_intron;
+  S->cfg.use_only_unique_hits = unique_only;
+  S->cfg.fr_strand = fr;
+  S->cfg.rf_strand = rf;
+  S->cfg.max_read_num_4_rl = max_hist;
+  S->cfg.min_map_qual = min_mapq;
+  S->n_threads = n_threads < 1 ? 1 : n_threads;
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    S->error = "cannot open BAM";
+    return S;
+  }
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  S->raw.resize(sz);
+  if (fread(S->raw.data(), 1, sz, f) != (size_t)sz) {
+    fclose(f);
+    S->error = "short read";
+    return S;
+  }
+  fclose(f);
+  size_t consumed = 0, total_out = 0;
+  if (!bgzf_index_prefix(S->raw.data(), S->raw.size(), S->blocks, consumed,
+                         total_out) ||
+      (S->raw.size() - consumed > 28)) {
+    S->error = "malformed BGZF stream";
+    return S;
+  }
+  size_t nb = S->blocks.size();
+  S->ucum.resize(nb + 1);
+  for (size_t i = 0; i < nb; ++i) S->ucum[i] = S->blocks[i].out_off;
+  S->ucum[nb] = total_out;
+
+  // header: inflate leading blocks until the header parses (tiny; not
+  // counted toward the span's ~1/N share)
+  {
+    std::vector<uint8_t> hb;
+    size_t k = 0;
+    size_t need = 12;
+    while (true) {
+      while (k < nb && hb.size() < need) {
+        const BlockRef& b = S->blocks[k];
+        size_t old = hb.size();
+        hb.resize(old + b.isize);
+#ifdef STRAWB_HAVE_LIBDEFLATE
+        libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+        size_t actual = 0;
+        bool ok = libdeflate_deflate_decompress(
+                      d, S->raw.data() + b.comp_off, b.comp_len,
+                      hb.data() + old, b.isize,
+                      &actual) == LIBDEFLATE_SUCCESS && actual == b.isize;
+        libdeflate_free_decompressor(d);
+#else
+        bool ok = inflate_block(S->raw.data() + b.comp_off, b.comp_len,
+                                hb.data() + old, b.isize);
+#endif
+        if (!ok) {
+          S->error = "BGZF inflate failed";
+          return S;
+        }
+        ++k;
+      }
+      if (hb.size() < need) {
+        S->error = "truncated BAM header";
+        return S;
+      }
+      if (memcmp(hb.data(), "BAM\1", 4) != 0) {
+        S->error = "not a BAM file";
+        return S;
+      }
+      size_t pos = 4;
+      int32_t l_text = rd_i32(hb.data() + pos);
+      if (hb.size() < 8 + (size_t)l_text + 4) {
+        need = 8 + (size_t)l_text + 4;
+        continue;
+      }
+      pos += 4 + l_text;
+      int32_t n_ref = rd_i32(hb.data() + pos);
+      pos += 4;
+      bool complete = true;
+      S->names_blob.clear();
+      S->ref_len.clear();
+      for (int32_t i = 0; i < n_ref; ++i) {
+        if (pos + 4 > hb.size()) { complete = false; break; }
+        int32_t l_name = rd_i32(hb.data() + pos);
+        pos += 4;
+        if (pos + (size_t)l_name + 4 > hb.size()) { complete = false; break; }
+        S->names_blob.append((const char*)(hb.data() + pos), l_name - 1);
+        S->names_blob.push_back('\n');
+        pos += l_name;
+        S->ref_len.push_back(rd_i32(hb.data() + pos));
+        pos += 4;
+      }
+      if (!complete) {
+        need = hb.size() + (64u << 10);
+        continue;
+      }
+      S->header_end = (uint64_t)pos;
+      break;
+    }
+  }
+
+  // span split: balance by compressed bytes, identical on every process
+  std::vector<uint64_t> ccum(nb + 1, 0);
+  for (size_t i = 0; i < nb; ++i)
+    ccum[i + 1] = ccum[i] + (S->blocks[i].comp_len + 30);
+  uint64_t total_c = ccum[nb];
+  auto cut = [&](int32_t p) -> size_t {
+    uint64_t want = total_c * (uint64_t)p / (uint64_t)nproc;
+    return (size_t)(std::lower_bound(ccum.begin(), ccum.end(), want)
+                    - ccum.begin());
+  };
+  S->b0 = pid <= 0 ? 0 : cut(pid);
+  S->b1 = pid >= nproc - 1 ? nb : cut(pid + 1);
+  if (S->b1 < S->b0) S->b1 = S->b0;
+  S->base = S->ucum[S->b0];
+  S->binf1 = S->b0;
+
+  // inflate the owned span in parallel
+  {
+    S->buf.resize((size_t)(S->ucum[S->b1] - S->base));
+    std::atomic<int> ok{1};
+    size_t T = (size_t)S->n_threads;
+    size_t span_nb = S->b1 - S->b0;
+    if (T > span_nb) T = span_nb ? span_nb : 1;
+    auto infl = [&](size_t t0) {
+#ifdef STRAWB_HAVE_LIBDEFLATE
+      libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+#endif
+      for (size_t i = S->b0 + t0; i < S->b1; i += T) {
+        const BlockRef& b = S->blocks[i];
+        uint8_t* dst = S->buf.data() + (size_t)(S->ucum[i] - S->base);
+#ifdef STRAWB_HAVE_LIBDEFLATE
+        size_t actual = 0;
+        if (libdeflate_deflate_decompress(
+                d, S->raw.data() + b.comp_off, b.comp_len, dst, b.isize,
+                &actual) != LIBDEFLATE_SUCCESS || actual != b.isize)
+          ok = 0;
+#else
+        if (!inflate_block(S->raw.data() + b.comp_off, b.comp_len, dst,
+                           b.isize))
+          ok = 0;
+#endif
+      }
+#ifdef STRAWB_HAVE_LIBDEFLATE
+      libdeflate_free_decompressor(d);
+#endif
+    };
+    std::vector<std::thread> pool;
+    for (size_t t = 1; t < T; ++t) pool.emplace_back(infl, t);
+    if (span_nb) infl(0);
+    for (auto& th : pool) th.join();
+    if (!ok) {
+      S->error = "BGZF inflate failed";
+      return S;
+    }
+    S->binf1 = S->b1;
+    S->comp_bytes += (int64_t)(ccum[S->b1] - ccum[S->b0]);
+  }
+  return S;
+}
+
+// Skip complete records from `start` (global uncompressed offset, from the
+// previous span's relay; process 0 passes its header_end) and return the
+// global offset of the first record starting at or beyond this span's
+// owned end — the next span's start. Extends the inflated overlap on
+// demand for records straddling the boundary.
+int64_t strawb_span_end(StrawbSpan* S, int64_t start) {
+  uint64_t owned_end = S->ucum[S->b1];
+  uint64_t total = S->ucum.back();
+  uint64_t pos = (uint64_t)start;
+  while (pos < owned_end) {
+    if (pos + 4 > total) {
+      S->error = "truncated BAM record";
+      return -1;
+    }
+    while (pos + 4 > S->base + S->buf.size())
+      if (!S->extend_to(S->binf1 + 4)) return -1;
+    int32_t bs = rd_i32(S->buf.data() + (size_t)(pos - S->base));
+    if (bs < 32) {
+      S->error = "malformed BAM record";
+      return -1;
+    }
+    pos += 4 + (uint64_t)bs;
+  }
+  S->end_off = pos;
+  return (int64_t)pos;
+}
+
+// Parse records in [start, end) — all records starting in this span.
+// The final record may extend past the owned end; the overlap covers it.
+int32_t strawb_span_parse(StrawbSpan* S, int64_t start, int64_t end) {
+  // ensure the tail record (starting just before `end`) is fully inflated
+  std::vector<size_t> offs;
+  uint64_t pos = (uint64_t)start;
+  while (pos < (uint64_t)end) {
+    while (pos + 4 > S->base + S->buf.size()) {
+      if (!S->extend_to(S->binf1 + 4)) return 0;
+    }
+    int32_t bs = rd_i32(S->buf.data() + (size_t)(pos - S->base));
+    uint64_t rec_end = pos + 4 + (uint64_t)bs;
+    while (rec_end > S->base + S->buf.size()) {
+      if (S->binf1 >= S->blocks.size()) {
+        S->error = "truncated BAM record";
+        return 0;
+      }
+      if (!S->extend_to(S->binf1 + 4)) return 0;
+    }
+    offs.push_back((size_t)(pos - S->base));
+    pos = rec_end;
+  }
+  size_t nrec = offs.size();
+  size_t T = (size_t)S->n_threads;
+  if (nrec < 4096) T = 1;
+  std::vector<Partial> parts(T);
+  if (T <= 1) {
+    decode_range(S->buf.data(), offs.data(), 0, nrec, S->cfg, parts[0]);
+  } else {
+    std::vector<std::thread> pool;
+    for (size_t t = 0; t < T; ++t) {
+      size_t lo = nrec * t / T, hi = nrec * (t + 1) / T;
+      pool.emplace_back([&, lo, hi, t]() {
+        decode_range(S->buf.data(), offs.data(), lo, hi, S->cfg, parts[t]);
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  Result& R = S->R;
+  for (auto& p : parts) R.paired_end |= p.paired_end;
+  // ordered seq lens (first max_read_num_4_rl accepted in span order) so
+  // the Python side can reconstruct the FILE-order read-length histogram
+  for (auto& p : parts) {
+    for (int32_t sl : p.seqlens) {
+      if ((int64_t)S->seq_lens.size() >= S->cfg.max_read_num_4_rl) break;
+      S->seq_lens.push_back(sl);
+    }
+  }
+  {
+    size_t total = 0;
+    for (auto& p : parts) total += p.nfeat.size();
+    R.feat_off.reserve(total + 1);
+    R.feat_off.push_back(0);
+    int64_t acc = 0;
+    for (auto& p : parts)
+      for (int64_t k : p.nfeat) {
+        acc += k;
+        R.feat_off.push_back(acc);
+      }
+  }
+  concat(R.ref_id, parts, &Partial::ref_id);
+  concat(R.left, parts, &Partial::left);
+  concat(R.right, parts, &Partial::right);
+  concat(R.strand, parts, &Partial::strand);
+  concat(R.flag, parts, &Partial::flag);
+  concat(R.mate_ref, parts, &Partial::mate_ref);
+  concat(R.mate_pos, parts, &Partial::mate_pos);
+  concat(R.nh, parts, &Partial::nh);
+  concat(R.read_id, parts, &Partial::read_id);
+  concat(R.cigar_hash, parts, &Partial::cigar_hash);
+  concat(R.feat_code, parts, &Partial::feat_code);
+  concat(R.feat_left, parts, &Partial::feat_left);
+  concat(R.feat_len, parts, &Partial::feat_len);
+  // the compressed file copy and inflate buffer are no longer needed
+  std::vector<uint8_t>().swap(S->raw);
+  std::vector<uint8_t>().swap(S->buf);
+  return 1;
+}
+
+const char* strawb_span_error(StrawbSpan* S) {
+  return S->error.empty() ? nullptr : S->error.c_str();
+}
+int64_t strawb_span_header_end(StrawbSpan* S) { return (int64_t)S->header_end; }
+int64_t strawb_span_owned_end_ucomp(StrawbSpan* S) {
+  return (int64_t)S->ucum[S->b1];
+}
+int64_t strawb_span_total_ucomp(StrawbSpan* S) {
+  return (int64_t)S->ucum.back();
+}
+int64_t strawb_span_comp_bytes(StrawbSpan* S) { return S->comp_bytes; }
+int32_t strawb_span_num_refs(StrawbSpan* S) {
+  return (int32_t)S->ref_len.size();
+}
+const char* strawb_span_ref_names(StrawbSpan* S) {
+  return S->names_blob.c_str();
+}
+const int32_t* strawb_span_ref_lens(StrawbSpan* S) { return S->ref_len.data(); }
+int64_t strawb_span_num_hits(StrawbSpan* S) {
+  return (int64_t)S->R.ref_id.size();
+}
+int64_t strawb_span_num_feats(StrawbSpan* S) {
+  return (int64_t)S->R.feat_code.size();
+}
+int32_t strawb_span_paired(StrawbSpan* S) { return S->R.paired_end; }
+int32_t strawb_span_num_seqlens(StrawbSpan* S) {
+  return (int32_t)S->seq_lens.size();
+}
+const int32_t* strawb_span_seqlens(StrawbSpan* S) { return S->seq_lens.data(); }
+const int32_t* strawb_span_ref_id(StrawbSpan* S) { return S->R.ref_id.data(); }
+const int64_t* strawb_span_left(StrawbSpan* S) { return S->R.left.data(); }
+const int64_t* strawb_span_right(StrawbSpan* S) { return S->R.right.data(); }
+const int8_t* strawb_span_strand(StrawbSpan* S) { return S->R.strand.data(); }
+const uint16_t* strawb_span_flag(StrawbSpan* S) { return S->R.flag.data(); }
+const int32_t* strawb_span_mate_ref(StrawbSpan* S) {
+  return S->R.mate_ref.data();
+}
+const int64_t* strawb_span_mate_pos(StrawbSpan* S) {
+  return S->R.mate_pos.data();
+}
+const int32_t* strawb_span_nh(StrawbSpan* S) { return S->R.nh.data(); }
+const uint64_t* strawb_span_read_id(StrawbSpan* S) {
+  return S->R.read_id.data();
+}
+const uint64_t* strawb_span_cigar_hash(StrawbSpan* S) {
+  return S->R.cigar_hash.data();
+}
+const int64_t* strawb_span_feat_off(StrawbSpan* S) {
+  return S->R.feat_off.data();
+}
+const int8_t* strawb_span_feat_code(StrawbSpan* S) {
+  return S->R.feat_code.data();
+}
+const int64_t* strawb_span_feat_left(StrawbSpan* S) {
+  return S->R.feat_left.data();
+}
+const int32_t* strawb_span_feat_len(StrawbSpan* S) {
+  return S->R.feat_len.data();
+}
+void strawb_span_free(StrawbSpan* S) { delete S; }
+
 // Strictly sequential float64 summation (matches the reference's
 // `weight += tmp` accumulation order bit-for-bit, which numpy's pairwise
 // reduction would not).

@@ -77,11 +77,10 @@ def shard_table(table: HitTable, ref_ids: List[int]) -> HitTable:
         paired_end=table.paired_end)
 
 
-def split_by_chrom(table: HitTable, n_shards: int) -> List[List[int]]:
-    """Contiguous chromosome ranges balanced by read count. Contiguity
-    keeps global cluster numbering and output order identical to the
-    single-shard run (ids thread shard-to-shard via an exclusive scan)."""
-    counts = np.bincount(table.ref_id, minlength=len(table.ref_names))
+def split_counts(counts: np.ndarray, n_shards: int) -> List[List[int]]:
+    """Contiguous chromosome ranges balanced by per-chromosome read
+    counts. Contiguity keeps global cluster numbering and output order
+    identical to the single-shard run."""
     total = int(counts.sum())
     shards: List[List[int]] = [[] for _ in range(max(1, n_shards))]
     if total == 0:
@@ -96,6 +95,11 @@ def split_by_chrom(table: HitTable, n_shards: int) -> List[List[int]]:
         shards[k].append(rid)
         cum += int(counts[rid])
     return shards
+
+
+def split_by_chrom(table: HitTable, n_shards: int) -> List[List[int]]:
+    return split_counts(
+        np.bincount(table.ref_id, minlength=len(table.ref_names)), n_shards)
 
 
 def run_sharded(table: HitTable, cfg: Config, bam_path: str, out: TextIO,
@@ -238,6 +242,137 @@ def allgather_bytes(payload: bytes) -> List[bytes]:
             for k in range(gathered.shape[0])]
 
 
+def _ranged_ingest(bam_path: str, cfg: Config):
+    """Per-process ranged BAM decode (SURVEY §2 "per-host BAM range
+    reading"; ref anchor src/read.cpp:428-478 bgzf_seek design).
+
+    Every process inflates only its ~1/N compressed-byte block span
+    (io.native.SpanDecoder). BAM records are not self-synchronizing, so
+    the exact record boundary at each span start is produced by the
+    previous span's record-length skip-scan and relayed through one
+    process_allgather round per process (the scans are ~ms; the expensive
+    inflate already ran in parallel before the relay). Rows are then
+    redistributed to their owning process under the same contiguous
+    chromosome split as the all-decode path, so everything downstream —
+    and the output — is byte-identical.
+
+    Returns (owned HitTable, my chromosome ids, ingest stats)."""
+    import pickle
+
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..io.bamreader import HitTable
+    from ..io.native import SpanDecoder
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    dec = SpanDecoder(bam_path, pid, nproc, cfg)
+
+    # record-boundary relay: start_0 = header end; start_{p+1} = span p's
+    # first record offset at/after its owned end
+    start = dec.header_end if pid == 0 else -1
+    for k in range(nproc - 1):
+        mine = dec.end_from(start) if pid == k else 0
+        ends = multihost_utils.process_allgather(
+            np.array([mine], np.int64)).reshape(-1)
+        if pid == k + 1:
+            start = int(ends[k])
+    end = dec.end_from(start) if pid < nproc - 1 else dec.total_ucomp
+    arrs, seq_lens, paired = dec.parse(start, end)
+
+    # global per-chromosome counts -> the canonical contiguous split
+    nref = len(dec.ref_names)
+    local_counts = np.bincount(arrs["ref_id"], minlength=nref) \
+        .astype(np.int64)
+    counts = multihost_utils.process_allgather(local_counts)
+    counts = counts.reshape(nproc, nref).sum(axis=0)
+    shards = split_counts(counts, nproc)
+    owner_of = np.zeros(nref, np.int32)
+    for k, ids in enumerate(shards):
+        for rid in ids:
+            owner_of[rid] = k
+
+    # redistribute rows to their owners (chromosomes are contiguous runs
+    # in a position-sorted span, so per-owner slices are cheap; gathered
+    # spans concatenate in pid order = file order)
+    def subrows(mask):
+        idx = np.nonzero(mask)[0]
+        if not len(idx):
+            return None
+        i0, i1 = int(idx[0]), int(idx[-1]) + 1
+        f0 = int(arrs["feat_off"][i0])
+        f1 = int(arrs["feat_off"][i1])
+        return {k: (np.asarray(v[i0:i1 + 1] - f0) if k == "feat_off" else
+                    np.asarray(v[f0:f1] if k.startswith("feat_") else
+                               v[i0:i1]))
+                for k, v in arrs.items()}
+
+    row_owner = owner_of[arrs["ref_id"]]
+    outbound = []
+    for q in range(nproc):
+        if q == pid:
+            outbound.append(None)  # own rows stay local
+            continue
+        outbound.append(subrows(row_owner == q))
+    blobs = allgather_bytes(pickle.dumps((outbound, seq_lens.tolist(),
+                                          paired, dec.comp_bytes)))
+
+    # stitch my rows: contributions from every span in pid order
+    parts = []
+    all_seqlens = []
+    any_paired = False
+    comp_list = []
+    for p in range(nproc):
+        ob, sl, pr, cb = pickle.loads(blobs[p])
+        any_paired |= pr
+        all_seqlens.append(sl)
+        comp_list.append(cb)
+        if p == pid:
+            parts.append(subrows(row_owner == pid))
+        elif ob[pid] is not None:
+            parts.append(ob[pid])
+    parts = [p for p in parts if p is not None]
+
+    def cat(key):
+        if not parts:
+            base = np.zeros(1 if key == "feat_off" else 0,
+                            arrs[key].dtype)
+            return base
+        if key == "feat_off":
+            segs = [np.asarray(p[key]) for p in parts]
+            out = [segs[0]]
+            base = segs[0][-1]
+            for s in segs[1:]:
+                out.append(s[1:] + base)
+                base += s[-1]
+            return np.concatenate(out)
+        return np.concatenate([np.asarray(p[key]) for p in parts])
+
+    # global read-length histogram: first max_read_num_4_rl accepted hits
+    # in FILE order (spans are file-ordered, per-span lists are ordered)
+    hist: dict = {}
+    n_hist = 0
+    for sl in all_seqlens:
+        for v in sl:
+            if n_hist >= cfg.max_read_num_4_rl:
+                break
+            hist[v] = hist.get(v, 0) + 1
+            n_hist += 1
+
+    table = HitTable(
+        ref_id=cat("ref_id"), left=cat("left"), right=cat("right"),
+        strand=cat("strand"), flag=cat("flag"), mate_ref=cat("mate_ref"),
+        mate_pos=cat("mate_pos"), nh=cat("nh"), read_id=cat("read_id"),
+        cigar_hash=cat("cigar_hash"), feat_off=cat("feat_off"),
+        feat_code=cat("feat_code"), feat_left=cat("feat_left"),
+        feat_len=cat("feat_len"),
+        ref_names=dec.ref_names, ref_real_names=dec.ref_real_names,
+        ref_lens=dec.ref_lens, read_len_hist=hist, paired_end=any_paired)
+    stats = {"comp_bytes_inflated": int(comp_list[pid]),
+             "comp_bytes_all": [int(c) for c in comp_list]}
+    return table, shards[pid] if pid < len(shards) else [], stats
+
+
 def run_distributed(bam_path: str, cfg: Config, out: TextIO,
                     log: Optional[TextIO] = None,
                     fragfile=None) -> List[Isoform]:
@@ -256,17 +391,25 @@ def run_distributed(bam_path: str, cfg: Config, out: TextIO,
 
     pid, nproc = jax.process_index(), jax.process_count()
     log = log or _NullLog()
+    ingest_stats = None
     try:
-        from ..io.native import load_bam_native
-        table = load_bam_native(bam_path, cfg)
+        # ranged ingest: this process inflates only its ~1/N block span
+        sub, mine, ingest_stats = _ranged_ingest(bam_path, cfg)
+        table = sub  # header metadata lives on the owned table
     except (OSError, ImportError):
+        # native lib unavailable: every process decodes the whole file
         from ..io.bamreader import load_bam
         table = load_bam(bam_path, cfg)
-
-    shards = split_by_chrom(table, nproc)
-    mine = shards[pid] if pid < len(shards) else []
-    sub = shard_table(table, mine)
+        shards = split_by_chrom(table, nproc)
+        mine = shards[pid] if pid < len(shards) else []
+        sub = shard_table(table, mine)
     s = Sample(sub, cfg, bam_path)
+    s.ingest_stats = ingest_stats
+    if ingest_stats:
+        tot = sum(ingest_stats["comp_bytes_all"])
+        log.write(f"ranged ingest: inflated "
+                  f"{ingest_stats['comp_bytes_inflated']} of {tot} "
+                  f"compressed bytes\n")
     s.long_read_sample = table.is_long_read_sample(cfg.long_read_len) \
         or cfg.long_read_sample
     if cfg.ref_gtf_filename:

@@ -77,6 +77,18 @@ def test_multihost_matches_single_process(tmp_path, nprocs, mode):
     dist = _run_dist(tmp_path, bam, gtf_args, nprocs)
     assert single, "single-process produced no transcripts"
     assert dist == single
+    # ranged ingest: each process must have inflated only ~1/N of the
+    # compressed stream (VERDICT r2 item 5; anchor src/read.cpp:428-478)
+    import re
+    shares = []
+    for pid in range(nprocs):
+        txt = open(tmp_path / f"dist{pid}.log").read()
+        m = re.search(r"ranged ingest: inflated (\d+) of (\d+)", txt)
+        assert m, f"no ranged-ingest record in dist{pid}.log"
+        shares.append(int(m.group(1)) / int(m.group(2)))
+    assert sum(shares) < 1.5, shares       # overlap blocks only
+    for sh in shares:
+        assert sh < 1.6 / nprocs + 0.1, shares
 
 
 def test_multihost_ab_initio(tmp_path):

@@ -139,7 +139,10 @@ def time_device(problems, use_pallas: bool, reps=2):
                     jnp.asarray(F), jnp.asarray(u), jnp.asarray(th0),
                     jnp.asarray(valid), jnp.asarray(act))[0])
         for o in outs:
-            o.block_until_ready()
+            # host fetch: on the tunneled axon backend block_until_ready()
+            # does not actually wait for the computation (measured), and
+            # the pipeline pays the fetch anyway
+            np.asarray(o)
         best = min(best, time.perf_counter() - t0)
     return best, len(batches), n_unrouted
 

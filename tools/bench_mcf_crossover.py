@@ -95,12 +95,16 @@ def main():
         args = (jnp.asarray(cost), jnp.asarray(has), jnp.asarray(low),
                 jnp.asarray(act))
         flow, infeasible = dev._mcf_bucket(*args)   # compile warm-up
-        flow.block_until_ready()
+        np.asarray(flow)
         t_dev = 1e18
         for _ in range(3):
             t0 = time.perf_counter()
             flow, infeasible = dev._mcf_bucket(*args)
-            flow.block_until_ready()
+            # NB: on the tunneled axon backend block_until_ready() returns
+            # without waiting for the computation; a host fetch is the only
+            # reliable sync (and is what the pipeline pays anyway) — the
+            # round-2 0.5us/problem row came from timing dispatch only
+            np.asarray(flow)
             t_dev = min(t_dev, time.perf_counter() - t0)
 
         # ---- cross-check identical flows ----
