@@ -779,7 +779,9 @@ def native_fld_batch(specs):
         return []
     starts = hit_loc[:-1]
     pieces = [out[int(s):int(s) + int(c)] for s, c in zip(starts, cnt)]
-    return np.concatenate(pieces).tolist() if pieces else []
+    # int32 array, not a Python int list: pass-1 observes millions of
+    # fragment lengths and boxed ints cost ~30x the memory
+    return np.concatenate(pieces) if pieces else np.zeros(0, np.int32)
 
 
 _asm_bound = False

@@ -146,7 +146,8 @@ def run_sharded(table: HitTable, cfg: Config, bam_path: str, out: TextIO,
 
     # ---- all-reduce global statistics over the mesh -----------------------
     dp = mesh.shape["dp"]
-    max_fl = max((max(s.frag_dist) if s.frag_dist else 0) for s in samples)
+    max_fl = max((max(s.frag_dist) if len(s.frag_dist) else 0)
+                 for s in samples)
     H = max_fl + 1
     local_hist = np.zeros((dp, H), dtype=np.float64)
     for k, s in enumerate(samples):
@@ -440,7 +441,8 @@ def run_distributed(bam_path: str, cfg: Config, out: TextIO,
     # fragment-length histogram + total mapped reads: psum over the mesh
     # (ragged: gather the max first so every process builds the same H)
     maxes = multihost_utils.process_allgather(np.array(
-        [max(s.frag_dist) if s.frag_dist else 0], np.int64)).reshape(-1)
+        [max(s.frag_dist) if len(s.frag_dist) else 0],
+        np.int64)).reshape(-1)
     H = int(maxes.max()) + 1
     local_hist = np.zeros(H + 1, np.float64)
     for v in s.frag_dist:

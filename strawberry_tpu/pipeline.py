@@ -89,16 +89,23 @@ class Sample:
 
     def _drain_fld(self):
         """Resolve deferred fragment-length work (threaded native calls
-        over every locus of the pass, in cluster order)."""
+        over every locus of the pass, in cluster order). frag_dist becomes
+        one int32 array (boxed Python ints would cost ~30x the RSS on a
+        10M-read pass)."""
         if self._fld_futures or self._fld_specs:
             with PROF.phase("frag_len_dist", items=len(self._fld_specs)):
-                for fut in self._fld_futures:
-                    self.frag_dist.extend(fut.result())
+                chunks = [np.asarray(fut.result(), np.int32)
+                          for fut in self._fld_futures]
                 self._fld_futures = []
                 if self._fld_specs:
                     from .core.fastcluster import native_fld_batch
                     specs, self._fld_specs = self._fld_specs, []
-                    self.frag_dist.extend(native_fld_batch(specs))
+                    chunks.append(np.asarray(native_fld_batch(specs),
+                                             np.int32))
+                if chunks:
+                    base = np.asarray(self.frag_dist, np.int32) \
+                        if len(self.frag_dist) else np.zeros(0, np.int32)
+                    self.frag_dist = np.concatenate([base] + chunks)
         if self._fld_pool is not None:
             self._fld_pool.shutdown(wait=False)
             self._fld_pool = None
@@ -768,12 +775,14 @@ class Sample:
             # while the cluster stream is still running
             nonlocal fut_drained
             while fut_drained < len(futures):
-                chunk, fut = futures[fut_drained]
+                entry = futures[fut_drained]
+                chunk, fut = entry
                 if not block and not fut.done():
                     return
                 for (i, _), est in zip(chunk, fut.result()):
                     pending[i] = (pending[i][0], est)
                     _em_add(i, est)
+                futures[fut_drained] = None  # free the specs (pool views)
                 fut_drained += 1
 
         dev_pool = dev_fut = None
@@ -783,6 +792,10 @@ class Sample:
             chunk = native_specs[chunk_start:]
             if not chunk:
                 return
+            # free the consumed slots (the chunk list keeps the specs —
+            # and with them the cluster pools — alive only until its
+            # future drains, instead of for the whole pass)
+            native_specs[chunk_start:] = [None] * len(chunk)
             chunk_start = len(native_specs)
             if prep_state is not None and prep_state.budget_pairs is None:
                 # "all" mode: every eligible locus on the chip
@@ -842,7 +855,7 @@ class Sample:
                         self.cfg, self.read_len, self.insert_dist,
                         cluster.ref_mrnas, exl, qp[0], qp[1])
                     _em_add(len(pending), est)
-                    pending.append((cluster, est))
+                    pending.append((None, est))
                 elif use_fast and getattr(cluster, "flat", None) is not None:
                     from .core.fastcluster import (flatten_contigs as _fc,
                                                    take_flat)
@@ -855,29 +868,24 @@ class Sample:
                                         cluster.ref_mrnas, iso_flat,
                                         getattr(cluster, "ref_indices",
                                                 None))))
-                    pending.append((cluster, None))
+                    # keep the cluster object (and with it the partition's
+                    # pool arrays) only when the fragment-context export
+                    # needs it; otherwise the pool frees as the stream moves
+                    pending.append((None, None))
                     if len(native_specs) - chunk_start >= 128:
                         _flush()
                 else:
                     est = self.build_locus_context(cluster,
                                                    cluster.ref_mrnas, log)
                     _em_add(len(pending), est)
-                    pending.append((cluster, est))
+                    pending.append((cluster if fragfile is not None
+                                    else None, est))
         if native_specs:
+            # (specs only exist when the native clusterizer produced flat
+            # arrays, so the native quant batch is always available here)
             with PROF.phase("quant_native", items=len(native_specs)):
-                try:
-                    _flush()
-                    _drain_ready_futures(block=True)
-                except OSError:
-                    from .quant.fastlocus import build_fast_locus
-                    for i, s in native_specs:
-                        est = build_fast_locus(
-                            self.cfg, self.read_len, self.insert_dist,
-                            s[0], s[1], s[2],
-                            long_read_sample=self.long_read_sample,
-                            iso_flat=s[3])
-                        pending[i] = (pending[i][0], est)
-                        _em_add(i, est)
+                _flush()
+                _drain_ready_futures(block=True)
         if pool is not None:
             pool.shutdown(wait=False)
         if dev_pool is not None:
