@@ -112,7 +112,7 @@ class StreamingHitTable:
         if low_mem:
             # decode backpressure: stall ahead-of-consumer block production
             # past ~256MB of retained SoA (2 live blocks always admitted)
-            lib.strawb_sbam_set_max_retained(h, 256 << 20)
+            lib.strawb_sbam_set_max_retained(h, 128 << 20)
         err = lib.strawb_sbam_error(h)  # blocks until header or failure
         if err:
             raise IOError(f"{path}: {err.decode()}")

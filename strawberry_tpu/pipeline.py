@@ -1069,6 +1069,12 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
     if fragfile is not None:
         from .quant.fragcontext import FRAG_HEADER
         fragfile.write("\t".join(FRAG_HEADER) + "\n")
+    if cfg.low_mem:
+        # release pass 1's transient heap (tune() disables auto-trimming)
+        import gc
+        gc.collect()
+        from .utils.malloctune import trim
+        trim()
     if isinstance(table, StreamingHitTable) and cfg.low_mem:
         # pass 1 dropped its blocks as it consumed them; re-decode for
         # pass 2 (the reference's bgzf_seek rewind, src/read.cpp:1740)

@@ -373,18 +373,28 @@ def make_dataset(outdir: str, seed: int = 42, n_genes_hint: int = 10,
                  annotation_format: str = "gtf",
                  protocol: Optional[str] = None, multimap_frac: float = 0.0,
                  indel_rate: float = 0.0, clip_rate: float = 0.0,
-                 mapq_range: Optional[Tuple[int, int]] = None):
-    """Convenience: genome + GTF + BAM in outdir. Returns (bam, gtf, txs)."""
+                 mapq_range: Optional[Tuple[int, int]] = None,
+                 exon_range: Optional[Tuple[int, int]] = None,
+                 abundance: str = "uniform"):
+    """Convenience: genome + GTF + BAM in outdir. Returns (bam, gtf, txs).
+
+    exon_range widens the per-gene exon count (more isoform diversity at
+    high max_isoforms); abundance="lognormal" draws skewed expression
+    (sigma 1.5) for realistic uneven coverage."""
     import os
     os.makedirs(outdir, exist_ok=True)
     rng = random.Random(seed)
     chroms = {f"chr{i+1}": chrom_len for i in range(n_chroms)}
     exon_len = (80, 400) if read_len_range is None else (300, 900)
     txs = make_genes(rng, chroms, n_genes_hint, max_isoforms=max_isoforms,
-                     exon_len=exon_len)
+                     exon_len=exon_len,
+                     **({"exon_range": exon_range} if exon_range else {}))
     arng = random.Random(abundance_seed if abundance_seed is not None
                          else seed + 1)
-    abund = [arng.uniform(0.2, 5.0) for _ in txs]
+    if abundance == "lognormal":
+        abund = [arng.lognormvariate(0.0, 1.5) for _ in txs]
+    else:
+        abund = [arng.uniform(0.2, 5.0) for _ in txs]
     recs = simulate_reads(rng, txs, abund, n_frags, read_len=read_len,
                           paired=paired, with_xs=with_xs,
                           read_len_range=read_len_range, protocol=protocol,

@@ -41,6 +41,20 @@ def tune(threshold: int = 1 << 30) -> bool:
         return False
 
 
+def trim() -> bool:
+    """malloc_trim(0): hand freed arena pages back to the OS. Used by
+    --low-mem at phase boundaries — tune() deliberately disables automatic
+    trimming for speed, which otherwise leaves transient pass-1 spikes
+    resident for the rest of the run."""
+    try:
+        libc = ctypes.CDLL(None)
+        libc.malloc_trim.restype = ctypes.c_int
+        libc.malloc_trim.argtypes = [ctypes.c_size_t]
+        return bool(libc.malloc_trim(0))
+    except Exception:
+        return False
+
+
 _blas_done = False
 
 

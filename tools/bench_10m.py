@@ -27,6 +27,10 @@ class Sink:
     def write(self, *_a): pass
 cfg = Config(ref_gtf_filename="@GTF@", utilize_ref_models=True,
              rf_strand=True, low_mem=@LOWMEM@, fast_em=@FASTEM@)
+if @FASTEM@:
+    # device-kernel compiles do NOT cache across processes on the tunneled
+    # axon backend (measured ~90s per shape); warm them before timing
+    run_driver("@BAM@", cfg, io.StringIO(), Sink())
 t0 = time.perf_counter()
 sample = run_driver("@BAM@", cfg, io.StringIO(), Sink())
 dt = time.perf_counter() - t0
