@@ -1,16 +1,27 @@
 #!/usr/bin/env python
 """Benchmark: aligned reads/sec through the full assembly+quant pipeline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the reference's published single-thread CPU throughput of
-~83,000 aligned reads/s (README.md:62 — 10M reads in ~2 min).
+~83,000 aligned reads/s (README.md:62 — 10M simulated reads in ~2 min).
 
-Generates (and caches) a simulated dataset, then times the end-to-end
-two-pass pipeline (BAM decode -> clustering -> assembly -> EM -> GTF) with
-the EM running on the JAX device.
+The primary number runs the SAME workload scale the reference's figure
+comes from: 10M simulated aligned reads (16 chromosomes, up to 8 isoforms,
+rf-stranded XS-less, 2% indels / 3% soft clips — the bench_10m dataset).
+A 1M-read quick set is reported alongside (fixed costs amortize less
+there), plus the --fast-em (f32 Pallas EM on the chip) numbers with their
+measured TPM deviation from the byte-golden run. Golden-path device_frac
+counts EM + quant-prep loci actually dispatched to the chip — 0 on this
+tunneled v5e by measurement (benchmarks/prep_crossover.json,
+benchmarks/device_characterization.json: f64 not IEEE-bit-exact and
+integer gather/stream rates below the 2-vCPU host's SIMD).
+
+Set BENCH_FRAGS to override with the legacy small dataset only.
 """
+import io
 import json
 import os
+import resource
 import sys
 import time
 
@@ -19,89 +30,137 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_READS_PER_SEC = 83000.0
 
 
-def main():
-    n_frags = int(os.environ.get("BENCH_FRAGS", "500000"))
+class Sink:
+    def write(self, *_a):
+        pass
+
+
+def dataset_10m():
+    cache = "/tmp/strawberry_bench10m"
+    bam = os.path.join(cache, "sample_01.sorted.bam")
+    gtf = os.path.join(cache, "annotation.gtf")
+    if not (os.path.exists(bam) and os.path.exists(gtf)):
+        from strawberry_tpu.sim import make_dataset
+        make_dataset(cache, seed=101, n_frags=5_000_000, n_chroms=16,
+                     chrom_len=2_000_000, max_isoforms=8, protocol="rf",
+                     with_xs=False, indel_rate=0.02, clip_rate=0.03)
+    return bam, gtf, dict(rf_strand=True)
+
+
+def dataset_1m(n_frags=500_000):
     cache = f"/tmp/strawberry_bench_{n_frags}"
-    from strawberry_tpu.sim import make_dataset
     bam = os.path.join(cache, "sample_01.sorted.bam")
     gtf = os.path.join(cache, "annotation.gtf")
     if not os.path.exists(bam):
+        from strawberry_tpu.sim import make_dataset
         make_dataset(cache, seed=77, n_frags=n_frags, n_chroms=4,
                      chrom_len=2_000_000, max_isoforms=3)
+    return bam, gtf, {}
 
+
+def run_best(bam, cfg, reps, capture_last=False):
+    from strawberry_tpu.pipeline import run_driver
+    best = float("inf")
+    sample = None
+    out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        o = io.StringIO() if capture_last else Sink()
+        s = run_driver(bam, cfg, o, Sink())
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, sample, out = dt, s, o
+    return best, sample, out
+
+
+def tpms(text):
+    out = {}
+    for line in text.splitlines():
+        if "\ttranscript\t" in line:
+            attrs = line.rsplit("\t", 1)[-1]
+            tid = attrs.split('transcript_id "')[1].split('"')[0]
+            out[tid] = float(attrs.split('TPM "')[1].split('"')[0])
+    return out
+
+
+def main():
     from strawberry_tpu.config import Config
     from strawberry_tpu.pipeline import run_driver
 
-    class Sink:
-        def write(self, *_a):
-            pass
+    legacy = os.environ.get("BENCH_FRAGS")
+    if legacy:
+        bam, gtf, extra = dataset_1m(int(legacy))
+    else:
+        bam, gtf, extra = dataset_10m()
+    cfg = Config(ref_gtf_filename=gtf, utilize_ref_models=True, **extra)
 
-    cfg = Config(ref_gtf_filename=gtf, utilize_ref_models=True)
-
-    # warm-up pass populates the JAX compile cache (compile time is not
-    # steady-state throughput)
-    import io
-    run_driver(bam, cfg, io.StringIO(), Sink())
-
-    # best of three timed runs (the TPU tunnel and the 2-vCPU host both add
-    # occasional latency spikes)
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = io.StringIO()
-        sample = run_driver(bam, cfg, out, Sink())
-        dt = min(dt, time.perf_counter() - t0)
-
+    # warm-up (JAX init, page cache; steady-state throughput is the metric)
+    run_driver(bam, cfg, Sink(), Sink())
+    dt, sample, _ = run_best(bam, cfg, reps=3)
     n_reads = len(sample.table)
     rps = n_reads / dt
     em = getattr(sample, "em_stats", {})
-    solved = em.get("device", 0) + em.get("host", 0)
-    device_frac = em.get("device", 0) / solved if solved else 0.0
+    prep = getattr(sample, "prep_stats", None) or {}
+    dev = em.get("device", 0) + prep.get("device_loci", 0)
+    host = em.get("host", 0) + prep.get("host_loci", 0)
+    device_frac = dev / (dev + host) if (dev + host) else 0.0
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
-    # --fast-em (chip f32 Pallas EM, the measured on-chip winner —
-    # benchmarks/em_crossover.json): reads/s plus its TPM deviation from
-    # the byte-golden run
-    fcfg = cfg.replace(fast_em=True)
-    run_driver(bam, fcfg, io.StringIO(), Sink())   # warm-up / compile
-    fdt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fout = io.StringIO()
-        fsample = run_driver(bam, fcfg, fout, Sink())
-        fdt = min(fdt, time.perf_counter() - t0)
-    fem = getattr(fsample, "em_stats", {})
+    # secondary: the 1M quick set, golden vs --fast-em (chip f32 Pallas EM,
+    # the measured on-chip winner) with TPM deviation
+    bam1, gtf1, _ = dataset_1m()
+    cfg1 = Config(ref_gtf_filename=gtf1, utilize_ref_models=True)
+    run_driver(bam1, cfg1, Sink(), Sink())
+    dt1, s1, out1 = run_best(bam1, cfg1, reps=3, capture_last=True)
+    fcfg = cfg1.replace(fast_em=True)
+    run_driver(bam1, fcfg, Sink(), Sink())   # compiles (not cached x-proc)
+    fdt, fs, fout = run_best(bam1, fcfg, reps=2, capture_last=True)
+    g, f = tpms(out1.getvalue()), tpms(fout.getvalue())
+    errs = sorted(abs(f[k] - v) / max(1e-9, abs(v)) for k, v in g.items()
+                  if k in f)
+    tpm_p99 = errs[int(len(errs) * 0.99)] if errs else float("nan")
+    fem = getattr(fs, "em_stats", {})
 
-    def tpms(text):
-        out = {}
-        for line in text.splitlines():
-            if "\ttranscript\t" in line:
-                attrs = line.rsplit("\t", 1)[-1]
-                tid = attrs.split('transcript_id "')[1].split('"')[0]
-                out[tid] = float(attrs.split('TPM "')[1].split('"')[0])
-        return out
-
-    g, f = tpms(out.getvalue()), tpms(fout.getvalue())
-    errs = [abs(f[k] - v) / max(1e-9, abs(v)) for k, v in g.items()
-            if k in f]
-    tpm_p99 = sorted(errs)[int(len(errs) * 0.99)] if errs else float("nan")
-
-    print(json.dumps({
+    rec = {
         "metric": "aligned_reads_per_sec_assembly_quant",
         "value": round(rps, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+        "dataset": "10M reads / 16 chroms / <=8 isoforms (reference's "
+                   "published workload scale)" if not legacy else
+                   f"legacy BENCH_FRAGS={legacy}",
+        "wall_s": round(dt, 3),
+        "peak_rss_mb": int(peak_mb),
         "device_frac": round(device_frac, 4),
-        "fast_em_reads_per_sec": round(n_reads / fdt, 1),
+        "reads_per_sec_1m": round(len(s1.table) / dt1, 1),
+        "fast_em_reads_per_sec_1m": round(len(fs.table) / fdt, 1),
         "fast_em_device_frac": round(fem.get("device", 0) / max(
             1, fem.get("device", 0) + fem.get("host", 0)), 4),
         "fast_em_tpm_p99_rel_err": round(tpm_p99, 8),
-    }))
-    print(f"# {n_reads} reads, {dt:.2f}s end-to-end, "
-          f"{out.getvalue().count(chr(9) + 'transcript' + chr(9))} transcripts"
-          f", EM device/host = {em.get('device', 0)}/{em.get('host', 0)}"
-          f"; fast-em {fdt:.2f}s, device/host = "
-          f"{fem.get('device', 0)}/{fem.get('host', 0)}",
-          file=sys.stderr)
+    }
+    # recorded artifacts for the other scoreboard lines
+    bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks")
+    for name, key in [("bench_realistic.json", "realistic_20k_loci"),
+                      ("lowmem_scaling.json", "lowmem_scaling")]:
+        p = os.path.join(bdir, name)
+        if os.path.exists(p):
+            with open(p) as fh:
+                j = json.load(fh)
+            if key == "realistic_20k_loci":
+                rec[key] = {
+                    "reads_per_sec": j["default"]["reads_per_sec"],
+                    "vs_baseline": j["default"]["vs_baseline"],
+                    "genes": j["dataset"]["genes"]}
+            else:
+                rec[key] = {"peak_rss_mb": [r["peak_rss_mb"]
+                                            for r in j["rows"]],
+                            "reads": [r["reads"] for r in j["rows"]]}
+    print(json.dumps(rec))
+    print(f"# primary {n_reads} reads in {dt:.2f}s; EM device/host = "
+          f"{em.get('device', 0)}/{em.get('host', 0)}; 1M set {dt1:.2f}s; "
+          f"fast-em 1M {fdt:.2f}s device/host = "
+          f"{fem.get('device', 0)}/{fem.get('host', 0)}", file=sys.stderr)
 
 
 if __name__ == "__main__":

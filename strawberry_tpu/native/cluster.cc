@@ -310,55 +310,61 @@ static void compute_global_pairs(const HitsIn& h, i64 h0, i64 h1,
   }
   // per chromosome run (rows are (ref, left)-sorted; merged multi-chrom
   // partitions restart left at each ref boundary). Openable rows are
-  // radix-sorted by mate_pos and merged once against the left-sorted rows
-  // — O(n) sequential passes instead of a binary search per row.
-  std::vector<u32> order, scratch;
+  // gathered into compact records, radix-sorted by mate position, and
+  // merged once against the left-sorted rows — O(n) SEQUENTIAL passes
+  // (sorting bare indices instead would make the merge read three hit
+  // arrays through a random permutation, which dominated the profile).
+  struct OpenRec {
+    u32 want;     // mate_pos (candidates have left == want)
+    u32 j;        // local row
+    u32 jleft;    // own left (candidate's mate_pos must equal it)
+    int8_t js;    // own strand
+    uint64_t jid;
+  };
+  std::vector<OpenRec> recs, scratch;
   std::vector<u32> cnt0(65536), cnt1(65536);
   i64 k0 = 0;
   while (k0 < n) {
     i64 k1 = k0;
     i32 ref = h.ref_id[h0 + k0];
     while (k1 < n && h.ref_id[h0 + k1] == ref) ++k1;
-    order.clear();
+    recs.clear();
     for (i64 j = k0; j < k1; ++j)
-      if (openable[j]) order.push_back((u32)j);
-    size_t m = order.size();
+      if (openable[j])
+        recs.push_back({(u32)h.mate_pos[h0 + j], (u32)j,
+                        (u32)h.left[h0 + j], h.strand[h0 + j],
+                        h.read_id[h0 + j]});
+    size_t m = recs.size();
     if (m) {
-      // LSB radix by mate_pos (BAM positions fit u32): two 16-bit passes
+      // LSB radix by want (BAM positions fit u32): two 16-bit passes
       scratch.resize(m);
       std::fill(cnt0.begin(), cnt0.end(), 0);
       std::fill(cnt1.begin(), cnt1.end(), 0);
-      for (u32 j : order) {
-        u32 w = (u32)h.mate_pos[h0 + j];
-        cnt0[w & 0xffff]++;
-        cnt1[w >> 16]++;
+      for (const OpenRec& r : recs) {
+        cnt0[r.want & 0xffff]++;
+        cnt1[r.want >> 16]++;
       }
       u32 s0 = 0, s1 = 0;
       for (int b = 0; b < 65536; ++b) {
         u32 c = cnt0[b]; cnt0[b] = s0; s0 += c;
         c = cnt1[b]; cnt1[b] = s1; s1 += c;
       }
-      for (u32 j : order)
-        scratch[cnt0[(u32)h.mate_pos[h0 + j] & 0xffff]++] = j;
-      for (u32 j : scratch)
-        order[cnt1[(u32)h.mate_pos[h0 + j] >> 16]++] = j;
+      for (const OpenRec& r : recs) scratch[cnt0[r.want & 0xffff]++] = r;
+      for (const OpenRec& r : scratch) recs[cnt1[r.want >> 16]++] = r;
       // merge: advance p over rows (left-sorted) to the first row with
-      // left >= want for each j in want order
+      // left >= want for each record in want order
       i64 p = k0;
-      for (u32 j : order) {
-        i64 want = h.mate_pos[h0 + j];
+      for (const OpenRec& r : recs) {
+        i64 want = (i64)r.want;
         while (p < k1 && h.left[h0 + p] < want) ++p;
-        uint64_t jid = h.read_id[h0 + j];
-        i64 jleft = h.left[h0 + j];
-        int8_t js = h.strand[h0 + j];
         for (i64 i = p; i < k1 && h.left[h0 + i] == want; ++i) {
-          if (i == (i64)j || !openable[i]) continue;
-          if (h.read_id[h0 + i] != jid) continue;
-          if (h.mate_pos[h0 + i] != jleft) continue;
+          if (i == (i64)r.j || !openable[i]) continue;
+          if (h.read_id[h0 + i] != r.jid) continue;
+          if (h.mate_pos[h0 + i] != (i64)r.jleft) continue;
           int8_t is = h.strand[h0 + i];
-          if (!(is == js || is == 0 || js == 0)) continue;
-          if (cand_cnt[j] < 2) ++cand_cnt[j];
-          gp.partner[j] = (i32)i;
+          if (!(is == r.js || is == 0 || r.js == 0)) continue;
+          if (cand_cnt[r.j] < 2) ++cand_cnt[r.j];
+          gp.partner[r.j] = (i32)i;
         }
       }
     }
@@ -763,44 +769,62 @@ class Runner {
   }
 
   // ---- Contig(PairedHit) (contig.cpp:216-267) ---------------------------
-  // writes the contig into out; returns valid flag
-  struct F { int8_t c; i64 l; i32 n; };
-  std::vector<F> ptc_g_, ptc_m_;  // reused scratch (hot: one call per pair)
+  // Cursor-based bulk emit: the caller pre-sizes the Out arrays to an
+  // upper bound for the whole cluster, and each contig writes through raw
+  // pointers (per-element vector push_backs dominated the emit profile).
+  struct EmitCur {
+    int8_t* gc;
+    i64* gl;
+    i32* gn;
+    i64 g;          // feature cursor (absolute index into g_*)
+    i64* goff;      // g_off data (goff[v+1] written per valid contig)
+    double* gms;
+    i64 v;          // valid-contig cursor
+    int8_t* cst;
+    int8_t* cor;
+    double* cms;
+    int8_t* cval;
+    i64* vcum;      // vcum data (vcum[c+1] written per contig)
+    i64 c;          // contig cursor
+  };
 
-  bool pair_to_contig(const PH& p, Out& o) {
-    // fast paths (singleton / disjoint mates) append the feature runs
-    // straight into the valid gather; only the overlapping-mate merge needs
-    // scratch (it can fail, and failures must leave g_* untouched)
-    size_t gbase = o.g_code.size();
+  void pair_to_contig(const PH& p, EmitCur& e) {
+    i64 gbase = e.g;
     auto append_read = [&](i32 i) {
       i64 f0 = h_.feat_off[i], f1 = h_.feat_off[i + 1];
-      o.g_code.insert(o.g_code.end(), h_.feat_code + f0, h_.feat_code + f1);
-      o.g_left.insert(o.g_left.end(), h_.feat_left + f0, h_.feat_left + f1);
-      o.g_len.insert(o.g_len.end(), h_.feat_len + f0, h_.feat_len + f1);
+      size_t nf = (size_t)(f1 - f0);
+      memcpy(e.gc + e.g, h_.feat_code + f0, nf);
+      memcpy(e.gl + e.g, h_.feat_left + f0, nf * 8);
+      memcpy(e.gn + e.g, h_.feat_len + f0, nf * 4);
+      e.g += (i64)nf;
     };
-    std::vector<F>& g = ptc_g_;
-    g.clear();
     // one read's features are strictly increasing in `left` (sequential
     // CIGAR runs), so the reference's stable_sort by (left, len) reduces
     // to appends / a stable two-way merge with left-mate priority —
     // byte-identical outcome, no sort
-    bool direct = false;  // wrote straight to g_* (always valid)
     bool paired = p.a >= 0 && p.b >= 0;
     if (paired) {
       i64 gap = h_.left[p.b] - h_.right[p.a] - 1;
       if (gap > 0) {
         // a's runs < gap run < b's runs: already in sorted order
         append_read(p.a);
-        o.g_code.push_back(2);
-        o.g_left.push_back(h_.right[p.a] + 1);
-        o.g_len.push_back((i32)gap);
+        e.gc[e.g] = 2;
+        e.gl[e.g] = h_.right[p.a] + 1;
+        e.gn[e.g] = (i32)gap;
+        ++e.g;
         append_read(p.b);
-        direct = true;
       } else {
-        // stable merge of the two sorted runs (ties keep a before b)
+        // stable merge of the two sorted runs (ties keep a before b),
+        // coalescing same-code neighbours on the fly
+        // (merge_genomicFeats, contig.h:111-138); failure rolls the
+        // cursor back so the contig comes out featureless (invalid)
         i64 a0 = h_.feat_off[p.a], a1 = h_.feat_off[p.a + 1];
         i64 b0 = h_.feat_off[p.b], b1 = h_.feat_off[p.b + 1];
         i64 ia = a0, ib = b0;
+        int8_t fc = 0;
+        i64 fl = 0;
+        i32 fn = 0;
+        bool have = false, ok = true;
         while (ia < a1 || ib < b1) {
           bool take_b;
           if (ia >= a1) take_b = true;
@@ -811,54 +835,44 @@ class Runner {
                      (bl == al && h_.feat_len[ib] < h_.feat_len[ia]);
           }
           i64 f = take_b ? ib++ : ia++;
-          g.push_back({h_.feat_code[f], h_.feat_left[f], h_.feat_len[f]});
-        }
-        // merge_genomicFeats (contig.h:111-138)
-        std::vector<F>& m = ptc_m_;
-        m.clear();
-        size_t i = 0;
-        bool ok = true;
-        while (i < g.size()) {
-          F f = g[i];
-          while (i < g.size() - 1 && f.c == g[i + 1].c) {
-            const F& nx = g[i + 1];
-            if (f.c == 1) {
-              if (!(f.l == nx.l && f.n == nx.n)) { ok = false; break; }
+          int8_t nc = h_.feat_code[f];
+          i64 nl = h_.feat_left[f];
+          i32 nn = h_.feat_len[f];
+          if (!have) {
+            fc = nc; fl = nl; fn = nn; have = true;
+          } else if (nc == fc) {
+            if (fc == 1) {
+              if (!(fl == nl && fn == nn)) { ok = false; break; }
             } else {
-              if (f.l + f.n - 1 < nx.l) { ok = false; break; }
-              i64 right = std::max(f.l + (i64)f.n - 1, nx.l + (i64)nx.n - 1);
-              f.n = (i32)(right - f.l + 1);
+              if (fl + fn - 1 < nl) { ok = false; break; }
+              i64 right = std::max(fl + (i64)fn - 1, nl + (i64)nn - 1);
+              fn = (i32)(right - fl + 1);
             }
-            ++i;
+          } else {
+            e.gc[e.g] = fc; e.gl[e.g] = fl; e.gn[e.g] = fn; ++e.g;
+            fc = nc; fl = nl; fn = nn;
           }
-          if (!ok) break;
-          m.push_back(f);
-          ++i;
         }
-        if (!ok) m.clear();
-        for (const F& f : m) {
-          o.g_code.push_back(f.c);
-          o.g_left.push_back(f.l);
-          o.g_len.push_back(f.n);
+        if (ok && have) {
+          e.gc[e.g] = fc; e.gl[e.g] = fl; e.gn[e.g] = fn; ++e.g;
         }
-        direct = true;  // scratch merge already written (possibly empty)
+        if (!ok) e.g = gbase;  // rollback: invalid contig
       }
     } else {
       append_read(p.a >= 0 ? p.a : p.b);
-      direct = true;
     }
-    int8_t orit = paired ? 2 : (p.a >= 0 ? 0 : 1);
-    o.ct_strand.push_back(pair_strand(p));
-    o.ct_orit.push_back(orit);
-    o.ct_mass.push_back(p.collapse);
-    bool valid = direct && o.g_code.size() > gbase;
-    o.ct_valid.push_back(valid ? 1 : 0);
+    e.cst[e.c] = pair_strand(p);
+    e.cor[e.c] = paired ? 2 : (p.a >= 0 ? 0 : 1);
+    e.cms[e.c] = p.collapse;
+    bool valid = e.g > gbase;
+    e.cval[e.c] = valid ? 1 : 0;
     if (valid) {
-      o.g_off.push_back((i64)o.g_code.size());
-      o.g_mass.push_back(p.collapse);
+      e.gms[e.v] = p.collapse;
+      ++e.v;
+      e.goff[e.v] = e.g;
     }
-    o.vcum.push_back(o.vcum.back() + (valid ? 1 : 0));
-    return valid;
+    e.vcum[e.c + 1] = e.vcum[e.c] + (valid ? 1 : 0);
+    ++e.c;
   }
 
   // ---- reference loading (addRef2Cluster, alignments.cpp:1025-1079) -----
@@ -1078,7 +1092,51 @@ class Runner {
         o.cl_wmass.push_back(c.wmass);
         for (i32 ri : c.refs) o.flat_ref_idx.push_back(ri);
         o.cl_ref_off.push_back((i64)o.flat_ref_idx.size());
-        for (const PH& p : c.uniq) pair_to_contig(p, o);
+        {
+          // pre-size to the cluster's upper bound, then emit through raw
+          // cursors (see pair_to_contig)
+          i64 fbound = 0;
+          for (const PH& p : c.uniq) {
+            if (p.a >= 0) fbound += h_.feat_off[p.a + 1] - h_.feat_off[p.a];
+            if (p.b >= 0) fbound += h_.feat_off[p.b + 1] - h_.feat_off[p.b];
+            ++fbound;  // potential pair-gap feature
+          }
+          size_t nct = c.uniq.size();
+          size_t g0 = o.g_code.size();
+          size_t c0 = o.ct_strand.size();
+          size_t v0 = o.g_mass.size();
+          o.g_code.resize(g0 + (size_t)fbound);
+          o.g_left.resize(g0 + (size_t)fbound);
+          o.g_len.resize(g0 + (size_t)fbound);
+          o.ct_strand.resize(c0 + nct);
+          o.ct_orit.resize(c0 + nct);
+          o.ct_mass.resize(c0 + nct);
+          o.ct_valid.resize(c0 + nct);
+          o.g_mass.resize(v0 + nct);
+          o.g_off.resize(v0 + 1 + nct);
+          o.vcum.resize(c0 + 1 + nct);
+          EmitCur e;
+          e.gc = o.g_code.data();
+          e.gl = o.g_left.data();
+          e.gn = o.g_len.data();
+          e.g = (i64)g0;
+          e.goff = o.g_off.data();
+          e.gms = o.g_mass.data();
+          e.v = (i64)v0;
+          e.cst = o.ct_strand.data();
+          e.cor = o.ct_orit.data();
+          e.cms = o.ct_mass.data();
+          e.cval = o.ct_valid.data();
+          e.vcum = o.vcum.data();
+          e.c = (i64)c0;
+          for (const PH& p : c.uniq) pair_to_contig(p, e);
+          o.g_code.resize((size_t)e.g);
+          o.g_left.resize((size_t)e.g);
+          o.g_len.resize((size_t)e.g);
+          o.g_mass.resize((size_t)e.v);
+          o.g_off.resize((size_t)e.v + 1);
+          // ct_*/vcum counts are exact (one entry per uniq pair)
+        }
         o.cl_uniq_off.push_back((i64)o.ct_strand.size());
         for (const Seg& s : segs) {
           o.sg_left.push_back(s.left);
