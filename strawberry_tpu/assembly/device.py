@@ -154,7 +154,7 @@ _device_disabled = False
 
 
 def batched_mcf(problems: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
-                device_min_nodes: int = 64,
+                device_min_nodes: int = 128,
                 stats: Optional[Dict[str, int]] = None
                 ) -> List[Optional[np.ndarray]]:
     """Solve many dense MCF problems, bucketed by node count.
@@ -162,14 +162,17 @@ def batched_mcf(problems: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     problems: [(cost, has_arc, lower)] with (M,M) matrices.
     Graphs below device_min_nodes solve on host; larger buckets batch on
     the TPU where the dense min-plus relaxations fill the VPU. The
-    threshold is set by the recorded chip-vs-host crossover
-    (benchmarks/mcf_crossover.json, tools/bench_mcf_crossover.py): the
-    real chip wins 1.1x at 64 nodes, ~5x at 128, ~3.7x at 256, while
-    typical <32-node loci solve fastest on host (the native SSP clears
-    them in tens of us, under device dispatch cost). Both paths are the
-    identical integer algorithm (flows cross-checked bit-equal in the
-    crossover run). Returns per-problem flow matrix or None
-    (infeasible)."""
+    threshold is set by the re-measured chip-vs-host crossover with REAL
+    host-fetch synchronization (benchmarks/mcf_crossover.json,
+    tools/bench_mcf_crossover.py — round 2's 16-node "54x" row timed only
+    the async dispatch because block_until_ready does not wait on the
+    tunneled backend): the chip wins 1.35x at 128 nodes and 2x at 256,
+    and loses below. No locus in the recorded 10M dataset reaches 128
+    nodes (flow_stats device=0), so this threshold only engages for
+    genuinely huge loci; the routing is measured, not aspirational. Both
+    paths are the identical integer algorithm (flows cross-checked
+    bit-equal in the crossover run). Returns per-problem flow matrix or
+    None (infeasible)."""
     global _device_disabled
     import os
     if os.environ.get("STRAWB_FORCE_HOST") or _device_disabled:

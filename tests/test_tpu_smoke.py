@@ -70,9 +70,11 @@ def _probe_tpu() -> bool:
 def test_pallas_em_on_chip():
     if not _probe_tpu():
         pytest.skip("no TPU platform reachable")
+    # fresh subprocess => full remote compile (~90s+ on the tunnel; the
+    # persistent cache does not help the axon backend), so leave headroom
     r = subprocess.run([sys.executable, "-c",
                         _SMOKE.replace("@ROOT@", ROOT)],
-                       capture_output=True, text=True, timeout=560,
+                       capture_output=True, text=True, timeout=1200,
                        env=_clean_env(), cwd=ROOT)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "PALLAS_OK" in r.stdout
