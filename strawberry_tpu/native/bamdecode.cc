@@ -642,6 +642,9 @@ struct StrawbSbam {
   bool hist_ready = false;
   // blocks
   std::vector<std::unique_ptr<SbamBlock>> blocks;
+  // opaque per-block caches (cluster.cc stores each block's GlobalPairs
+  // so pass 2 reuses pass 1's mate pairing); freed with the block
+  std::vector<std::pair<void*, void (*)(void*)>> block_aux;
   // low-memory mode: bytes retained in undropped blocks; the driver stalls
   // before finalizing a new block while over the cap (consumers drop
   // consumed blocks, releasing it). 0 = unbounded (default).
@@ -657,6 +660,15 @@ struct StrawbSbam {
 
   ~StrawbSbam() {
     if (driver.joinable()) driver.join();
+    for (auto& a : block_aux)
+      if (a.first && a.second) a.second(a.first);
+  }
+
+  void drop_aux_locked(int64_t k) {  // caller holds mu
+    if (k < (int64_t)block_aux.size() && block_aux[k].first) {
+      block_aux[k].second(block_aux[k].first);
+      block_aux[k] = {nullptr, nullptr};
+    }
   }
 
   void fail(const std::string& msg) {
@@ -1133,6 +1145,23 @@ StrawbSbam* strawb_sbam_open(const char* path, int32_t max_intron,
 
 void strawb_sbam_free(StrawbSbam* S) { delete S; }
 
+// opaque per-block cache slots (used by cluster.cc to persist each
+// block's GlobalPairs from pass 1 to pass 2)
+void* strawb_sbam_block_aux(StrawbSbam* S, int64_t k) {
+  std::lock_guard<std::mutex> g(S->mu);
+  if (k >= (int64_t)S->block_aux.size()) return nullptr;
+  return S->block_aux[k].first;
+}
+
+void strawb_sbam_block_set_aux(StrawbSbam* S, int64_t k, void* p,
+                               void (*free_fn)(void*)) {
+  std::lock_guard<std::mutex> g(S->mu);
+  if (k >= (int64_t)S->block_aux.size())
+    S->block_aux.resize(k + 1, {nullptr, nullptr});
+  S->drop_aux_locked(k);
+  S->block_aux[k] = {p, free_fn};
+}
+
 const char* strawb_sbam_error(StrawbSbam* S) {
   std::unique_lock<std::mutex> g(S->mu);
   S->cv.wait(g, [&] { return S->header_ready || S->ended; });
@@ -1253,6 +1282,7 @@ const int32_t* strawb_sbam_block_feat_len(StrawbSbam* S, int64_t k) {
 
 void strawb_sbam_drop_block(StrawbSbam* S, int64_t k) {
   std::lock_guard<std::mutex> g(S->mu);
+  S->drop_aux_locked(k);
   if (k < (int64_t)S->blocks.size() && S->blocks[k] &&
       !S->blocks[k]->ref_id.empty()) {
     S->retained -= SbamAccum::bytes_of(*S->blocks[k]);

@@ -410,6 +410,11 @@ class Runner {
     r_end_ = r.n;
   }
 
+  // pairing reuse: point at a precomputed GlobalPairs (the sbam block
+  // cache) instead of recomputing; call before run_range
+  void use_external_pairs(const GlobalPairs* gp) { gp_ext_ = gp; }
+  GlobalPairs take_pairs() { return std::move(gp_); }
+
   // run one (hits, refs) partition — index bounds into the GLOBAL arrays
   void run_range(Out& o, i64 h0, i64 h1, i64 r0, i64 r1) {
     cursor_ = h0;
@@ -417,10 +422,13 @@ class Runner {
     ref_off_ = r0;
     r_end_ = r1;
     has_load_all_refs_ = false;
-    {
+    if (gp_ext_ == nullptr) {
       strawb_perf::Scope _pg(cfg_.mode == 1 ? strawb_perf::kScan2
                                             : strawb_perf::kClusterScan);
       compute_global_pairs(h_, h0, h1, cfg_.max_frag_span, gp_);
+      gp_view_ = &gp_;
+    } else {
+      gp_view_ = gp_ext_;
     }
     gp_base_ = h0;
     open_serial_.assign((size_t)(h1 - h0), -1);
@@ -522,12 +530,13 @@ class Runner {
       return true;
     }
     i64 k = i - gp_base_;
-    if (!gp_.any_demoted || !gp_.demoted[k]) {
+    const GlobalPairs& gpv = *gp_view_;
+    if (!gpv.any_demoted || !gpv.demoted[k]) {
       // fast path: the global pairing proved this id is simple — either a
       // mutual unique mate (pairs iff both rows land in this cluster) or
       // provably never pairs (no matching candidate exists anywhere, so the
       // exact chain would leave it open and finalize drops it)
-      i32 p = gp_.partner[k];
+      i32 p = gpv.partner[k];
       if (p < 0) return hpp != hl;  // mimic the hpp==hl `return false`
       if (p < (i32)k) {
         if (open_serial_[p] == (i32)cur_serial_) {
@@ -1164,6 +1173,8 @@ class Runner {
   i64 r_end_ = 0;
   bool has_load_all_refs_ = false;
   GlobalPairs gp_;
+  const GlobalPairs* gp_ext_ = nullptr;
+  const GlobalPairs* gp_view_ = &gp_;
   i64 gp_base_ = 0;
   std::vector<i32> open_serial_;  // row -> serial of the cluster it opened in
   i64 cur_serial_ = 0;
@@ -1552,7 +1563,21 @@ static void job_spawn_sbam(StrawbClusterJob* job, i32 n_threads) {
         }
         auto* out = new StrawbClusters();
         Runner runner(job->cfg, w.h, job->r);
+        // single-block partitions cache their GlobalPairs on the stream
+        // so pass 2 reuses pass 1's mate pairing (dropped blocks — low
+        // mem — recompute; the pairing depends only on the hit arrays)
+        bool can_cache = !job->drop_consumed && w.blk0 == w.blk1;
+        const GlobalPairs* cached = can_cache
+            ? (const GlobalPairs*)strawb_sbam_block_aux(job->sbam, w.blk0)
+            : nullptr;
+        if (cached) runner.use_external_pairs(cached);
         runner.run_range(out->o, 0, w.h.n, w.r0, w.r1);
+        if (can_cache && cached == nullptr) {
+          auto* save = new GlobalPairs(runner.take_pairs());
+          strawb_sbam_block_set_aux(
+              job->sbam, w.blk0, save,
+              [](void* p) { delete (GlobalPairs*)p; });
+        }
         if (job->fu.enabled) fuse_prep(job->cfg, job->r, job->fu, out->o);
         if (job->fu.quant) fuse_quant(job->fu, out->o);
         if (job->drop_consumed)  // low-mem: outputs are cluster-owned copies

@@ -64,6 +64,12 @@ const int32_t* strawb_sbam_block_feat_len(StrawbSbam*, int64_t k);
 // low-memory mode: release block k's buffers once every consumer of the
 // current pass is done with them (pass 2 then re-opens the stream)
 void strawb_sbam_drop_block(StrawbSbam*, int64_t k);
+
+// opaque per-block cache (pass-1 -> pass-2 GlobalPairs reuse; freed with
+// the block / the stream)
+void* strawb_sbam_block_aux(StrawbSbam*, int64_t k);
+void strawb_sbam_block_set_aux(StrawbSbam*, int64_t k, void* p,
+                               void (*free_fn)(void*));
 // low-memory mode: stall the decoder before finalizing a new block while
 // more than `bytes` are retained in undropped blocks (min 2 live blocks
 // always admitted so consumers can make progress). 0 = unbounded.
