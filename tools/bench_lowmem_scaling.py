@@ -47,7 +47,7 @@ def dataset(n_frags):
 
 def main():
     rows = []
-    for n_frags in (2_500_000, 5_000_000, 10_000_000, 20_000_000):
+    for n_frags in (2_500_000, 5_000_000, 10_000_000):
         bam, gtf = dataset(n_frags)
         script = (_CHILD.replace("@ROOT@", ROOT).replace("@BAM@", bam)
                   .replace("@GTF@", gtf))
