@@ -416,15 +416,19 @@ class Sample:
 
     def finish_contig_task(self, task, flow_matrix) -> List[Contig]:
         """Second half: flow decomposition + transcript reconstruction +
-        assemble_2_contigs, given the solved flow matrix."""
+        assemble_2_contigs, given the solved flow (per-arc list from the
+        lemon-exact solver, or a dense matrix from the device DP)."""
         if task.fn is None:
             return []
         fn = task.fn
         if flow_matrix is None:
             return []
         g = fn.g
-        flow = {a: int(flow_matrix[g.arc_src[a], g.arc_dst[a]])
-                for a in range(g.n_arcs())}
+        if isinstance(flow_matrix, (list, tuple)):
+            flow = {a: int(flow_matrix[a]) for a in range(g.n_arcs())}
+        else:
+            flow = {a: int(flow_matrix[g.arc_src[a], g.arc_dst[a]])
+                    for a in range(g.n_arcs())}
         transcripts = fn.reconstruct(task.node2exon, task.exons,
                                      task.path_cstrs, task.cost_map, flow)
         if transcripts is None:
@@ -435,12 +439,12 @@ class Sample:
     def assemble_contig(self, l: int, r: int, strand: int,
                         hits: List[Contig]) -> List[Contig]:
         """Sample::assembleContig (alignments.cpp:64-117), host solve."""
-        from .assembly.mincostflow import solve_dense
+        from .assembly.lemonns import network_simplex
         task = self._resolve_task(self.prepare_contig_task(l, r, strand,
                                                             hits))
         if task.fn is None:
             return []
-        fm = solve_dense(*task.dense)
+        fm = network_simplex(task.fn.g, task.cost_map, task.min_flow_map)
         return self.finish_contig_task(task, fm)
 
     # ------------------------------------------------------------------
@@ -572,12 +576,12 @@ class Sample:
     def assemble_cluster(self, cluster: HitCluster, log: TextIO
                          ) -> List[Contig]:
         """Sample::assembleCluster (alignments.cpp:1429-1507), host solve."""
-        from .assembly.mincostflow import solve_dense
+        from .assembly.lemonns import network_simplex
         units = self._resolve_units(self.prepare_cluster_assembly(cluster))
         if units is None:
             return []
-        flows = [solve_dense(*t.dense) if t.fn is not None else None
-                 for (_k, t) in units]
+        flows = [network_simplex(t.fn.g, t.cost_map, t.min_flow_map)
+                 if t.fn is not None else None for (_k, t) in units]
         return self.finish_cluster_assembly(cluster, units, flows, log)
 
     # ------------------------------------------------------------------
@@ -606,6 +610,7 @@ class Sample:
         resolve/solve/finish Python work overlaps the native clustering of
         later chromosomes."""
         from .assembly.device import batched_mcf
+        from .assembly.lemonns import network_simplex
         self.num_cluster = self.num_cluster_base
         collected = []
 
@@ -613,7 +618,7 @@ class Sample:
             if not collected:
                 return
             self._resolve_units_batch(collected)
-            problems = []
+            tasks = []
             index = []
             for ci, (_cluster, units) in enumerate(collected):
                 if not units:
@@ -621,12 +626,23 @@ class Sample:
                 for ui, (_k, task) in enumerate(units):
                     if task.fn is not None:
                         index.append((ci, ui))
-                        problems.append(task.dense)
-            # host/device split recorded in flow_stats (truthful labels:
-            # typical <64-node graphs solve on host per the recorded
-            # crossover, benchmarks/mcf_crossover.json)
-            with PROF.phase("flow_dp", items=len(problems)):
-                flows_flat = batched_mcf(problems, stats=self.flow_stats)
+                        tasks.append(task)
+            # GOLDEN path: the lemon-exact NetworkSimplex — degenerate
+            # optima must land on the reference's flow (realistic loci hit
+            # equal-cost alternatives; see assembly/lemonns.py). The
+            # batched device DP (assembly/device.batched_mcf) finds A
+            # min-cost flow but not always lemon's on ties, so it is the
+            # opt-in throughput path (STRAWB_DEVICE_MCF=1).
+            with PROF.phase("flow_dp", items=len(tasks)):
+                if os.environ.get("STRAWB_DEVICE_MCF"):
+                    flows_flat = batched_mcf([t.dense for t in tasks],
+                                             stats=self.flow_stats)
+                else:
+                    flows_flat = [network_simplex(t.fn.g, t.cost_map,
+                                                  t.min_flow_map)
+                                  for t in tasks]
+                    self.flow_stats["host_ns"] = self.flow_stats.get(
+                        "host_ns", 0) + len(tasks)
             flowmap = dict(zip(index, flows_flat))
             for ci, (cluster, units) in enumerate(collected):
                 flows = [flowmap.get((ci, ui))
