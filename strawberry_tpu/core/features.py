@@ -121,8 +121,9 @@ class Contig:
 
     def sort_key(self):
         """Contig::operator< (contig.cpp:342-347): ref_id then lexicographic
-        feature comparison with GenomicFeature ordering."""
-        return (self.ref_id, tuple(feat_key(f) for f in self.feats))
+        feature comparison with GenomicFeature ordering ((left, len), code
+        not compared)."""
+        return (self.ref_id, [(f[1], f[2]) for f in self.feats])
 
     def structure_key(self):
         """Equality key: Contig::operator== compares features incl. code."""

@@ -517,7 +517,21 @@ void strawb_quant_locus_pre(
     // ---- theoretical weights per (iso, bin) ----------------------------
     strawb_perf::Scope _pw(strawb_perf::kQuantWeights);
     std::vector<double> alpha((size_t)(nbins * ni), 0.0);
-    std::vector<i64> bin_segs, seg_lens, implicit;
+    std::vector<i64> seg_lens, implicit;
+    // per-bin seg lists hoisted out of the isoform loop (they were being
+    // rebuilt for every (bin, isoform) pair)
+    std::vector<std::vector<i64>> bins_segs((size_t)nbins);
+    for (i64 b = 0; b < nbins; ++b)
+      for (i64 s = 0; s < ns; ++s)
+        if (rows[b][s]) bins_segs[b].push_back(s);
+    // last fragment length with a non-zero pdf value: beyond it every term
+    // of the weight integral is p*eff/(Lt-fl+1) with p == 0.0, i.e.
+    // exactly +/-0.0, and adding a zero never changes the accumulated w —
+    // so the tail is skippable bit-for-bit (big transcripts otherwise walk
+    // thousands of dead iterations per pair)
+    i64 pdf_nz = pdf_len - 1;
+    while (pdf_nz >= 0 && pdf[pdf_nz] == 0.0) --pdf_nz;
+
     for (i64 t = 0; t < ni; ++t) {
       const auto& segs_t = iso_segs[t];
       i64 Lt = t_exlen[iso_ids[t]];
@@ -528,9 +542,7 @@ void strawb_quant_locus_pre(
           alpha[(size_t)(b * ni + t)] = inv_len;
           continue;
         }
-        bin_segs.clear();
-        for (i64 s = 0; s < ns; ++s)
-          if (rows[b][s]) bin_segs.push_back(s);
+        const std::vector<i64>& bin_segs = bins_segs[b];
         // bin_under_iso (isoform.h:363-411): iso segs spanning the bin,
         // and indices of implicit (gap-skipped) inner segments
         i64 first_left = seg_l[bin_segs.front()];
@@ -584,8 +596,9 @@ void strawb_quant_locus_pre(
           if (inner > lmin) lmin = inner;
         }
         double w = 0.0;
-        for (i64 fl = lmin; fl <= lmax; ++fl) {
-          double p = (fl >= 0 && fl < pdf_len) ? pdf[fl] : 0.0;
+        i64 fl_hi = lmax < pdf_nz ? lmax : pdf_nz;  // zero-pdf tail skipped
+        for (i64 fl = lmin; fl <= fl_hi; ++fl) {
+          double p = (fl >= 0) ? pdf[fl] : 0.0;
           i64 eff = effective_len(seg_lens, implicit, fl, read_len);
           w += p * (double)eff / (double)(Lt - fl + 1);
         }
