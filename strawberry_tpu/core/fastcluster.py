@@ -385,11 +385,13 @@ def stream_native_clustering(table: HitTable, cfg: Config,
                          cfg.min_isoform_frac, cfg.min_junc_support,
                          cfg.min_support_for_long_junc,
                          cfg.binomial_overhang_alpha,
-                         cfg.intron_edge_weight], np.float64)
+                         cfg.intron_edge_weight,
+                         cfg.min_depth_4_contig], np.float64)
         icfg = np.array([cfg.long_junc_length,
                          1 if cfg.enforce_ref_models else 0,
                          cfg.max_cover_gap1, cfg.max_cover_gap2,
-                         cfg.min_dist_4_exon_edge], np.int64)
+                         cfg.min_dist_4_exon_edge, cfg.min_trans_len,
+                         1 if native_solve_enabled() else 0], np.int64)
         keep += [rf, rmass, dcfg, icfg]
         job = starters[1](
             *args, *tail, fuse_read_len,
@@ -787,6 +789,18 @@ def native_fld_batch(specs):
 _asm_bound = False
 
 
+def native_solve_enabled() -> bool:
+    """Whether per-locus flow problems are solved natively on the prep
+    workers (lemonns.cc NetworkSimplex + decompose/reconstruct) — the
+    default golden path. Disabled by STRAWB_NATIVE_SOLVE=0 (Python-oracle
+    solve, for parity testing) or STRAWB_DEVICE_MCF (the opt-in device DP
+    needs the dense flow problem shipped back instead)."""
+    import os
+    if os.environ.get("STRAWB_DEVICE_MCF"):
+        return False
+    return os.environ.get("STRAWB_NATIVE_SOLVE", "1") not in ("0", "false")
+
+
 def native_asmprep(cfg, l, r, read_len, hit_flat, cov_mass, weight_mass):
     """Whole per-locus assembly prep in one native call (assembleprep.cc):
     coverage + intron filters + splice graph + flow network. Returns None
@@ -821,7 +835,18 @@ def native_asmprep(cfg, l, r, read_len, hit_flat, cov_mass, weight_mass):
             fn.restype = rt
             fn.argtypes = [C.c_void_p]
         lib.strawb_asmprep_submit.restype = C.c_void_p
-        lib.strawb_asmprep_submit.argtypes = lib.strawb_asmprep.argtypes
+        lib.strawb_asmprep_submit.argtypes = (
+            lib.strawb_asmprep.argtypes
+            + [C.c_int32, C.c_int64, C.c_double])
+        lib.strawb_asm_solved.restype = C.c_int32
+        lib.strawb_asm_solved.argtypes = [C.c_void_p]
+        lib.strawb_asm_ntx.restype = C.c_int64
+        lib.strawb_asm_ntx.argtypes = [C.c_void_p]
+        for name, rt in [("txoff", i64p), ("tcode", i8p),
+                         ("tleft", i64p), ("tlen", i32p)]:
+            fn = getattr(lib, f"strawb_asm_{name}")
+            fn.restype = rt
+            fn.argtypes = [C.c_void_p]
         lib.strawb_asm_wait.restype = C.c_void_p
         lib.strawb_asm_wait.argtypes = [C.c_void_p]
         lib.strawb_asm_free.restype = None
@@ -859,9 +884,11 @@ def _asm_args(cfg, l, r, read_len, hit_flat, cov_mass, weight_mass):
 
 
 def native_asmprep_submit(cfg, l, r, read_len, hit_flat, cov_mass,
-                          weight_mass):
+                          weight_mass, solve=False):
     """Queue the per-locus prep on the native worker pool; returns an
-    opaque (job, keepalive) pending token for native_asmprep_result."""
+    opaque (job, keepalive) pending token for native_asmprep_result. With
+    solve=True the worker chains the lemonns NetworkSimplex + decompose/
+    reconstruct and the result carries finished transcript chains."""
     global _asm_bound
     from ..io.native import get_lib
     lib = get_lib()
@@ -872,7 +899,9 @@ def native_asmprep_submit(cfg, l, r, read_len, hit_flat, cov_mass,
                        np.zeros(0), np.zeros(0))  # force binding
     args, keep = _asm_args(cfg, l, r, read_len, hit_flat, cov_mass,
                            weight_mass)
-    job = lib.strawb_asmprep_submit(*args)
+    job = lib.strawb_asmprep_submit(
+        *args, 1 if solve else 0, cfg.min_trans_len,
+        float(cfg.min_depth_4_contig))
     return (job, keep)
 
 
@@ -923,7 +952,13 @@ def native_asmprep_result_batch(pendings):
                          ("cost", C.POINTER(C.c_int64)),
                          ("lower", C.POINTER(C.c_int64)),
                          ("cstrlen", C.POINTER(C.c_int64)),
-                         ("cstrarcs", C.POINTER(C.c_int64))]:
+                         ("cstrarcs", C.POINTER(C.c_int64)),
+                         ("solved", C.POINTER(C.c_int32)),
+                         ("txoff", C.POINTER(C.c_int64)),
+                         ("txfoff", C.POINTER(C.c_int64)),
+                         ("tcode", C.POINTER(C.c_int8)),
+                         ("tleft", C.POINTER(C.c_int64)),
+                         ("tlen", C.POINTER(C.c_int32))]:
             fn = getattr(lib, f"strawb_asmb_{name}")
             fn.restype = rt
             fn.argtypes = [C.c_void_p]
@@ -966,12 +1001,26 @@ def native_asmprep_result_batch(pendings):
         lower = al("lower", arc_off[-1])
         clen = al("cstrlen", nc_off[-1])
         carcs = al("cstrarcs", ca_off[-1])
+        solved = al("solved", n)
+        tx_off = al("txoff", n + 1)
+        txf_off = al("txfoff", tx_off[-1] + 1)
+        tcode = al("tcode", txf_off[-1])
+        tleft = al("tleft", txf_off[-1])
+        tlen = al("tlen", txf_off[-1])
     finally:
         lib.strawb_asmb_free(h)
     out = []
     for k in range(n):
         if not status[k]:
             out.append(None)
+            continue
+        if solved[k]:
+            txs = []
+            for t in range(tx_off[k], tx_off[k + 1]):
+                f0, f1 = txf_off[t], txf_off[t + 1]
+                txs.append(list(zip(tcode[f0:f1], tleft[f0:f1],
+                                    tlen[f0:f1])))
+            out.append(("solved", txs))
             continue
         e0, e1 = ne_off[k], ne_off[k + 1]
         a0, a1 = arc_off[k], arc_off[k + 1]
@@ -990,16 +1039,28 @@ def _asm_result(lib, h):
     try:
         if not lib.strawb_asm_status(h):
             return None
-        ne = lib.strawb_asm_ne(h)
-        na = lib.strawb_asm_narcs(h)
-        nc = lib.strawb_asm_ncstr(h)
-        M = lib.strawb_asm_m(h)
 
         def al(ptr, n):
             if n == 0:
                 return []
             return np.ctypeslib.as_array(ptr, shape=(int(n),)).tolist()
 
+        if lib.strawb_asm_solved(h):
+            # natively solved: final transcript feature chains only
+            ntx = lib.strawb_asm_ntx(h)
+            toff = al(lib.strawb_asm_txoff(h), ntx + 1)
+            nf = toff[-1] if ntx else 0
+            tcode = al(lib.strawb_asm_tcode(h), nf)
+            tleft = al(lib.strawb_asm_tleft(h), nf)
+            tlen = al(lib.strawb_asm_tlen(h), nf)
+            txs = [[(tcode[f], tleft[f], tlen[f])
+                    for f in range(toff[k], toff[k + 1])]
+                   for k in range(int(ntx))]
+            return ("solved", txs)
+        ne = lib.strawb_asm_ne(h)
+        na = lib.strawb_asm_narcs(h)
+        nc = lib.strawb_asm_ncstr(h)
+        M = lib.strawb_asm_m(h)
         exl = al(lib.strawb_asm_exl(h), ne)
         exr = al(lib.strawb_asm_exr(h), ne)
         exdoc = al(lib.strawb_asm_exdoc(h), ne)

@@ -21,6 +21,11 @@ struct AsmPrepCfg {
   int64_t max_cover_gap1, max_cover_gap2;
   double intron_edge_weight;
   int64_t min_dist_4_exon_edge;
+  // full-solve chaining: run NetworkSimplex + flowDecompose + reconstruct
+  // on the prep worker so the unit arrives as finished transcript chains
+  int32_t solve = 0;
+  int64_t min_trans_len = 0;
+  double min_depth_4_contig = 0.0;
 };
 
 // Submit a prep job that OWNS its input arrays (used by the fused

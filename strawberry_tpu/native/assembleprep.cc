@@ -17,6 +17,7 @@
 // the Python side to rebuild the Graph, the dense flow problem, and run
 // flowDecompose/reconstruct unchanged.
 
+#include "lemonns.h"
 #include "perfcnt.h"
 #include <algorithm>
 #include <atomic>
@@ -163,7 +164,224 @@ struct StrawbAsm {
   std::vector<i64> cstr_arcs;
   i64 M = 0;       // total nodes incl. source/sink
   i64 ne = 0;
+  // full-solve results (solved == 1): final transcript feature chains
+  // after NetworkSimplex + flowDecompose + reconstruct + assemble_2_contigs
+  // (filtered, merged, sorted, deduped — the Python side only wraps them
+  // as Contigs and names them)
+  i32 solved = 0;
+  std::vector<i64> tx_off;  // per-transcript feature offsets (ntx+1)
+  std::vector<i8> t_code;
+  std::vector<i64> t_left;
+  std::vector<i32> t_len;
 };
+
+// solveNetwork tail + assemble_2_contigs, exactly as the Python oracles
+// (assembly/flow.py reconstruct/flow_decompose/assemble_2_contigs; ref:
+// src/assembly.cpp:882-998, include/assembly.h:106-124). Runs on the prep
+// worker right after strawb_asmprep so the whole per-locus assembly —
+// coverage to final transcripts — is one native job.
+static void asm_solve_finish(StrawbAsm* R, i64 min_trans_len,
+                             double min_depth_4_contig) {
+  strawb_perf::Scope _ps(strawb_perf::kFlowNS);
+  R->solved = 1;
+  R->tx_off.push_back(0);
+  const i64 M = R->M;
+  const i64 m = (i64)R->arc_src.size();
+  const i64 ne = R->ne;
+  const i64 source = M - 2, sink = M - 1;
+  const i64 kIntMax = 2147483647LL;
+
+  std::vector<i64> flow;
+  if (!ns_solve(M, R->arc_src, R->arc_dst, R->arc_cost, R->arc_lower, flow))
+    return;  // INFEASIBLE/UNBOUNDED: oracle returns None -> no transcripts
+
+  // out-arc lists in creation order (iterated newest-first below)
+  std::vector<std::vector<i64>> out(M);
+  for (i64 a = 0; a < m; ++a) out[R->arc_src[a]].push_back(a);
+
+  struct Feat {
+    i8 code;
+    i64 left, len;
+  };
+  std::vector<std::vector<Feat>> transcripts;
+  if (ne == 1)
+    transcripts.push_back(
+        {{0, R->ex_l[0], R->ex_r[0] - R->ex_l[0] + 1}});
+
+  // ---- flow_decompose (assembly.cpp:116-172): greedy cheapest-arc walk;
+  // source out-arcs inherit the min cost of their target's out-arcs
+  std::vector<std::vector<i64>> paths;
+  {
+    std::vector<i64> copy_flow = flow;
+    std::vector<i64> edge_cost = R->arc_cost;
+    for (i64 oa : out[source]) {
+      i64 opt = kIntMax;
+      i64 cur = R->arc_dst[oa];
+      for (i64 o2 : out[cur]) opt = std::min(opt, R->arc_cost[o2]);
+      edge_cost[oa] = opt;
+    }
+    bool dead_end = false;
+    for (;;) {
+      bool has_flow = false;
+      for (i64 oa : out[source])
+        if (copy_flow[oa] > 0) {
+          has_flow = true;
+          break;
+        }
+      if (!has_flow || dead_end) break;
+      std::vector<i64> path;
+      i64 cur = source;
+      while (cur != sink) {
+        i64 opt_arc = -1;
+        i64 opt_cost = kIntMax;
+        const auto& o = out[cur];
+        for (size_t k = o.size(); k-- > 0;) {  // OutArcIt: newest first
+          i64 oa = o[k];
+          if (copy_flow[oa] > 0 && edge_cost[oa] < opt_cost) {
+            opt_cost = edge_cost[oa];
+            opt_arc = oa;
+          }
+        }
+        if (opt_arc == -1) {
+          // dead end: mirrors reference UB-free assumption; stop decompose
+          dead_end = true;
+          path.clear();
+          break;
+        }
+        cur = R->arc_dst[opt_arc];
+        path.push_back(opt_arc);
+      }
+      if (dead_end) break;
+      for (i64 a : path) copy_flow[a] -= 1;
+      paths.push_back(std::move(path));
+    }
+  }
+
+  // ---- reconstruct (assembly.cpp:925-980): expand constraint shortcut
+  // arcs, insert gap introns between non-adjacent exon features
+  const i64 ncstr = (i64)R->cstr_off.size() - 1;
+  auto exon_feat = [&](i64 node) -> Feat {
+    return {0, R->ex_l[node], R->ex_r[node] - R->ex_l[node] + 1};
+  };
+  auto push_gap = [&](std::vector<Feat>& t, const Feat& f1, const Feat& f2) {
+    i64 f1r = f1.left + f1.len - 1;
+    if (f2.left - f1r > 1) t.push_back({1, f1r + 1, f2.left - 1 - f1r});
+  };
+  for (const auto& p : paths) {
+    std::vector<Feat> tscp;
+    for (size_t i = 1; i < p.size(); ++i) {
+      i64 e = p[i];
+      i64 arc_s = R->arc_src[e];
+      i64 arc_t = R->arc_dst[e];
+      bool is_edge = true;
+      for (i64 c = 0; c < ncstr; ++c) {
+        i64 c0 = R->cstr_off[c], c1 = R->cstr_off[c + 1];
+        i64 ps = R->arc_src[R->cstr_arcs[c0]];
+        i64 pt = R->arc_dst[R->cstr_arcs[c1 - 1]];
+        if (arc_s == ps && arc_t == pt) {
+          is_edge = false;
+          for (i64 idx = c0; idx + 1 < c1; ++idx) {
+            Feat f1 = exon_feat(R->arc_src[R->cstr_arcs[idx]]);
+            Feat f2 = exon_feat(R->arc_src[R->cstr_arcs[idx + 1]]);
+            tscp.push_back(f1);
+            push_gap(tscp, f1, f2);
+          }
+          Feat f1 = exon_feat(R->arc_src[R->cstr_arcs[c1 - 1]]);
+          Feat f2 = exon_feat(R->arc_dst[R->cstr_arcs[c1 - 1]]);
+          tscp.push_back(f1);
+          push_gap(tscp, f1, f2);
+          break;
+        }
+      }
+      if (is_edge) {
+        Feat f1 = exon_feat(arc_s);
+        tscp.push_back(f1);
+        if (i + 1 < p.size()) push_gap(tscp, f1, exon_feat(arc_t));
+      }
+    }
+    transcripts.push_back(std::move(tscp));
+  }
+
+  // filter_short_transcripts (assembly.cpp:982-998)
+  {
+    std::vector<std::vector<Feat>> kept;
+    for (auto& t : transcripts) {
+      i64 match_len = 0;
+      for (const auto& f : t)
+        if (f.code == 0) match_len += f.len;
+      if (match_len >= min_trans_len) kept.push_back(std::move(t));
+    }
+    transcripts.swap(kept);
+    if (transcripts.empty()) return;  // oracle returns None
+  }
+
+  // ---- assemble_2_contigs (include/assembly.h:106-124): merge adjacent
+  // same-code features, depth-filter on exon-seg avg doc, sort, dedupe
+  std::vector<std::vector<Feat>> results;
+  for (const auto& feats : transcripts) {
+    std::vector<Feat> merged;
+    size_t i = 0, nf = feats.size();
+    while (i < nf) {
+      Feat f = feats[i];
+      while (i + 1 < nf && f.left + f.len == feats[i + 1].left &&
+             f.code == feats[i + 1].code) {
+        f.len += feats[i + 1].len;
+        ++i;
+      }
+      merged.push_back(f);
+      ++i;
+    }
+    // avg of the exon-seg docs looked up by feature LEFT (merged features
+    // whose left is no exon-seg left read 0.0 — doc_by_left.get default)
+    double cov_sum = 0.0;
+    i64 cov_n = 0;
+    for (const auto& f : merged) {
+      if (f.code != 0) continue;
+      double d = 0.0;
+      // exon lefts are sorted unique
+      auto it = std::lower_bound(R->ex_l.begin(), R->ex_l.end(), f.left);
+      if (it != R->ex_l.end() && *it == f.left)
+        d = R->ex_doc[it - R->ex_l.begin()];
+      cov_sum += d;
+      cov_n += 1;
+    }
+    if (cov_n == 0 || cov_sum / (double)cov_n < min_depth_4_contig)
+      continue;
+    results.push_back(std::move(merged));
+  }
+  // Contig::operator< — lexicographic (left, len); code NOT compared
+  // (stable, like Python list.sort)
+  std::stable_sort(results.begin(), results.end(),
+                   [](const std::vector<Feat>& a, const std::vector<Feat>& b) {
+                     size_t n = std::min(a.size(), b.size());
+                     for (size_t k = 0; k < n; ++k) {
+                       if (a[k].left != b[k].left)
+                         return a[k].left < b[k].left;
+                       if (a[k].len != b[k].len) return a[k].len < b[k].len;
+                     }
+                     return a.size() < b.size();
+                   });
+  auto feats_equal = [](const std::vector<Feat>& a,
+                        const std::vector<Feat>& b) {
+    if (a.size() != b.size()) return false;
+    for (size_t k = 0; k < a.size(); ++k)
+      if (a[k].code != b[k].code || a[k].left != b[k].left ||
+          a[k].len != b[k].len)
+        return false;
+    return true;
+  };
+  const std::vector<Feat>* prev = nullptr;
+  for (const auto& t : results) {
+    if (prev && feats_equal(*prev, t)) continue;
+    prev = &t;
+    for (const auto& f : t) {
+      R->t_code.push_back(f.code);
+      R->t_left.push_back(f.left);
+      R->t_len.push_back((i32)f.len);
+    }
+    R->tx_off.push_back((i64)R->t_code.size());
+  }
+}
 
 StrawbAsm* strawb_asmprep(
     i64 l, i64 r, i64 read_len,
@@ -791,6 +1009,11 @@ struct AsmJob {
   i64 max_cover_gap1, max_cover_gap2;
   double intron_edge_weight;
   i64 min_dist_4_exon_edge;
+  // full-solve chaining (solve != 0: run NetworkSimplex + decompose +
+  // reconstruct on the worker right after the prep)
+  i32 solve = 0;
+  i64 min_trans_len = 0;
+  double min_depth_4_contig = 0.0;
   // owned input storage (fused clusterizer submissions; empty when the
   // caller keeps the arrays alive itself)
   std::vector<i64> own_off, own_left;
@@ -839,6 +1062,8 @@ static void pool_worker() {
         j->enforce_ref_models, j->binomial_overhang_alpha,
         j->max_cover_gap1, j->max_cover_gap2, j->intron_edge_weight,
         j->min_dist_4_exon_edge);
+    if (j->solve && j->result->status)
+      asm_solve_finish(j->result, j->min_trans_len, j->min_depth_4_contig);
     j->done.store(1, std::memory_order_release);
     { std::lock_guard<std::mutex> lk(p.mu); }
     p.done_cv.notify_all();
@@ -873,7 +1098,8 @@ AsmJob* strawb_asmprep_submit(
     double min_isoform_frac, double min_junc_support, i64 long_junc_length,
     double min_support_for_long_junc, i32 enforce_ref_models,
     double binomial_overhang_alpha, i64 max_cover_gap1, i64 max_cover_gap2,
-    double intron_edge_weight, i64 min_dist_4_exon_edge) {
+    double intron_edge_weight, i64 min_dist_4_exon_edge,
+    i32 solve, i64 min_trans_len, double min_depth_4_contig) {
   auto* j = new AsmJob{l, r, read_len, nh, h_off, h_code, h_left, h_len,
                        cov_mass, weight_mass, small_overhang,
                        min_depth_4_locus, min_isoform_frac,
@@ -882,6 +1108,9 @@ AsmJob* strawb_asmprep_submit(
                        binomial_overhang_alpha, max_cover_gap1,
                        max_cover_gap2, intron_edge_weight,
                        min_dist_4_exon_edge};
+  j->solve = solve;
+  j->min_trans_len = min_trans_len;
+  j->min_depth_4_contig = min_depth_4_contig;
   pool_enqueue(j);
   return j;
 }
@@ -916,6 +1145,13 @@ struct StrawbAsmBatch {
   std::vector<i64> arc_src, arc_dst, arc_cost, arc_lower;
   std::vector<i64> cstr_len;         // per constraint row: arc count
   std::vector<i64> cstr_arcs;        // concatenated constraint arc ids
+  // native-solve results (per unit, when the submit requested solve)
+  std::vector<i32> solved;           // n
+  std::vector<i64> tx_off;           // n+1 — cumulative transcript counts
+  std::vector<i64> txf_off;          // ntx+1 — cumulative feature offsets
+  std::vector<i8> t_code;
+  std::vector<i64> t_left;
+  std::vector<i32> t_len;
 };
 
 StrawbAsmBatch* strawb_asm_wait_pack(const uint64_t* jobs, i64 n) {
@@ -926,6 +1162,9 @@ StrawbAsmBatch* strawb_asm_wait_pack(const uint64_t* jobs, i64 n) {
   b->arc_off.assign(n + 1, 0);
   b->nc_off.assign(n + 1, 0);
   b->ca_off.assign(n + 1, 0);
+  b->solved.assign(n, 0);
+  b->tx_off.assign(n + 1, 0);
+  b->txf_off.push_back(0);
   std::vector<StrawbAsm*> res(n, nullptr);
   for (i64 k = 0; k < n; ++k) {
     AsmJob* j = (AsmJob*)(uintptr_t)jobs[k];
@@ -933,8 +1172,20 @@ StrawbAsmBatch* strawb_asm_wait_pack(const uint64_t* jobs, i64 n) {
   }
   for (i64 k = 0; k < n; ++k) {
     StrawbAsm* r = res[k];
-    i64 ne = 0, na = 0, nc = 0, ca = 0;
-    if (r && r->status) {
+    i64 ne = 0, na = 0, nc = 0, ca = 0, ntx = 0;
+    if (r && r->status && r->solved) {
+      // natively solved: ship only the final transcript chains (the
+      // network arrays are spent — Python never rebuilds the graph)
+      b->status[k] = 1;
+      b->solved[k] = 1;
+      ntx = (i64)r->tx_off.size() - 1;
+      for (i64 t = 0; t < ntx; ++t)
+        b->txf_off.push_back(b->txf_off.back() +
+                             (r->tx_off[t + 1] - r->tx_off[t]));
+      b->t_code.insert(b->t_code.end(), r->t_code.begin(), r->t_code.end());
+      b->t_left.insert(b->t_left.end(), r->t_left.begin(), r->t_left.end());
+      b->t_len.insert(b->t_len.end(), r->t_len.begin(), r->t_len.end());
+    } else if (r && r->status) {
       b->status[k] = 1;
       b->M[k] = r->M;
       ne = r->ne;
@@ -961,6 +1212,7 @@ StrawbAsmBatch* strawb_asm_wait_pack(const uint64_t* jobs, i64 n) {
     b->arc_off[k + 1] = b->arc_off[k] + na;
     b->nc_off[k + 1] = b->nc_off[k] + nc;
     b->ca_off[k + 1] = b->ca_off[k] + ca;
+    b->tx_off[k + 1] = b->tx_off[k] + ntx;
     delete r;
   }
   return b;
@@ -983,6 +1235,12 @@ const i64* strawb_asmb_cstrlen(StrawbAsmBatch* b) { return b->cstr_len.data(); }
 const i64* strawb_asmb_cstrarcs(StrawbAsmBatch* b) {
   return b->cstr_arcs.data();
 }
+const i32* strawb_asmb_solved(StrawbAsmBatch* b) { return b->solved.data(); }
+const i64* strawb_asmb_txoff(StrawbAsmBatch* b) { return b->tx_off.data(); }
+const i64* strawb_asmb_txfoff(StrawbAsmBatch* b) { return b->txf_off.data(); }
+const i8* strawb_asmb_tcode(StrawbAsmBatch* b) { return b->t_code.data(); }
+const i64* strawb_asmb_tleft(StrawbAsmBatch* b) { return b->t_left.data(); }
+const i32* strawb_asmb_tlen(StrawbAsmBatch* b) { return b->t_len.data(); }
 void strawb_asmb_free(StrawbAsmBatch* b) { delete b; }
 
 // cumulative native thread-CPU seconds: [asmprep, quantprep, fld,
@@ -996,6 +1254,12 @@ void strawb_perf_read(double* out, i32 reset) {
 }
 
 i32 strawb_asm_status(StrawbAsm* r) { return r->status; }
+i32 strawb_asm_solved(StrawbAsm* r) { return r->solved; }
+i64 strawb_asm_ntx(StrawbAsm* r) { return (i64)r->tx_off.size() - 1; }
+const i64* strawb_asm_txoff(StrawbAsm* r) { return r->tx_off.data(); }
+const i8* strawb_asm_tcode(StrawbAsm* r) { return r->t_code.data(); }
+const i64* strawb_asm_tleft(StrawbAsm* r) { return r->t_left.data(); }
+const i32* strawb_asm_tlen(StrawbAsm* r) { return r->t_len.data(); }
 i64 strawb_asm_ne(StrawbAsm* r) { return r->ne; }
 i64 strawb_asm_narcs(StrawbAsm* r) { return (i64)r->arc_src.size(); }
 i64 strawb_asm_ncstr(StrawbAsm* r) { return (i64)r->cstr_off.size() - 1; }
@@ -1051,6 +1315,9 @@ AsmJob* strawb_asm_submit_owned(
   j->max_cover_gap2 = cfg.max_cover_gap2;
   j->intron_edge_weight = cfg.intron_edge_weight;
   j->min_dist_4_exon_edge = cfg.min_dist_4_exon_edge;
+  j->solve = cfg.solve;
+  j->min_trans_len = cfg.min_trans_len;
+  j->min_depth_4_contig = cfg.min_depth_4_contig;
   pool_enqueue(j);
   return j;
 }

@@ -1699,9 +1699,10 @@ StrawbClusterJob* strawb_cluster_start_qfused(
 // clustering workers. rf_* are the flat RLE features of the FULL reference
 // list (indexed by global ref index), rmass the per-ref masses. dcfg =
 // [min_anchor, min_depth_4_locus, min_isoform_frac, min_junc_support,
-//  min_support_for_long_junc, binomial_overhang_alpha, intron_edge_weight];
+//  min_support_for_long_junc, binomial_overhang_alpha, intron_edge_weight,
+//  min_depth_4_contig];
 // icfg = [long_junc_length, enforce_ref_models_asm, max_cover_gap1,
-//  max_cover_gap2, min_dist_4_exon_edge].
+//  max_cover_gap2, min_dist_4_exon_edge, min_trans_len, solve_flow].
 StrawbClusterJob* strawb_cluster_start_fused(
     i64 n, const i32* ref_id, const i64* left, const i64* right,
     const int8_t* strand, const uint16_t* flag, const i32* mate_ref,
@@ -1736,7 +1737,7 @@ StrawbClusterJob* strawb_cluster_start_fused(
   job->fu.rmass = rmass;
   job->fu.acfg = AsmPrepCfg{dcfg[0], dcfg[1], dcfg[2], dcfg[3], icfg[0],
                             dcfg[4], (i32)icfg[1], dcfg[5], icfg[2], icfg[3],
-                            dcfg[6], icfg[4]};
+                            dcfg[6], icfg[4], (i32)icfg[6], icfg[5], dcfg[7]};
   job_spawn(job, n_threads);
   return job;
 }
@@ -1790,7 +1791,7 @@ StrawbClusterJob* strawb_cluster_start_sbam_fused(
   job->fu.rmass = rmass;
   job->fu.acfg = AsmPrepCfg{dcfg[0], dcfg[1], dcfg[2], dcfg[3], icfg[0],
                             dcfg[4], (i32)icfg[1], dcfg[5], icfg[2], icfg[3],
-                            dcfg[6], icfg[4]};
+                            dcfg[6], icfg[4], (i32)icfg[6], icfg[5], dcfg[7]};
   job_spawn_sbam(job, n_threads);
   return job;
 }

@@ -17,6 +17,7 @@ enum Counter {
   kScan2,          // pass-2 (refdemand) variants of the cluster phases
   kCollapse2,
   kEmit2,
+  kFlowNS,         // NetworkSimplex + decompose/reconstruct (lemonns)
   kNumCounters
 };
 

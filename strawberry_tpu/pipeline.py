@@ -51,6 +51,10 @@ class AsmTask:
     path_cstrs: list = field(default_factory=list)
     dense: tuple = None
     pending: object = None  # in-flight native_asmprep job (resolve first)
+    # finished transcript feature chains from the native full solve
+    # (lemonns.cc NetworkSimplex + decompose + reconstruct); None = the
+    # flow problem is solved Python-side / on device instead
+    native_txs: object = None
 
 
 class Sample:
@@ -279,13 +283,16 @@ class Sample:
                     hit_flat = None
         if hit_flat is not None:
             try:
-                from .core.fastcluster import native_asmprep_submit
+                from .core.fastcluster import (native_asmprep_submit,
+                                               native_solve_enabled)
                 # queue on the native worker pool; the result is decoded
                 # lazily via _resolve_task so C++ prep overlaps the
-                # Python-side cluster orchestration
+                # Python-side cluster orchestration. By default the worker
+                # also solves + reconstructs (lemonns.cc); the Python NS
+                # oracle / device DP paths disable that via env
                 task.pending = native_asmprep_submit(
                     cfg, l, r, self.read_len, hit_flat, cov_mass,
-                    weight_mass)
+                    weight_mass, solve=native_solve_enabled())
                 task.ref_id = ref_id
                 return task
             except OSError:
@@ -377,9 +384,15 @@ class Sample:
 
     def _task_from_native(self, task, res, ref_id: int):
         """Materialize an AsmTask from the native assembleprep result:
-        rebuild the (tiny) Graph + maps, scatter the dense problem."""
+        finished transcripts when the worker also solved the flow
+        (lemonns.cc), else rebuild the (tiny) Graph + maps and scatter the
+        dense problem for the host/device solver."""
         from .assembly.flow import FlowNetwork
         from .assembly.splice_graph import ExonSeg
+        if res[0] == "solved":
+            task.ref_id = ref_id
+            task.native_txs = res[1]
+            return task
         exl, exr, exdoc, M, src, dst, cost, lower, cstrs = res
         fn = FlowNetwork(self.cfg)
         g = fn.g
@@ -417,7 +430,13 @@ class Sample:
     def finish_contig_task(self, task, flow_matrix) -> List[Contig]:
         """Second half: flow decomposition + transcript reconstruction +
         assemble_2_contigs, given the solved flow (per-arc list from the
-        lemon-exact solver, or a dense matrix from the device DP)."""
+        lemon-exact solver, or a dense matrix from the device DP). When the
+        native worker already solved + reconstructed (task.native_txs), just
+        wrap the finished feature chains as Contigs."""
+        if task.native_txs is not None:
+            return [Contig(ref_id=task.ref_id, strand=task.strand,
+                           feats=feats, mass=1.0, is_ref=True, contig_id=0)
+                    for feats in task.native_txs]
         if task.fn is None:
             return []
         fn = task.fn
@@ -442,6 +461,8 @@ class Sample:
         from .assembly.lemonns import network_simplex
         task = self._resolve_task(self.prepare_contig_task(l, r, strand,
                                                             hits))
+        if task.native_txs is not None:
+            return self.finish_contig_task(task, None)
         if task.fn is None:
             return []
         fm = network_simplex(task.fn.g, task.cost_map, task.min_flow_map)
@@ -620,13 +641,19 @@ class Sample:
             self._resolve_units_batch(collected)
             tasks = []
             index = []
+            nsolved = 0
             for ci, (_cluster, units) in enumerate(collected):
                 if not units:
                     continue
                 for ui, (_k, task) in enumerate(units):
-                    if task.fn is not None:
+                    if task.native_txs is not None:
+                        nsolved += 1  # solved on the native prep worker
+                    elif task.fn is not None:
                         index.append((ci, ui))
                         tasks.append(task)
+            if nsolved:
+                self.flow_stats["native_ns"] = self.flow_stats.get(
+                    "native_ns", 0) + nsolved
             # GOLDEN path: the lemon-exact NetworkSimplex — degenerate
             # optima must land on the reference's flow (realistic loci hit
             # equal-cost alternatives; see assembly/lemonns.py). The

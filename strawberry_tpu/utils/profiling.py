@@ -77,7 +77,8 @@ GLOBAL = Profiler(enabled=False)
 
 _NATIVE_COUNTER_NAMES = ("asm_prep", "quant_prep", "frag_len",
                          "cluster_scan", "cluster_collapse", "cluster_emit",
-                         "quant_weights", "scan_p2", "collapse_p2", "emit_p2")
+                         "quant_weights", "scan_p2", "collapse_p2", "emit_p2",
+                         "flow_ns")
 
 
 def native_counters(reset: bool = False) -> Dict[str, float]:
