@@ -109,33 +109,15 @@ static i64 gap_ef(i64 l_left, i64 l_right, i64 l_int, i64 rl, i64 gap) {
   return v > 0 ? v : 0;
 }
 
-static i64 effective_len(const std::vector<i64>& s,
-                         const std::vector<i64>& implicit, i64 fl, i64 rl) {
-  i64 gap = fl - 2 * rl;
+// n >= 5 reference semantics: bitmask enumeration over first-segment
+// offsets, with the reference's int-vs-uint comparison quirk (negative
+// bp_last takes the `continue`, isoform.h:485). Kept as the oracle for
+// effective_len_n5 below (tests fuzz them against each other); the hot
+// path uses the closed form.
+static i64 effective_len_n5_enum(const std::vector<i64>& s,
+                                 const std::vector<i64>& implicit, i64 fl,
+                                 i64 rl) {
   size_t n = s.size();
-  if (n == 1) return s[0] - fl + 1;
-  if (n == 2) return no_gap_ef(s[0], s[1], 0, fl);
-  if (n == 3) {
-    if (implicit.size() == 1) return gap_ef(s[0], s[2], s[1], rl, gap);
-    return no_gap_ef(s[0], s[2], s[1], fl) - gap_ef(s[0], s[2], s[1], rl,
-                                                    gap);
-  }
-  if (n == 4) {
-    i64 h14 = gap_ef(s[0], s[3], s[2] + s[1], rl, gap);
-    i64 h24 = gap_ef(s[3], s[1], s[2], rl, gap);
-    i64 h124 = gap_ef(s[0] + s[1], s[3], s[2], rl, gap);
-    i64 h13 = gap_ef(s[0], s[2], s[1], rl, gap);
-    i64 h134 = gap_ef(s[0], s[2] + s[3], s[1], rl, gap);
-    if (implicit.empty()) {
-      i64 total = no_gap_ef(s[0], s[3], s[1] + s[2], fl);
-      return total - (h124 - h14 - h24) - (h134 - h14 - h13) - h14;
-    }
-    if (implicit.size() == 2) return h14;
-    if (implicit[0] == 1) return h134 - h14 - h13;
-    return h124 - h14 - h24;
-  }
-  // n >= 5: bitmask enumeration, with the reference's int-vs-uint
-  // comparison quirk: negative bp_last takes the `continue`
   size_t ni = n - 2;
   i64 inner_sum = 0;
   for (size_t k = 1; k + 1 < n; ++k) inner_sum += s[k];
@@ -165,6 +147,109 @@ static i64 effective_len(const std::vector<i64>& s,
     if (hit == target) num_pos++;
   }
   return num_pos;
+}
+
+// Exact closed form of the n >= 5 enumeration: for fixed fl the candidate
+// offsets i form ONE interval (bp_last in [1, s[n-1]], i <= s[0]); the
+// left read covers inner prefix {1..jL(i)} (j covered iff i <= Lj :=
+// rl - prefix_before(j) - 1) and the right read covers inner suffix
+// {jR(i)..ni} (j covered iff i >= Rj := fl - rl - inner_sum +
+// suffix_after(j) + 1). hit == target demands: every implicit index
+// uncovered (i >= rl - pb(minI) and i <= Rmax(maxI) - 1) and every
+// non-implicit inner index covered (i <= Lj or i >= Rj, i.e. i avoids the
+// forbidden gap [Lj+1, Rj-1]). Lj and Rj both decrease with j, so the
+// forbidden gaps sweep left monotonically and their union is mergeable in
+// one pass — O(n) per fl instead of O(s[0]). Fuzz-validated value-equal
+// to effective_len_n5_enum (tests/test_core_units.py).
+static i64 effective_len_n5(const std::vector<i64>& s,
+                            const std::vector<i64>& implicit, i64 fl,
+                            i64 rl) {
+  size_t n = s.size();
+  i64 ni = (i64)n - 2;
+  i64 inner_sum = 0;
+  for (size_t k = 1; k + 1 < n; ++k) inner_sum += s[k];
+  i64 lo = fl - inner_sum - s[n - 1];
+  if (lo < 1) lo = 1;
+  i64 hi = fl - inner_sum - 1;
+  if (hi > s[0]) hi = s[0];
+  if (lo > hi) return 0;
+  // implicit indices must stay uncovered by either read
+  std::vector<char> is_imp(ni + 1, 0);
+  if (!implicit.empty()) {
+    i64 min_i = implicit.front(), max_i = implicit.front();
+    for (i64 ix : implicit) {
+      is_imp[ix] = 1;
+      if (ix < min_i) min_i = ix;
+      if (ix > max_i) max_i = ix;
+    }
+    i64 pb = 0;  // prefix_before(min_i)
+    for (i64 k = 1; k < min_i; ++k) pb += s[k];
+    i64 b = rl - pb;  // i >= b keeps min_i (and all later) left-uncovered
+    if (b > lo) lo = b;
+    i64 sa = 0;  // suffix_after(max_i)
+    for (i64 k = max_i + 1; k <= ni; ++k) sa += s[k];
+    i64 c = fl - rl - inner_sum + sa;  // i <= c keeps max_i right-uncovered
+    if (c < hi) hi = c;
+    if (lo > hi) return 0;
+  }
+  // subtract the union of forbidden gaps of the non-implicit inner segs
+  i64 count = hi - lo + 1;
+  i64 pb = 0, sa = inner_sum;
+  i64 cur_l = 0, cur_r = -1;  // current merged forbidden run (empty)
+  for (i64 j = 1; j <= ni; ++j) {
+    sa -= s[j];
+    if (!is_imp[j]) {
+      i64 Lj = rl - pb - 1;
+      i64 Rj = fl - rl - inner_sum + sa + 1;
+      i64 gl = Lj + 1, gr = Rj - 1;  // forbidden [gl, gr]
+      if (gl < lo) gl = lo;
+      if (gr > hi) gr = hi;
+      if (gl <= gr) {
+        if (cur_r < cur_l) {  // first run
+          cur_l = gl;
+          cur_r = gr;
+        } else if (gr >= cur_l - 1 && gl <= cur_r + 1) {  // overlap/adjacent
+          if (gl < cur_l) cur_l = gl;
+          if (gr > cur_r) cur_r = gr;
+        } else {  // disjoint: runs sweep left, flush the previous one
+          count -= cur_r - cur_l + 1;
+          cur_l = gl;
+          cur_r = gr;
+        }
+      }
+    }
+    pb += s[j];
+  }
+  if (cur_r >= cur_l) count -= cur_r - cur_l + 1;
+  return count;
+}
+
+static i64 effective_len(const std::vector<i64>& s,
+                         const std::vector<i64>& implicit, i64 fl, i64 rl) {
+  i64 gap = fl - 2 * rl;
+  size_t n = s.size();
+  if (n == 1) return s[0] - fl + 1;
+  if (n == 2) return no_gap_ef(s[0], s[1], 0, fl);
+  if (n == 3) {
+    if (implicit.size() == 1) return gap_ef(s[0], s[2], s[1], rl, gap);
+    return no_gap_ef(s[0], s[2], s[1], fl) - gap_ef(s[0], s[2], s[1], rl,
+                                                    gap);
+  }
+  if (n == 4) {
+    i64 h14 = gap_ef(s[0], s[3], s[2] + s[1], rl, gap);
+    i64 h24 = gap_ef(s[3], s[1], s[2], rl, gap);
+    i64 h124 = gap_ef(s[0] + s[1], s[3], s[2], rl, gap);
+    i64 h13 = gap_ef(s[0], s[2], s[1], rl, gap);
+    i64 h134 = gap_ef(s[0], s[2] + s[3], s[1], rl, gap);
+    if (implicit.empty()) {
+      i64 total = no_gap_ef(s[0], s[3], s[1] + s[2], fl);
+      return total - (h124 - h14 - h24) - (h134 - h14 - h13) - h14;
+    }
+    if (implicit.size() == 2) return h14;
+    if (implicit[0] == 1) return h134 - h14 - h13;
+    return h124 - h14 - h24;
+  }
+  return effective_len_n5(s, implicit, fl, rl);
 }
 
 // disjoint exon segments (interval.hpp:150-191) incl. the out-of-range
@@ -725,6 +810,19 @@ StrawbQuant* strawb_quant_finish_batch(
     }
   }
   return Q;
+}
+
+// ---- test surface: the n>=5 effective-length oracle vs closed form ------
+i64 strawb_efflen_enum(const i64* s, i64 n, const i64* implicit, i64 nimp,
+                       i64 fl, i64 rl) {
+  std::vector<i64> vs(s, s + n), vi(implicit, implicit + nimp);
+  return effective_len_n5_enum(vs, vi, fl, rl);
+}
+
+i64 strawb_efflen(const i64* s, i64 n, const i64* implicit, i64 nimp,
+                  i64 fl, i64 rl) {
+  std::vector<i64> vs(s, s + n), vi(implicit, implicit + nimp);
+  return effective_len(vs, vi, fl, rl);
 }
 
 const i64* strawb_quant_nbins(StrawbQuant* q) { return q->nbins.data(); }

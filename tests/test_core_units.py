@@ -135,3 +135,40 @@ def test_insert_size_empirical_pdf():
     assert isz.emp_dist_pdf(150) > 0
     # outside [min,max] also falls back
     assert isz.emp_dist_pdf(1000) >= 0
+
+
+def test_native_efflen_closed_form_vs_enum():
+    """The n>=5 closed-form effective length (quantprep.cc
+    effective_len_n5) must equal the reference-semantics bitmask
+    enumeration (isoform.h:476-514 incl. the bp_last quirk) exactly."""
+    import ctypes as C
+    import random
+    from strawberry_tpu.io.native import get_lib
+    try:
+        lib = get_lib()
+    except OSError:
+        pytest.skip("native lib unavailable")
+    i64p = C.POINTER(C.c_int64)
+    for f in ("strawb_efflen_enum", "strawb_efflen"):
+        fn = getattr(lib, f)
+        fn.restype = C.c_int64
+        fn.argtypes = [i64p, C.c_int64, i64p, C.c_int64, C.c_int64,
+                       C.c_int64]
+    rng = random.Random(1234)
+    for _ in range(20000):
+        n = rng.randint(5, 12)
+        s = [rng.randint(1, 60) if rng.random() < 0.8
+             else rng.randint(1, 800) for _ in range(n)]
+        ni = n - 2
+        imp = sorted(rng.sample(range(1, ni + 1),
+                                rng.randint(0, min(ni, 3)))) \
+            if rng.random() < 0.6 else []
+        rl = rng.choice([50, 76, 100, 150])
+        fl = rng.randint(0, sum(s) + 50)
+        sa = np.array(s, np.int64)
+        ia = np.array(imp, np.int64)
+        a = lib.strawb_efflen_enum(sa.ctypes.data_as(i64p), n,
+                                   ia.ctypes.data_as(i64p), len(imp), fl, rl)
+        b = lib.strawb_efflen(sa.ctypes.data_as(i64p), n,
+                              ia.ctypes.data_as(i64p), len(imp), fl, rl)
+        assert a == b, (s, imp, fl, rl, a, b)
