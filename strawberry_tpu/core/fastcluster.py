@@ -762,8 +762,11 @@ def native_fld_batch(specs):
         _fld_batch_bound = True
     hit_loc, h_off, h_code, h_left, h_len = _concat_flats(
         [s[1] for s in specs])
+    # s[0] is either a Contig list or an already-flat RLE tuple (native
+    # solve path — the transcripts come back from C++ pre-flattened)
     iso_loc, t_off, t_code, t_left, t_len = _concat_flats(
-        [flatten_contigs(s[0]) for s in specs])
+        [s[0] if isinstance(s[0], tuple) else flatten_contigs(s[0])
+         for s in specs])
     nh = int(hit_loc[-1])
     out = np.zeros(max(nh, 1), np.int32)
     cnt = np.zeros(len(specs), np.int64)
@@ -1004,9 +1007,22 @@ def native_asmprep_result_batch(pendings):
         solved = al("solved", n)
         tx_off = al("txoff", n + 1)
         txf_off = al("txfoff", tx_off[-1] + 1)
-        tcode = al("tcode", txf_off[-1])
-        tleft = al("tleft", txf_off[-1])
-        tlen = al("tlen", txf_off[-1])
+
+        def alnp(name, count, dtype):
+            if count == 0:
+                return np.zeros(0, dtype)
+            ptr = getattr(lib, f"strawb_asmb_{name}")(h)
+            return np.ctypeslib.as_array(ptr, shape=(int(count),)).copy()
+
+        # numpy copies: the per-unit RLE views feed the fragment-length
+        # batch directly (no Python re-flattening of the transcripts)
+        tcode_np = alnp("tcode", txf_off[-1], np.int8)
+        tleft_np = alnp("tleft", txf_off[-1], np.int64)
+        tlen_np = alnp("tlen", txf_off[-1], np.int32)
+        tcode = tcode_np.tolist()
+        tleft = tleft_np.tolist()
+        tlen = tlen_np.tolist()
+        txf_np = np.asarray(txf_off, np.int64)
     finally:
         lib.strawb_asmb_free(h)
     out = []
@@ -1020,7 +1036,10 @@ def native_asmprep_result_batch(pendings):
                 f0, f1 = txf_off[t], txf_off[t + 1]
                 txs.append(list(zip(tcode[f0:f1], tleft[f0:f1],
                                     tlen[f0:f1])))
-            out.append(("solved", txs))
+            g0, g1 = txf_off[tx_off[k]], txf_off[tx_off[k + 1]]
+            flat = (txf_np[tx_off[k]:tx_off[k + 1] + 1] - g0,
+                    tcode_np[g0:g1], tleft_np[g0:g1], tlen_np[g0:g1])
+            out.append(("solved", txs, flat))
             continue
         e0, e1 = ne_off[k], ne_off[k + 1]
         a0, a1 = arc_off[k], arc_off[k + 1]
@@ -1050,13 +1069,25 @@ def _asm_result(lib, h):
             ntx = lib.strawb_asm_ntx(h)
             toff = al(lib.strawb_asm_txoff(h), ntx + 1)
             nf = toff[-1] if ntx else 0
-            tcode = al(lib.strawb_asm_tcode(h), nf)
-            tleft = al(lib.strawb_asm_tleft(h), nf)
-            tlen = al(lib.strawb_asm_tlen(h), nf)
+
+            def alnp(ptr, count, dtype):
+                if count == 0:
+                    return np.zeros(0, dtype)
+                return np.ctypeslib.as_array(ptr,
+                                             shape=(int(count),)).copy()
+
+            tcode_np = alnp(lib.strawb_asm_tcode(h), nf, np.int8)
+            tleft_np = alnp(lib.strawb_asm_tleft(h), nf, np.int64)
+            tlen_np = alnp(lib.strawb_asm_tlen(h), nf, np.int32)
+            tcode = tcode_np.tolist()
+            tleft = tleft_np.tolist()
+            tlen = tlen_np.tolist()
             txs = [[(tcode[f], tleft[f], tlen[f])
                     for f in range(toff[k], toff[k + 1])]
                    for k in range(int(ntx))]
-            return ("solved", txs)
+            flat = (np.asarray(toff, np.int64), tcode_np, tleft_np,
+                    tlen_np)
+            return ("solved", txs, flat)
         ne = lib.strawb_asm_ne(h)
         na = lib.strawb_asm_narcs(h)
         nc = lib.strawb_asm_ncstr(h)

@@ -134,6 +134,37 @@ class Contig:
         return sum(self.avg_covs) / len(self.avg_covs)
 
 
+def sort_contigs(contigs: List["Contig"]) -> List["Contig"]:
+    """Exact Contig::operator< ordering (== sorted(key=sort_key)), fast:
+    numpy-lexsort on (ref_id, first/second feature (left, len)) — the full
+    lexicographic Python comparison runs only inside still-tied runs.
+    Shorter-prefix-first is preserved by the -1 sentinel (real coords and
+    lengths are positive)."""
+    n = len(contigs)
+    if n < 64:
+        return sorted(contigs, key=lambda c: c.sort_key())
+    import numpy as np
+    ref = np.fromiter((c.ref_id for c in contigs), np.int64, n)
+    l0 = np.fromiter((c.feats[0][1] for c in contigs), np.int64, n)
+    n0 = np.fromiter((c.feats[0][2] for c in contigs), np.int64, n)
+    l1 = np.fromiter((c.feats[1][1] if len(c.feats) > 1 else -1
+                      for c in contigs), np.int64, n)
+    n1 = np.fromiter((c.feats[1][2] if len(c.feats) > 1 else -1
+                      for c in contigs), np.int64, n)
+    order = np.lexsort((n1, l1, n0, l0, ref))  # stable; last key primary
+    out: List[Contig] = [contigs[i] for i in order]
+    # resolve runs still tied on the numeric prefix with the full key
+    keys = np.stack([ref[order], l0[order], n0[order], l1[order],
+                     n1[order]], axis=1)
+    run_start = np.flatnonzero(
+        np.any(keys[1:] != keys[:-1], axis=1)) + 1
+    bounds = [0] + run_start.tolist() + [n]
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        if b1 - b0 > 1:
+            out[b0:b1] = sorted(out[b0:b1], key=lambda c: c.sort_key())
+    return out
+
+
 def contig_sort_cmp(a: Contig, b: Contig) -> bool:
     """True if a < b under Contig::operator<."""
     if a.ref_id != b.ref_id:

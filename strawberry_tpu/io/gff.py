@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 from ..core.features import (Contig, S_INTRON, S_MATCH, STRAND_MINUS,
+                             sort_contigs,
                              STRAND_PLUS, STRAND_UNKNOWN)
 
 FEAT_OTHERS, FEAT_UTR, FEAT_EXON, FEAT_STOP, FEAT_START, FEAT_CDS, \
@@ -367,7 +368,7 @@ def load_ref_mrnas_native(g: NativeGff,
                 is_ref=True, contig_id=0, trans_id=g.tids[t],
                 parent_id=g.gids[t], ref_gene_id=g.gids[t],
                 ref_gene_name=g.gnames[t]))
-        per_chrom.sort(key=lambda x: x.sort_key())
+        per_chrom = sort_contigs(per_chrom)
         result.extend(per_chrom)
     return result
 
@@ -401,6 +402,6 @@ def load_ref_mrnas(reader: GffReader, ref_name2id: Dict[str, int]) -> List[Conti
                         trans_id=t.transcript_id, parent_id=t.gene_id,
                         ref_gene_id=t.gene_id, ref_gene_name=t.gene_name)
             per_chrom.append(ct)
-        per_chrom.sort(key=lambda x: x.sort_key())
+        per_chrom = sort_contigs(per_chrom)
         result.extend(per_chrom)
     return result

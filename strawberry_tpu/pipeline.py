@@ -21,7 +21,7 @@ from .config import Config
 from .core.cluster import (ClusterFactory, HitCluster, Segment,
                            finalize_cluster)
 from .core.features import (Contig, S_MATCH, STRAND_UNKNOWN, is_compatible,
-                            exonic_overlaps_len)
+                            exonic_overlaps_len, sort_contigs)
 from .core.insert_size import InsertSize
 from .io.bamreader import HitTable, load_bam
 from .io.gff import GffReader, load_ref_mrnas
@@ -55,6 +55,7 @@ class AsmTask:
     # (lemonns.cc NetworkSimplex + decompose + reconstruct); None = the
     # flow problem is solved Python-side / on device instead
     native_txs: object = None
+    native_flat: object = None  # same transcripts as RLE numpy arrays
 
 
 class Sample:
@@ -201,8 +202,10 @@ class Sample:
 
     # ------------------------------------------------------------------
     def frag_len_dist(self, transcripts: List[Contig], cluster: HitCluster,
-                      log: TextIO):
-        """Sample::fragLenDist (alignments.cpp:1363-1427)."""
+                      log: TextIO, iso_flat=None):
+        """Sample::fragLenDist (alignments.cpp:1363-1427). iso_flat: the
+        transcripts already flattened (native solve path) — skips the
+        Python re-flattening inside the whole-pass fld batch."""
         if not transcripts:
             return
         self.total_mapped_reads += int(cluster.weighted_mass)
@@ -216,7 +219,9 @@ class Sample:
                 # _drain_fld before anything reads frag_dist)
                 if flat is not None:
                     if len(flat[0]) > 1:
-                        self._fld_specs.append((transcripts, flat))
+                        self._fld_specs.append(
+                            (iso_flat if iso_flat is not None
+                             else transcripts, flat))
                     done = True
                 else:
                     hits = cluster.uniq_hit_contigs()
@@ -392,6 +397,7 @@ class Sample:
         if res[0] == "solved":
             task.ref_id = ref_id
             task.native_txs = res[1]
+            task.native_flat = res[2]
             return task
         exl, exr, exdoc, M, src, dst, cost, lower, cstrs = res
         fn = FlowNetwork(self.cfg)
@@ -581,8 +587,10 @@ class Sample:
                 asmb.ref_gene_id = cluster.ref_mrnas[0].ref_gene_id
                 asmb.ref_gene_name = cluster.ref_mrnas[0].ref_gene_name
                 asmb.trans_id = f"{asmb.parent_id}.{tid}"
-            self.frag_len_dist(assembled, cluster, log)
+            self.frag_len_dist(assembled, cluster, log,
+                               iso_flat=units[0][1].native_flat)
             return assembled
+        flats = []
         for (_kind, task), fm in zip(units, flows):
             assembled = self.finish_contig_task(task, fm)
             self.num_cluster += 1
@@ -590,8 +598,24 @@ class Sample:
             for tid, asmb in enumerate(assembled, start=1):
                 asmb.parent_id = f"{self.sample_name}.{cluster.id}"
                 asmb.trans_id = f"{asmb.parent_id}.{tid}"
+            if assembled:
+                flats.append(task.native_flat)  # None disables the fast path
             result.extend(assembled)
-        self.frag_len_dist(result, cluster, log)
+        iso_flat = None
+        if result and all(f is not None for f in flats):
+            if len(flats) == 1:
+                iso_flat = flats[0]
+            else:
+                offs = [flats[0][0]]
+                base = int(flats[0][0][-1])
+                for f in flats[1:]:
+                    offs.append(f[0][1:] + base)
+                    base += int(f[0][-1])
+                iso_flat = (np.concatenate(offs),
+                            np.concatenate([f[1] for f in flats]),
+                            np.concatenate([f[2] for f in flats]),
+                            np.concatenate([f[3] for f in flats]))
+        self.frag_len_dist(result, cluster, log, iso_flat=iso_flat)
         return result
 
     def assemble_cluster(self, cluster: HitCluster, log: TextIO
@@ -969,7 +993,7 @@ class Sample:
         self.factory.reset_cursor()
         # reset_refmRNAs (alignments.cpp:1091-1101)
         if not self.cfg.no_assembly:
-            refs = sorted(self.assembly, key=lambda c: c.sort_key())
+            refs = sort_contigs(self.assembly)
             self.assembly = []
             self.factory.set_ref_mrnas(refs)
         else:
