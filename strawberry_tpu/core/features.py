@@ -145,17 +145,18 @@ def sort_contigs(contigs: List["Contig"]) -> List["Contig"]:
         return sorted(contigs, key=lambda c: c.sort_key())
     import numpy as np
     ref = np.fromiter((c.ref_id for c in contigs), np.int64, n)
-    l0 = np.fromiter((c.feats[0][1] for c in contigs), np.int64, n)
-    n0 = np.fromiter((c.feats[0][2] for c in contigs), np.int64, n)
-    l1 = np.fromiter((c.feats[1][1] if len(c.feats) > 1 else -1
-                      for c in contigs), np.int64, n)
-    n1 = np.fromiter((c.feats[1][2] if len(c.feats) > 1 else -1
-                      for c in contigs), np.int64, n)
-    order = np.lexsort((n1, l1, n0, l0, ref))  # stable; last key primary
+    cols = [ref]
+    for fi in range(4):  # isoforms often share the first exon+intron
+        cols.append(np.fromiter(
+            (c.feats[fi][1] if len(c.feats) > fi else -1 for c in contigs),
+            np.int64, n))
+        cols.append(np.fromiter(
+            (c.feats[fi][2] if len(c.feats) > fi else -1 for c in contigs),
+            np.int64, n))
+    order = np.lexsort(tuple(reversed(cols)))  # stable; last key primary
     out: List[Contig] = [contigs[i] for i in order]
     # resolve runs still tied on the numeric prefix with the full key
-    keys = np.stack([ref[order], l0[order], n0[order], l1[order],
-                     n1[order]], axis=1)
+    keys = np.stack([c[order] for c in cols], axis=1)
     run_start = np.flatnonzero(
         np.any(keys[1:] != keys[:-1], axis=1)) + 1
     bounds = [0] + run_start.tolist() + [n]

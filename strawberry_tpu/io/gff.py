@@ -314,8 +314,8 @@ def parse_native(path: str) -> NativeGff:
 
     def arr(ptr, n, dt):
         if n == 0:
-            return []
-        return np.ctypeslib.as_array(ptr, shape=(int(n),)).tolist()
+            return np.zeros(0, dt)
+        return np.ctypeslib.as_array(ptr, shape=(int(n),)).astype(dt)
 
     h = lib.strawb_gff_parse(path.encode())
     try:
@@ -329,11 +329,12 @@ def parse_native(path: str) -> NativeGff:
         g.tids = lib.strawb_gff_tids(h).decode().split("\n")[:-1]
         g.gids = lib.strawb_gff_gids(h).decode().split("\n")[:-1]
         g.gnames = lib.strawb_gff_gnames(h).decode().split("\n")[:-1]
-        g.block_tx = arr(lib.strawb_gff_blocktx(h), nb + 1, None)
-        g.strand = arr(lib.strawb_gff_strand(h), ntx, None)
-        g.exoff = arr(lib.strawb_gff_exoff(h), ntx + 1, None)
-        g.exl = arr(lib.strawb_gff_exl(h), nex, None)
-        g.exr = arr(lib.strawb_gff_exr(h), nex, None)
+        g.block_tx = arr(lib.strawb_gff_blocktx(h), nb + 1,
+                         np.int64).tolist()
+        g.strand = arr(lib.strawb_gff_strand(h), ntx, np.int8).tolist()
+        g.exoff = arr(lib.strawb_gff_exoff(h), ntx + 1, np.int64)
+        g.exl = arr(lib.strawb_gff_exl(h), nex, np.int64)
+        g.exr = arr(lib.strawb_gff_exr(h), nex, np.int64)
         return g
     finally:
         lib.strawb_gff_free(h)
@@ -341,7 +342,10 @@ def parse_native(path: str) -> NativeGff:
 
 def load_ref_mrnas_native(g: NativeGff,
                           ref_name2id: Dict[str, int]) -> List[Contig]:
-    """load_ref_mrnas over the native parse result."""
+    """load_ref_mrnas over the native parse result. The exon/intron RLE
+    interleave is built with numpy in one shot; Python only zips per-
+    transcript slices into feature tuples."""
+    import numpy as np
     nb = len(g.block_tx) - 1
     if ref_name2id and nb:
         missing = sum(1 for n in g.chroms if n not in ref_name2id)
@@ -349,20 +353,41 @@ def load_ref_mrnas_native(g: NativeGff,
             raise RuntimeError(
                 "gff/gtf and bam have entirely different chromosome naming")
     order = sorted(range(nb), key=lambda b: ref_name2id.get(g.chroms[b], -1))
+    ntx = len(g.exoff) - 1
+    exoff, exl, exr = g.exoff, g.exl, g.exr
+    k = np.diff(exoff)
+    fcnt = np.maximum(2 * k - 1, 0)
+    foff = np.zeros(ntx + 1, np.int64)
+    np.cumsum(fcnt, out=foff[1:])
+    total = int(foff[-1])
+    f_code = np.zeros(total, np.int64)
+    f_left = np.zeros(total, np.int64)
+    f_len = np.zeros(total, np.int64)
+    if total:
+        tx_of_e = np.repeat(np.arange(ntx), k)
+        local = np.arange(len(exl)) - np.repeat(exoff[:-1], k)
+        pos = foff[:-1][tx_of_e] + 2 * local
+        f_left[pos] = exl
+        f_len[pos] = exr - exl + 1
+        inner = local < (k[tx_of_e] - 1)  # exon has a following intron
+        ip = pos[inner] + 1
+        e_idx = np.flatnonzero(inner)
+        f_code[ip] = S_INTRON
+        f_left[ip] = exr[e_idx] + 1
+        f_len[ip] = exl[e_idx + 1] - 1 - exr[e_idx]
+    # ONE C-level zip builds every feature tuple; per-transcript feats are
+    # then plain list slices (no per-tx tuple construction)
+    all_feats = list(zip(f_code.tolist(), f_left.tolist(), f_len.tolist()))
+    fo = foff.tolist()
     result: List[Contig] = []
     for b in order:
         ref_id = ref_name2id.get(g.chroms[b], -1)
         per_chrom: List[Contig] = []
         for t in range(g.block_tx[b], g.block_tx[b + 1]):
-            e0, e1 = g.exoff[t], g.exoff[t + 1]
-            if e0 == e1:
+            o0, o1 = fo[t], fo[t + 1]
+            if o0 == o1:
                 continue
-            feats = []
-            for e in range(e0, e1):
-                feats.append((S_MATCH, g.exl[e], g.exr[e] - g.exl[e] + 1))
-                if e + 1 < e1:
-                    feats.append((S_INTRON, g.exr[e] + 1,
-                                  g.exl[e + 1] - 1 - g.exr[e]))
+            feats = all_feats[o0:o1]
             per_chrom.append(Contig(
                 ref_id=ref_id, strand=g.strand[t], feats=feats, mass=1.0,
                 is_ref=True, contig_id=0, trans_id=g.tids[t],

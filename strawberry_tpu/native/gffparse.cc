@@ -26,6 +26,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <utility>
 #include <vector>
@@ -56,13 +57,14 @@ static bool contains(const std::string& hay, const char* needle) {
 
 // GffLine::extractAttr (gff.cpp:13-79 / io/gff.py:_extract_attr):
 // find `attr` (case-insensitive) outside quotes at a word boundary, return
-// the value and REMOVE the matched span from info.
-static std::string extract_attr(std::string& info, const std::string& attr) {
-  size_t attrlen = attr.size();
-  char cend = attr.back();
+// the value and REMOVE the matched span from info. info_l is the lowered
+// twin of info, kept position-synced (spans removed from both) so the
+// case-insensitive search needs no fresh lowercase pass per attribute.
+static std::string extract_attr(std::string& info, std::string& info_l,
+                                const std::string& attr_l) {
+  size_t attrlen = attr_l.size();
+  char cend = attr_l.back();
   size_t n = info.size();
-  std::string attr_l = lower(attr);
-  std::string info_l = lower(info);
   size_t pos = 0;
   size_t found = std::string::npos;
   while (true) {
@@ -105,12 +107,13 @@ static std::string extract_attr(std::string& info, const std::string& attr) {
   while (vend < n &&
          (info[vend] == '"' || info[vend] == ';' || info[vend] == ' '))
     vend++;
-  info = info.substr(0, found) + info.substr(vend);
+  info.erase(found, vend - found);
+  info_l.erase(found, vend - found);
   return val;
 }
 
 // t.lstrip("-").isdigit() then int(t) — nonpositive/garbage -> 0
-static i64 parse_coord(const std::string& s) {
+static i64 parse_coord(std::string_view s) {
   size_t i = 0;
   while (i < s.size() && s[i] == '-') i++;
   if (i == s.size()) return 0;
@@ -118,7 +121,10 @@ static i64 parse_coord(const std::string& s) {
     if (!std::isdigit((unsigned char)s[k])) return 0;
   // int("--5") would raise in the oracle; only a single '-' is a number
   if (i > 1) return 0;
-  return std::stoll(s);
+  i64 v = 0;
+  bool neg = i == 1;
+  for (size_t k = i; k < s.size(); ++k) v = v * 10 + (s[k] - '0');
+  return neg ? -v : v;
 }
 
 struct Tx {
@@ -196,18 +202,19 @@ StrawbGff* strawb_gff_parse(const char* path) {
 
   Block* cur = nullptr;
   std::string prev_chrom = "\x01\x01";  // sentinel: no chrom yet
-  std::vector<std::string> t;
+  std::vector<std::string_view> t;
   size_t lp = 0;
   while (lp <= raw.size()) {
     size_t le = raw.find('\n', lp);
     if (le == std::string::npos) le = raw.size();
-    std::string line = raw.substr(lp, le - lp);
+    std::string_view line(raw.data() + lp, le - lp);
     lp = le + 1;
     while (!line.empty() && (line.back() == '\n' || line.back() == '\r'))
-      line.pop_back();
+      line.remove_suffix(1);
     // skip: blank/comment/short (io/gff.py:144-147)
     size_t s0 = line.find_first_not_of(" \t\r\n\v\f");
-    if (s0 == std::string::npos || line[s0] == '#' || line.size() < 10) {
+    if (s0 == std::string_view::npos || line[s0] == '#' ||
+        line.size() < 10) {
       if (lp > raw.size()) break;
       continue;
     }
@@ -216,7 +223,7 @@ StrawbGff* strawb_gff_parse(const char* path) {
       size_t p = 0;
       while (true) {
         size_t q = line.find('\t', p);
-        if (q == std::string::npos) {
+        if (q == std::string_view::npos) {
           t.push_back(line.substr(p));
           break;
         }
@@ -225,14 +232,16 @@ StrawbGff* strawb_gff_parse(const char* path) {
       }
     }
     if (t.size() < 9) continue;
-    std::string chrom = lower(t[0]);
+    std::string chrom(t[0]);
+    for (char& c : chrom) c = (char)std::tolower((unsigned char)c);
     i64 start = parse_coord(t[3]);
     i64 end = parse_coord(t[4]);
     if (start == 0 || end == 0) continue;
     if (end < start) std::swap(start, end);
     if (t[5] != ".") continue;  // numeric-score drop quirk
     int8_t strand = t[6] == "+" ? 1 : t[6] == "-" ? 2 : 0;
-    std::string ft = lower(t[2]);
+    std::string ft(t[2]);
+    for (char& c : ft) c = (char)std::tolower((unsigned char)c);
     int feat_type;
     if (contains(ft, "utr")) feat_type = FEAT_UTR;
     else if (contains(ft, "exon")) feat_type = FEAT_EXON;
@@ -248,29 +257,34 @@ StrawbGff* strawb_gff_parse(const char* path) {
     else if (contains(ft, "gene")) feat_type = FEAT_GENE;
     else continue;
 
-    std::string info = t[8];
-    std::string ID = extract_attr(info, "id=");
-    std::string parent = extract_attr(info, "parent=");
+    static const std::string kId = "id=", kParent = "parent=",
+        kName = "name=", kGeneName = "gene_name=", kGenename = "genename=",
+        kGeneSym = "gene_sym=", kGeneEq = "gene=", kGeneId = "gene_id",
+        kGeneNameA = "gene_name", kTranscriptId = "transcript_id";
+    std::string info(t[8]);
+    std::string info_l = lower(info);
+    std::string ID = extract_attr(info, info_l, kId);
+    std::string parent = extract_attr(info, info_l, kParent);
     bool is_gff3 = !ID.empty() || !parent.empty();
     std::string name, gene_id, gene_name, transcript_id;
     if (is_gff3) {
       if (!ID.empty()) {
         if (contains(ID, "transcript")) feat_type = FEAT_MRNA;
         else if (contains(ID, "gene")) feat_type = FEAT_GENE;
-        name = extract_attr(info, "name=");
-        if (name.empty()) name = extract_attr(info, "gene_name=");
-        if (name.empty()) name = extract_attr(info, "genename=");
-        if (name.empty()) name = extract_attr(info, "gene_sym=");
-        if (name.empty()) name = extract_attr(info, "gene=");
+        name = extract_attr(info, info_l, kName);
+        if (name.empty()) name = extract_attr(info, info_l, kGeneName);
+        if (name.empty()) name = extract_attr(info, info_l, kGenename);
+        if (name.empty()) name = extract_attr(info, info_l, kGeneSym);
+        if (name.empty()) name = extract_attr(info, info_l, kGeneEq);
       }
       if (!parent.empty()) {
         size_t comma = parent.find(',');
         if (comma != std::string::npos) parent = parent.substr(0, comma);
       }
     } else {
-      gene_id = extract_attr(info, "gene_id");
-      gene_name = extract_attr(info, "gene_name");
-      transcript_id = extract_attr(info, "transcript_id");
+      gene_id = extract_attr(info, info_l, kGeneId);
+      gene_name = extract_attr(info, info_l, kGeneNameA);
+      transcript_id = extract_attr(info, info_l, kTranscriptId);
       if (feat_type == FEAT_GENE) {
         ID = gene_id;
         name = gene_name;
