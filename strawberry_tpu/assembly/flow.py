@@ -1,16 +1,20 @@
 """Constrained Minimum Path Cover via min-cost flow with lower bounds.
 
 Host oracle for FlowNetwork::{createNetwork,addWeight,findConstraints,
-solveNetwork,flowDecompose} (ref: src/assembly.cpp:549-998). The reference
-solves the flow problem with lemon's NetworkSimplex; we solve the identical
-LP with successive-shortest-paths (exact for these tiny per-locus DAGs) and
-reproduce lemon ListDigraph's *iteration order* (nodes and out-arcs iterate
+solveNetwork,flowDecompose} (ref: src/assembly.cpp:549-998), reproducing
+lemon ListDigraph's *iteration order* (nodes and out-arcs iterate
 newest-first, lemon list_graph.h:112-144,182-218) because the greedy flow
 decomposition breaks cost ties by iteration order.
 
-A batched TPU formulation of the same DP (Bellman-Ford relaxations as masked
-min-plus matrix ops over padded adjacency tensors) lives in
-assembly/device.py and is validated against this oracle.
+The golden flow solve itself is the lemon-exact NetworkSimplex
+(assembly/lemonns.py oracle; native/lemonns.cc on the hot path, where it
+is chained with the decompose/reconstruct below inside assembleprep.cc).
+min_cost_flow here delegates to the dense SSP spec
+(assembly/mincostflow.py) — the formulation the batched TPU DP
+(assembly/device.py, Bellman-Ford relaxations as masked min-plus matrix
+ops over padded adjacency tensors) is validated against; on degenerate
+optima it may pick a different optimal flow than lemon, which is why it is
+opt-in (STRAWB_DEVICE_MCF).
 """
 from __future__ import annotations
 

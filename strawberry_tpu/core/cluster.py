@@ -219,6 +219,12 @@ class HitCluster:
 
         if abs(hit_right - hit_left) > cfg.max_frag_span:
             self.leftmost, self.rightmost, self.ref_id = orig
+            if cfg.verbose:
+                # alignments.cpp:520-523 cerr diagnostic (text verbatim,
+                # including the stray "<< skipping")
+                import sys
+                sys.stderr.write(f"Hit start at {hit_left}  is longer "
+                                 "than max gene length<< skipping\n")
             return False
 
         self.read_ref_span.append(hit_right - hit_left + 1)
@@ -241,8 +247,21 @@ class HitCluster:
         chain = self.open_mates.get(hit_id)
         if chain is None:
             if hit_partner_pos > hit_left:
+                if rev and cfg.verbose:
+                    # alignments.cpp:552-557 cerr diagnostic
+                    import sys
+                    sys.stderr.write(
+                        f"Possible wrong read orientation at chr: "
+                        f"{hit_ref} for read start at {hit_left} and his "
+                        f"partner at {hit_partner_pos}\n")
                 self.open_mates[hit_id] = [PairedHit(left=i, right=None)]
             elif hit_partner_pos < hit_left:
+                if not rev and cfg.verbose:
+                    import sys
+                    sys.stderr.write(
+                        f"Possible wrong read orientation at chr: "
+                        f"{hit_ref} for read start at {hit_left} and his "
+                        f"partner at {hit_partner_pos}\n")
                 self.open_mates[hit_id] = [PairedHit(left=None, right=i)]
             else:
                 return False

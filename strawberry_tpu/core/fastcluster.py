@@ -1019,9 +1019,10 @@ def native_asmprep_result_batch(pendings):
         tcode_np = alnp("tcode", txf_off[-1], np.int8)
         tleft_np = alnp("tleft", txf_off[-1], np.int64)
         tlen_np = alnp("tlen", txf_off[-1], np.int32)
-        tcode = tcode_np.tolist()
-        tleft = tleft_np.tolist()
-        tlen = tlen_np.tolist()
+        # ONE C-level zip builds every transcript feature tuple; per-
+        # transcript feats are then plain list slices
+        all_tfeats = list(zip(tcode_np.tolist(), tleft_np.tolist(),
+                              tlen_np.tolist()))
         txf_np = np.asarray(txf_off, np.int64)
     finally:
         lib.strawb_asmb_free(h)
@@ -1031,11 +1032,8 @@ def native_asmprep_result_batch(pendings):
             out.append(None)
             continue
         if solved[k]:
-            txs = []
-            for t in range(tx_off[k], tx_off[k + 1]):
-                f0, f1 = txf_off[t], txf_off[t + 1]
-                txs.append(list(zip(tcode[f0:f1], tleft[f0:f1],
-                                    tlen[f0:f1])))
+            txs = [all_tfeats[txf_off[t]:txf_off[t + 1]]
+                   for t in range(tx_off[k], tx_off[k + 1])]
             g0, g1 = txf_off[tx_off[k]], txf_off[tx_off[k + 1]]
             flat = (txf_np[tx_off[k]:tx_off[k + 1] + 1] - g0,
                     tcode_np[g0:g1], tleft_np[g0:g1], tlen_np[g0:g1])

@@ -5,8 +5,9 @@ Mirrors the reference's universal exon/intron/gap run-length encoding
 triple with code in {MATCH, INTRON, GAP}; a Contig is a sorted feature list
 representing a read, a merged read pair, or a transcript.
 
-This module is the host-side semantic oracle; batched device equivalents of
-the hot predicates (compatibility, overlap length) live in quant/compat.py.
+This module is the host-side semantic oracle; the batched equivalents of
+the hot predicates (compatibility, overlap length) live in
+native/compat.cc and quant/device_prep.py.
 """
 from __future__ import annotations
 

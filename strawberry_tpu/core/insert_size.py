@@ -24,7 +24,8 @@ def normal_pdf(x: float, m: float, s: float) -> float:
 
 class InsertSize:
     def __init__(self, mean: float = 0.0, sd: float = 0.0,
-                 frag_lens: Optional[Sequence[int]] = None):
+                 frag_lens: Optional[Sequence[int]] = None,
+                 verbose: bool = False):
         if frag_lens is not None:
             self.use_emp = True
             self.total_reads = len(frag_lens)
@@ -39,6 +40,15 @@ class InsertSize:
             self.sd = math.sqrt(sq / len(frag_lens) - self.mean * self.mean)
             self.start_offset = int(fl.min())
             self.end_offset = int(fl.max())
+            if verbose:
+                # read.cpp:248-253 cerr diagnostics (C++ default %.6g)
+                import sys
+                sys.stderr.write(
+                    "Calculated averaged fragment length is: "
+                    f"{self.mean:.6g}\n"
+                    f"Calculated fragment length sd is: {self.sd:.6g}\n"
+                    f"Min fragment length is: {self.start_offset}\n"
+                    f"Max fragment length is: {self.end_offset}\n")
             counts = np.bincount(fl - self.start_offset,
                                  minlength=self.end_offset
                                  - self.start_offset + 1)

@@ -323,7 +323,16 @@ def load_bam(path: str, config: Optional[Config] = None) -> HitTable:
                 strand = STRAND_MINUS if ((rf and rev) or (fr and not rev)) \
                     else STRAND_PLUS
 
+        if (flag & 0x1) and mtid != tid and (flag & 0x8) and cfg.verbose:
+            # read.cpp:611-614 cerr diagnostic
+            sys.stderr.write(f"read {qname.decode(errors='replace')} "
+                             "has unmapped pair\n")
         if cfg.use_only_unique_hits and (nh > 1 or (flag & 0x100)):
+            if cfg.verbose:
+                # read.cpp:679-684 cerr diagnostic
+                sys.stderr.write(f"Ignoring read "
+                                 f"{qname.decode(errors='replace')} "
+                                 "has multiple hits\n")
             continue
 
         # genomic features (readhit_2_genomicFeats, contig.cpp:12-52)

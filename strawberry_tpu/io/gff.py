@@ -379,22 +379,43 @@ def load_ref_mrnas_native(g: NativeGff,
     # then plain list slices (no per-tx tuple construction)
     all_feats = list(zip(f_code.tolist(), f_left.tolist(), f_len.tolist()))
     fo = foff.tolist()
+    # per-transcript numeric sort keys ((left, len) of the first 4
+    # features, -1 sentinel past the end) — the within-chromosome
+    # Contig::operator< order computed entirely in numpy; only still-tied
+    # runs fall back to the full lexicographic comparison
+    cols = []
+    for j in range(4):
+        validj = foff[:-1] + j < foff[1:]
+        idx = np.minimum(foff[:-1] + j, np.maximum(foff[1:] - 1, 0))
+        cols.append(np.where(validj, f_left[idx], -1))
+        cols.append(np.where(validj, f_len[idx], -1))
     result: List[Contig] = []
     for b in order:
         ref_id = ref_name2id.get(g.chroms[b], -1)
-        per_chrom: List[Contig] = []
-        for t in range(g.block_tx[b], g.block_tx[b + 1]):
+        b0, b1 = g.block_tx[b], g.block_tx[b + 1]
+        if b0 == b1:
+            continue
+        bcols = [c[b0:b1] for c in cols]
+        sub = np.lexsort(tuple(reversed(bcols))) + b0  # stable
+        keys = np.stack(bcols, axis=1)[sub - b0]
+        ties = np.flatnonzero(np.any(keys[1:] != keys[:-1], axis=1)) + 1
+        bounds = [0] + ties.tolist() + [int(b1 - b0)]
+        sub = sub.tolist()
+        for r0, r1 in zip(bounds[:-1], bounds[1:]):
+            if r1 - r0 > 1:
+                sub[r0:r1] = sorted(
+                    sub[r0:r1],
+                    key=lambda t: [(f[1], f[2])
+                                   for f in all_feats[fo[t]:fo[t + 1]]])
+        for t in sub:
             o0, o1 = fo[t], fo[t + 1]
             if o0 == o1:
                 continue
-            feats = all_feats[o0:o1]
-            per_chrom.append(Contig(
-                ref_id=ref_id, strand=g.strand[t], feats=feats, mass=1.0,
-                is_ref=True, contig_id=0, trans_id=g.tids[t],
+            result.append(Contig(
+                ref_id=ref_id, strand=g.strand[t], feats=all_feats[o0:o1],
+                mass=1.0, is_ref=True, contig_id=0, trans_id=g.tids[t],
                 parent_id=g.gids[t], ref_gene_id=g.gids[t],
                 ref_gene_name=g.gnames[t]))
-        per_chrom = sort_contigs(per_chrom)
-        result.extend(per_chrom)
     return result
 
 

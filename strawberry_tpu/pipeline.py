@@ -38,6 +38,13 @@ class _NullLog:
         pass
 
 
+def _g(x) -> str:
+    """C++ `cerr << double` default formatting (6 significant digits)."""
+    if isinstance(x, int):
+        return str(x)
+    return f"{x:.6g}"
+
+
 @dataclass
 class AsmTask:
     """One per-segment assembly unit awaiting its flow solve."""
@@ -737,9 +744,17 @@ class Sample:
         if self.long_read_sample:
             return
         if mean != 0 and sd != 0:
+            if verbose:
+                sys.stderr.write(
+                    f"Using user specified insert size mean: {_g(mean)}"
+                    f" and standard deviation: {_g(sd)}\n")
             self.insert_dist = InsertSize(mean, sd)
         else:
-            self.insert_dist = InsertSize(frag_lens=self.frag_dist)
+            self.insert_dist = InsertSize(frag_lens=self.frag_dist,
+                                          verbose=verbose)
+            if verbose:
+                sys.stderr.write(
+                    "Using empirical insert size distribution \n")
 
     # ------------------------------------------------------------------
     def build_locus_context(self, cluster: HitCluster,
@@ -1112,6 +1127,10 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
     # len() on a streaming table blocks until EOF; don't force it pre-pass
     from .io.sbam import StreamingHitTable
     n_known = 0 if isinstance(table, StreamingHitTable) else len(table)
+    if cfg.verbose:
+        # Strawberry.cpp:305-310 cerr diagnostics
+        sys.stderr.write("Inspecting sample......\n"
+                         f"read len mode: {sample.read_len}\n")
     with PROF.phase("pass1_assemble", items=n_known):
         if cfg.no_assembly:
             sample.pre_process(log)
@@ -1126,9 +1145,14 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
                       iso.trans_id, iso.ref_gene_id, iso.ref_gene_name)
         return sample
 
+    if cfg.verbose:
+        sys.stderr.write("Total number of mapped reads is: "
+                         f"{sample.total_mapped_reads}\n")
+    if sample.long_read_sample:
+        sys.stderr.write("Invoking long read workflow\n")
     from .core.insert_size import NotEnoughReads
     try:
-        sample.select_insert_size()
+        sample.select_insert_size(verbose=cfg.verbose)
     except NotEnoughReads:
         # reference: "Not enough reads" + exit(0) (read.cpp:241-245)
         sys.stderr.write("Not enough reads\nExit program...\n")
