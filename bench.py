@@ -5,16 +5,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the reference's published single-thread CPU throughput of
 ~83,000 aligned reads/s (README.md:62 — 10M simulated reads in ~2 min).
 
-The primary number runs the SAME workload scale the reference's figure
-comes from: 10M simulated aligned reads (16 chromosomes, up to 8 isoforms,
-rf-stranded XS-less, 2% indels / 3% soft clips — the bench_10m dataset).
-A 1M-read quick set is reported alongside (fixed costs amortize less
-there), plus the --fast-em (f32 Pallas EM on the chip) numbers with their
-measured TPM deviation from the byte-golden run. Golden-path device_frac
-counts EM + quant-prep loci actually dispatched to the chip — 0 on this
-tunneled v5e by measurement (benchmarks/prep_crossover.json,
-benchmarks/device_characterization.json: f64 not IEEE-bit-exact and
-integer gather/stream rates below the 2-vCPU host's SIMD).
+The PRIMARY number is the realistic-shape workload: ~20k genes over 24
+chromosomes, up to 20 isoforms per gene, lognormal expression, 10M
+fr-stranded reads with indels/clips — the shape a user's real
+transcriptome has (the easy 16-chrom/<=8-isoform set the reference's
+published figure corresponds to is reported alongside as `easy_10m`).
+Both runs are golden-validated elsewhere (byte-identical GTF vs the
+reference binary, benchmarks/bench_realistic.json `golden`).
+
+Also reported: the 1M quick set and `--fast-em` (f32 Pallas EM on the
+chip) with its measured TPM deviation. fast-em is a DEVICE-VALIDATION
+mode on this tunneled rig: per-batch dispatch RTT (~28ms) exceeds the
+entire host f64 EM (~12ms), so it trails end-to-end while validating the
+on-chip path bit-for-spec. Golden-path device_frac counts EM+quant-prep
+loci actually dispatched to the chip — 0 on this tunneled v5e by
+measurement (benchmarks/prep_crossover.json,
+benchmarks/device_characterization.json).
 
 Set BENCH_FRAGS to override with the legacy small dataset only.
 """
@@ -33,6 +39,19 @@ BASELINE_READS_PER_SEC = 83000.0
 class Sink:
     def write(self, *_a):
         pass
+
+
+def dataset_realistic():
+    cache = "/tmp/strawberry_bench_realistic"
+    bam = os.path.join(cache, "sample_01.sorted.bam")
+    gtf = os.path.join(cache, "annotation.gtf")
+    if not (os.path.exists(bam) and os.path.exists(gtf)):
+        from strawberry_tpu.sim import make_dataset
+        make_dataset(cache, seed=303, n_frags=5_000_000, n_chroms=24,
+                     chrom_len=16_000_000, max_isoforms=20,
+                     exon_range=(2, 9), abundance="lognormal",
+                     protocol="fr", indel_rate=0.02, clip_rate=0.03)
+    return bam, gtf, dict(fr_strand=True)
 
 
 def dataset_10m():
@@ -91,7 +110,7 @@ def main():
     if legacy:
         bam, gtf, extra = dataset_1m(int(legacy))
     else:
-        bam, gtf, extra = dataset_10m()
+        bam, gtf, extra = dataset_realistic()
     cfg = Config(ref_gtf_filename=gtf, utilize_ref_models=True, **extra)
 
     # warm-up (JAX init, page cache; steady-state throughput is the metric)
@@ -106,8 +125,21 @@ def main():
     device_frac = dev / (dev + host) if (dev + host) else 0.0
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
+    # the easy 16-chrom set (the reference's published workload scale)
+    easy = {}
+    if not legacy:
+        bam10, gtf10, extra10 = dataset_10m()
+        cfg10 = Config(ref_gtf_filename=gtf10, utilize_ref_models=True,
+                       **extra10)
+        run_driver(bam10, cfg10, Sink(), Sink())
+        dt10, s10, _ = run_best(bam10, cfg10, reps=3)
+        easy = {"reads_per_sec": round(len(s10.table) / dt10, 1),
+                "vs_baseline": round(len(s10.table) / dt10
+                                     / BASELINE_READS_PER_SEC, 4),
+                "wall_s": round(dt10, 3)}
+
     # secondary: the 1M quick set, golden vs --fast-em (chip f32 Pallas EM,
-    # the measured on-chip winner) with TPM deviation
+    # device-validation mode) with TPM deviation
     bam1, gtf1, _ = dataset_1m()
     cfg1 = Config(ref_gtf_filename=gtf1, utilize_ref_models=True)
     run_driver(bam1, cfg1, Sink(), Sink())
@@ -126,14 +158,17 @@ def main():
         "value": round(rps, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
-        "dataset": "10M reads / 16 chroms / <=8 isoforms (reference's "
-                   "published workload scale)" if not legacy else
-                   f"legacy BENCH_FRAGS={legacy}",
+        "dataset": ("realistic transcriptome shape: 20k genes / 24 chroms "
+                    "/ <=20 isoforms / lognormal expression / 10M reads"
+                    if not legacy else f"legacy BENCH_FRAGS={legacy}"),
         "wall_s": round(dt, 3),
         "peak_rss_mb": int(peak_mb),
         "device_frac": round(device_frac, 4),
+        "easy_10m": easy,
         "reads_per_sec_1m": round(len(s1.table) / dt1, 1),
         "fast_em_reads_per_sec_1m": round(len(fs.table) / fdt, 1),
+        "fast_em_mode": "device-validation (tunnel RTT > host EM total; "
+                        "see README + benchmarks/em_crossover.json)",
         "fast_em_device_frac": round(fem.get("device", 0) / max(
             1, fem.get("device", 0) + fem.get("host", 0)), 4),
         "fast_em_tpm_p99_rel_err": round(tpm_p99, 8),
@@ -141,24 +176,23 @@ def main():
     # recorded artifacts for the other scoreboard lines
     bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "benchmarks")
-    for name, key in [("bench_realistic.json", "realistic_20k_loci"),
+    for name, key in [("bench_realistic.json", "realistic_golden"),
                       ("lowmem_scaling.json", "lowmem_scaling")]:
         p = os.path.join(bdir, name)
         if os.path.exists(p):
             with open(p) as fh:
                 j = json.load(fh)
-            if key == "realistic_20k_loci":
-                rec[key] = {
-                    "reads_per_sec": j["default"]["reads_per_sec"],
-                    "vs_baseline": j["default"]["vs_baseline"],
-                    "genes": j["dataset"]["genes"]}
+            if key == "realistic_golden":
+                if "golden" in j:
+                    rec[key] = j["golden"]
             else:
                 rec[key] = {"peak_rss_mb": [r["peak_rss_mb"]
                                             for r in j["rows"]],
                             "reads": [r["reads"] for r in j["rows"]]}
     print(json.dumps(rec))
-    print(f"# primary {n_reads} reads in {dt:.2f}s; EM device/host = "
-          f"{em.get('device', 0)}/{em.get('host', 0)}; 1M set {dt1:.2f}s; "
+    print(f"# primary (realistic) {n_reads} reads in {dt:.2f}s; EM "
+          f"device/host = {em.get('device', 0)}/{em.get('host', 0)}; "
+          f"easy 10M {easy.get('wall_s', '-')}s; 1M set {dt1:.2f}s; "
           f"fast-em 1M {fdt:.2f}s device/host = "
           f"{fem.get('device', 0)}/{fem.get('host', 0)}", file=sys.stderr)
 

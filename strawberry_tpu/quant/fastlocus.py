@@ -203,8 +203,12 @@ def build_prebuilt_locus(cfg: Config, read_len: int,
         est.transcripts.append(iso)
     ni = len(est.transcripts)
     nb = len(counts)
-    # build_problem truncates counts to int (estimate.cpp:284-288)
-    est._prebuilt = (np.trunc(counts), np.asarray(alpha).reshape(nb, ni))
+    # build_problem truncates counts to int (estimate.cpp:284-288).
+    # COPY alpha: the incoming slice views the partition's native cluster
+    # pool, and holding it until em_finish would pin every partition
+    # handle in RAM for the whole pass (the --low-mem linear-growth bug)
+    est._prebuilt = (np.trunc(counts),
+                     np.array(alpha, np.float64).reshape(nb, ni))
     return est
 
 
