@@ -532,6 +532,7 @@ class ClusterFactory:
         self.table = table
         self.cfg = cfg
         self.ref_mrnas: List[Contig] = ref_mrnas or []
+        self.ref_flat = None
         self.refmrna_offset = 0
         self.has_load_all_refs = False
         self.cursor = 0
@@ -539,8 +540,11 @@ class ClusterFactory:
     def reset_cursor(self):
         self.cursor = 0
 
-    def set_ref_mrnas(self, refs: List[Contig]):
+    def set_ref_mrnas(self, refs: List[Contig], flat=None):
         self.ref_mrnas = refs
+        # cached flat RLE (off, code, left, len) matching refs order, when
+        # the loader built one (saves re-flattening 100k+ transcripts)
+        self.ref_flat = flat
         self.refmrna_offset = 0
         self.has_load_all_refs = False
 

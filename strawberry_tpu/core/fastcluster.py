@@ -337,7 +337,7 @@ def run_native_clustering(table: HitTable, cfg: Config,
 def stream_native_clustering(table: HitTable, cfg: Config,
                              ref_mrnas: List[Contig], mode: str,
                              fuse_read_len: Optional[int] = None,
-                             fuse_quant=None):
+                             fuse_quant=None, ref_flat=None):
     """Streaming variant: yields NativeClusters per chromosome partition
     while the native workers are still clustering later partitions (the
     blocking wait releases the GIL).
@@ -377,7 +377,7 @@ def stream_native_clustering(table: HitTable, cfg: Config,
                     lib.strawb_cluster_start_qfused)
         tail = [0]  # n_threads
     if fuse_read_len is not None:
-        rf = flatten_contigs(ref_mrnas)
+        rf = ref_flat if ref_flat is not None else flatten_contigs(ref_mrnas)
         rf = tuple(np.ascontiguousarray(a) for a in rf)
         rmass = np.ascontiguousarray(
             np.array([r.mass for r in ref_mrnas], np.float64))

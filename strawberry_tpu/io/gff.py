@@ -340,8 +340,8 @@ def parse_native(path: str) -> NativeGff:
         lib.strawb_gff_free(h)
 
 
-def load_ref_mrnas_native(g: NativeGff,
-                          ref_name2id: Dict[str, int]) -> List[Contig]:
+def load_ref_mrnas_native(g: NativeGff, ref_name2id: Dict[str, int],
+                          return_flat: bool = False):
     """load_ref_mrnas over the native parse result. The exon/intron RLE
     interleave is built with numpy in one shot; Python only zips per-
     transcript slices into feature tuples."""
@@ -390,6 +390,7 @@ def load_ref_mrnas_native(g: NativeGff,
         cols.append(np.where(validj, f_left[idx], -1))
         cols.append(np.where(validj, f_len[idx], -1))
     result: List[Contig] = []
+    chosen: List[int] = []  # tx indices in result order (for the flat)
     for b in order:
         ref_id = ref_name2id.get(g.chroms[b], -1)
         b0, b1 = g.block_tx[b], g.block_tx[b + 1]
@@ -411,12 +412,25 @@ def load_ref_mrnas_native(g: NativeGff,
             o0, o1 = fo[t], fo[t + 1]
             if o0 == o1:
                 continue
+            chosen.append(t)
             result.append(Contig(
                 ref_id=ref_id, strand=g.strand[t], feats=all_feats[o0:o1],
                 mass=1.0, is_ref=True, contig_id=0, trans_id=g.tids[t],
                 parent_id=g.gids[t], ref_gene_id=g.gids[t],
                 ref_gene_name=g.gnames[t]))
-    return result
+    if not return_flat:
+        return result
+    # flat RLE in result order (gathered from the parse-order interleave)
+    ch = np.asarray(chosen, np.int64)
+    L = fcnt[ch] if len(ch) else np.zeros(0, np.int64)
+    off = np.zeros(len(ch) + 1, np.int64)
+    np.cumsum(L, out=off[1:])
+    starts = foff[:-1][ch] if len(ch) else np.zeros(0, np.int64)
+    pos = np.arange(int(off[-1])) + np.repeat(starts - off[:-1], L)
+    flat = (off, f_code[pos].astype(np.int8),
+            np.ascontiguousarray(f_left[pos]),
+            f_len[pos].astype(np.int32))
+    return result, flat
 
 
 def load_ref_mrnas(reader: GffReader, ref_name2id: Dict[str, int]) -> List[Contig]:

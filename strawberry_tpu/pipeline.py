@@ -168,7 +168,9 @@ class Sample:
             self.factory.set_ref_mrnas(load_ref_mrnas(reader, name2id))
         else:
             from .io.gff import load_ref_mrnas_native
-            self.factory.set_ref_mrnas(load_ref_mrnas_native(reader, name2id))
+            refs, flat = load_ref_mrnas_native(reader, name2id,
+                                               return_flat=True)
+            self.factory.set_ref_mrnas(refs, flat=flat)
 
     # ------------------------------------------------------------------
     def iter_clusters(self, mode: str, fuse_quant=None):
@@ -191,7 +193,8 @@ class Sample:
                 with PROF.phase("native_cluster"):
                     yield from stream_native_clustering(
                         self.table, self.cfg, self.factory.ref_mrnas, mode,
-                        fuse_read_len=fuse, fuse_quant=fuse_quant)
+                        fuse_read_len=fuse, fuse_quant=fuse_quant,
+                        ref_flat=self.factory.ref_flat)
                 return
             except OSError:
                 pass  # native lib unavailable; fall through
@@ -796,11 +799,13 @@ class Sample:
         use_fast = fragfile is None
         ref_flat = None
         if use_fast and self.factory.ref_mrnas:
-            try:
-                from .core.fastcluster import flatten_contigs
-                ref_flat = flatten_contigs(self.factory.ref_mrnas)
-            except Exception:
-                ref_flat = None
+            ref_flat = self.factory.ref_flat
+            if ref_flat is None:
+                try:
+                    from .core.fastcluster import flatten_contigs
+                    ref_flat = flatten_contigs(self.factory.ref_mrnas)
+                except Exception:
+                    ref_flat = None
 
         # fused quant prep: the clustering workers compute each locus's EM
         # inputs (quantprep.cc) as soon as its cluster is built. With
