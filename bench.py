@@ -37,6 +37,8 @@ BASELINE_READS_PER_SEC = 83000.0
 
 
 class Sink:
+    is_null = True  # pipeline hot paths skip log formatting for null sinks
+
     def write(self, *_a):
         pass
 

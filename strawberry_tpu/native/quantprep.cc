@@ -224,6 +224,98 @@ static i64 effective_len_n5(const std::vector<i64>& s,
   return count;
 }
 
+// The whole fragment-length integral for an n>=5 bin:
+//   w = sum_fl pdf[fl] * effective_len_n5(s, implicit, fl, rl) / (Lt-fl+1)
+// with every fl-independent quantity of the closed form hoisted out of the
+// loop (prefix/suffix sums, implicit bounds, the per-j gap endpoints —
+// Lj is constant and Rj = fl + Kj). Bit-identical to calling
+// effective_len_n5 per fl: the f64 accumulation sequence is unchanged.
+static double weight_integral_n5(const std::vector<i64>& s,
+                                 const std::vector<i64>& implicit,
+                                 i64 lmin, i64 fl_hi, i64 rl, i64 Lt,
+                                 const double* pdf) {
+  size_t n = s.size();
+  i64 ni = (i64)n - 2;
+  i64 inner_sum = 0;
+  for (size_t k = 1; k + 1 < n; ++k) inner_sum += s[k];
+  // per-j constants for the non-implicit forbidden gaps
+  static thread_local std::vector<i64> gl_v, kgr_v;
+  static thread_local std::vector<char> imp_v;
+  gl_v.clear();
+  kgr_v.clear();
+  imp_v.assign(ni + 1, 0);
+  i64 min_i = 0, max_i = 0;
+  if (!implicit.empty()) {
+    min_i = max_i = implicit.front();
+    for (i64 ix : implicit) {
+      imp_v[ix] = 1;
+      if (ix < min_i) min_i = ix;
+      if (ix > max_i) max_i = ix;
+    }
+  }
+  {
+    i64 pb = 0, sa = inner_sum;
+    for (i64 j = 1; j <= ni; ++j) {
+      sa -= s[j];
+      if (!imp_v[j]) {
+        gl_v.push_back(rl - pb);                  // Lj + 1
+        kgr_v.push_back(-rl - inner_sum + sa);    // Rj - 1 = fl + this
+      }
+      pb += s[j];
+    }
+  }
+  i64 b_lo = 0, c_k = 0;
+  bool has_imp = !implicit.empty();
+  if (has_imp) {
+    i64 pb = 0;
+    for (i64 k = 1; k < min_i; ++k) pb += s[k];
+    b_lo = rl - pb;                               // lo >= this
+    i64 sa = 0;
+    for (i64 k = max_i + 1; k <= ni; ++k) sa += s[k];
+    c_k = -rl - inner_sum + sa;                   // hi <= fl + this
+  }
+  size_t ng = gl_v.size();
+  double w = 0.0;
+  for (i64 fl = lmin; fl <= fl_hi; ++fl) {
+    i64 lo = fl - inner_sum - s[n - 1];
+    if (lo < 1) lo = 1;
+    i64 hi = fl - inner_sum - 1;
+    if (hi > s[0]) hi = s[0];
+    if (has_imp) {
+      if (b_lo > lo) lo = b_lo;
+      i64 c = fl + c_k;
+      if (c < hi) hi = c;
+    }
+    i64 count = 0;
+    if (lo <= hi) {
+      count = hi - lo + 1;
+      i64 cur_l = 0, cur_r = -1;
+      for (size_t g = 0; g < ng; ++g) {
+        i64 gl = gl_v[g], gr = fl + kgr_v[g];
+        if (gl < lo) gl = lo;
+        if (gr > hi) gr = hi;
+        if (gl <= gr) {
+          if (cur_r < cur_l) {
+            cur_l = gl;
+            cur_r = gr;
+          } else if (gr >= cur_l - 1 && gl <= cur_r + 1) {
+            if (gl < cur_l) cur_l = gl;
+            if (gr > cur_r) cur_r = gr;
+          } else {
+            count -= cur_r - cur_l + 1;
+            cur_l = gl;
+            cur_r = gr;
+          }
+        }
+      }
+      if (cur_r >= cur_l) count -= cur_r - cur_l + 1;
+    }
+    double p = (fl >= 0) ? pdf[fl] : 0.0;
+    w += p * (double)count / (double)(Lt - fl + 1);
+  }
+  return w;
+}
+
 static i64 effective_len(const std::vector<i64>& s,
                          const std::vector<i64>& implicit, i64 fl, i64 rl) {
   i64 gap = fl - 2 * rl;
@@ -682,10 +774,21 @@ void strawb_quant_locus_pre(
         }
         double w = 0.0;
         i64 fl_hi = lmax < pdf_nz ? lmax : pdf_nz;  // zero-pdf tail skipped
-        for (i64 fl = lmin; fl <= fl_hi; ++fl) {
-          double p = (fl >= 0) ? pdf[fl] : 0.0;
-          i64 eff = effective_len(seg_lens, implicit, fl, read_len);
-          w += p * (double)eff / (double)(Lt - fl + 1);
+        if (seg_lens.size() == 1) {
+          i64 s0 = seg_lens[0];
+          for (i64 fl = lmin; fl <= fl_hi; ++fl) {
+            double p = (fl >= 0) ? pdf[fl] : 0.0;
+            w += p * (double)(s0 - fl + 1) / (double)(Lt - fl + 1);
+          }
+        } else if (seg_lens.size() >= 5) {
+          w = weight_integral_n5(seg_lens, implicit, lmin, fl_hi,
+                                 read_len, Lt, pdf);
+        } else {
+          for (i64 fl = lmin; fl <= fl_hi; ++fl) {
+            double p = (fl >= 0) ? pdf[fl] : 0.0;
+            i64 eff = effective_len(seg_lens, implicit, fl, read_len);
+            w += p * (double)eff / (double)(Lt - fl + 1);
+          }
         }
         alpha[(size_t)(b * ni + t)] = w;
       }

@@ -34,6 +34,8 @@ from .utils.profiling import GLOBAL as PROF
 
 
 class _NullLog:
+    is_null = True  # hot paths skip f-string building for null logs
+
     def write(self, *_a, **_k):
         pass
 
@@ -254,13 +256,15 @@ class Sample:
                     fl = exonic_overlaps_len(transcripts[mark], h.left,
                                              h.right)
                     self.frag_dist.append(fl)
-        ref_name = self.table.ref_real_names[cluster.ref_id] \
-            if cluster.ref_id >= 0 else "?"
-        log.write(f"Finish inspecting locus: {ref_name}:"
-                  f"{cluster.leftmost}-{cluster.rightmost}\n")
-        log.write(f"Found {len(cluster.ref_mrnas)} of ref mRNAs "
-                  f"from the reference gtf file.\n")
-        log.write(f"Number of total unique hits: {cluster.num_uniq()}\n\n")
+        if not getattr(log, "is_null", False):
+            ref_name = self.table.ref_real_names[cluster.ref_id] \
+                if cluster.ref_id >= 0 else "?"
+            log.write(f"Finish inspecting locus: {ref_name}:"
+                      f"{cluster.leftmost}-{cluster.rightmost}\n")
+            log.write(f"Found {len(cluster.ref_mrnas)} of ref mRNAs "
+                      f"from the reference gtf file.\n")
+            log.write(f"Number of total unique hits: "
+                      f"{cluster.num_uniq()}\n\n")
 
     # ------------------------------------------------------------------
     def prepare_contig_task(self, l: int, r: int, strand: int,
@@ -648,10 +652,12 @@ class Sample:
         for cluster in self.iter_clusters("refguide"):
             asmb = self.assemble_cluster(cluster, log)
             self.assembly.extend(asmb)
-            ref_name = self.table.ref_real_names[cluster.ref_id]
-            log.write(f"Inspect gene: {ref_name}:{cluster.leftmost}-"
-                      f"{cluster.rightmost}\n")
-            log.write(f"Has inspected {self.total_mapped_reads} reads\n")
+            if not getattr(log, "is_null", False):
+                ref_name = self.table.ref_real_names[cluster.ref_id]
+                log.write(f"Inspect gene: {ref_name}:"
+                          f"{cluster.leftmost}-{cluster.rightmost}\n")
+                log.write(f"Has inspected {self.total_mapped_reads} "
+                          f"reads\n")
             if len(self._fld_specs) >= 128:
                 self._flush_fld_async()
         self._drain_fld()
@@ -711,10 +717,12 @@ class Sample:
                 asmb = self.finish_cluster_assembly(cluster, units, flows,
                                                     log)
                 self.assembly.extend(asmb)
-                ref_name = self.table.ref_real_names[cluster.ref_id]
-                log.write(f"Inspect gene: {ref_name}:{cluster.leftmost}-"
-                          f"{cluster.rightmost}\n")
-                log.write(f"Has inspected {self.total_mapped_reads} reads\n")
+                if not getattr(log, "is_null", False):
+                    ref_name = self.table.ref_real_names[cluster.ref_id]
+                    log.write(f"Inspect gene: {ref_name}:"
+                              f"{cluster.leftmost}-{cluster.rightmost}\n")
+                    log.write(f"Has inspected {self.total_mapped_reads} "
+                              f"reads\n")
             collected.clear()
 
         for cluster in self.iter_clusters("refguide"):

@@ -248,7 +248,7 @@ class LocusContext:
         """FPKM / frac / low-expression filter given solved theta."""
         cfg = self.cfg
         niso = len(self.transcripts)
-        if log is not None:
+        if log is not None and not getattr(log, "is_null", False):
             for i in range(niso):
                 log.write(f"isoform {i+1} has {theta[i]:f} raw read count.\n")
         sum_fpkm = 0.0
