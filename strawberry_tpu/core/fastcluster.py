@@ -260,26 +260,26 @@ class NativeCluster:
 def _pack_refs(ref_mrnas: List[Contig]):
     """Reference-transcript bounds + gene codes as flat arrays (the refs
     half of the clusterizer's inputs)."""
+    n = len(ref_mrnas)
     gene_codes: Dict[str, int] = {}
-    rgene = np.empty(len(ref_mrnas), np.int32)
-    rref = np.empty(len(ref_mrnas), np.int32)
-    rleft = np.empty(len(ref_mrnas), np.int64)
-    rright = np.empty(len(ref_mrnas), np.int64)
-    rstrand = np.empty(len(ref_mrnas), np.int8)
-    for i, r in enumerate(ref_mrnas):
+    gl: List[int] = []
+    for r in ref_mrnas:
         pid = r.parent_id
         if pid == "":
-            rgene[i] = -1
+            gl.append(-1)
         else:
             code = gene_codes.get(pid)
             if code is None:
                 code = len(gene_codes)
                 gene_codes[pid] = code
-            rgene[i] = code
-        rref[i] = r.ref_id
-        rleft[i] = r.left
-        rright[i] = r.right
-        rstrand[i] = r.strand
+            gl.append(code)
+    rgene = np.asarray(gl, np.int32)
+    rref = np.fromiter((r.ref_id for r in ref_mrnas), np.int32, n)
+    rleft = np.fromiter((r.feats[0][1] for r in ref_mrnas), np.int64, n)
+    rright = np.fromiter(
+        (f[1] + f[2] - 1 for f in (r.feats[-1] for r in ref_mrnas)),
+        np.int64, n)
+    rstrand = np.fromiter((r.strand for r in ref_mrnas), np.int8, n)
     return rref, rleft, rright, rgene, rstrand
 
 

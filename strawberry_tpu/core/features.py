@@ -80,7 +80,7 @@ def merge_features(feats: Sequence[Feature]) -> List[Feature]:
     return result
 
 
-@dataclass
+@dataclass(slots=True)
 class Contig:
     """A read, merged fragment, or transcript (ref: contig.h:143-236)."""
     ref_id: int

@@ -18,6 +18,7 @@ from typing import List, Optional, TextIO, Tuple
 import numpy as np
 
 from .config import Config
+from .core import fastcluster as _fcl
 from .core.cluster import (ClusterFactory, HitCluster, Segment,
                            finalize_cluster)
 from .core.features import (Contig, S_MATCH, STRAND_UNKNOWN, is_compatible,
@@ -225,22 +226,22 @@ class Sample:
         flat = getattr(cluster, "flat", None)
         if getattr(self.cfg, "native_cluster", True):
             try:
-                from .io.native import get_lib
-                get_lib()  # probe availability (OSError -> oracle path)
-                # defer to one threaded whole-pass native call (drained by
-                # _drain_fld before anything reads frag_dist)
                 if flat is not None:
+                    # defer to one threaded whole-pass native call (drained
+                    # by _drain_fld before anything reads frag_dist); flat
+                    # only exists when the native lib produced it
                     if len(flat[0]) > 1:
                         self._fld_specs.append(
                             (iso_flat if iso_flat is not None
                              else transcripts, flat))
                     done = True
                 else:
+                    from .io.native import get_lib
+                    get_lib()  # probe availability (OSError -> oracle)
                     hits = cluster.uniq_hit_contigs()
                     if hits:
-                        from .core.fastcluster import flatten_contigs
                         self._fld_specs.append(
-                            (transcripts, flatten_contigs(hits)))
+                            (transcripts, _fcl.flatten_contigs(hits)))
                     done = True
             except OSError:
                 done = False
@@ -520,8 +521,9 @@ class Sample:
             cluster_right = max(r.right for r in cluster.ref_mrnas)
             ref_strand = cluster.ref_strand()
             if flat is not None:
-                from .core.fastcluster import (concat_flat, flatten_contigs,
-                                               gather_flat)
+                concat_flat = _fcl.concat_flat
+                flatten_contigs = _fcl.flatten_contigs
+                gather_flat = _fcl.gather_flat
                 strands = cluster.valid_strands
                 mask = (strands == STRAND_UNKNOWN) | (strands == ref_strand)
                 sub = gather_flat(flat, mask)
@@ -555,7 +557,7 @@ class Sample:
 
         cluster.refine_cluster()
         if flat is not None:
-            from .core.fastcluster import gather_flat
+            gather_flat = _fcl.gather_flat
             strands = cluster.valid_strands
             vpos = cluster.valid_positions
             n = cluster.size()
@@ -802,6 +804,7 @@ class Sample:
         while the host is still streaming clusters and prepping the next
         loci."""
         from .quant.device import LocusProblem, EmDispatcher
+        from .quant.fastlocus import build_prebuilt_locus
 
         pending: List[Tuple[HitCluster, LocusContext]] = []
         use_fast = fragfile is None
@@ -944,7 +947,6 @@ class Sample:
             with PROF.phase("locus_context"):
                 qp = getattr(cluster, "quant_prebuilt", None)
                 if qp is not None:
-                    from .quant.fastlocus import build_prebuilt_locus
                     exl = [rexlen[i] for i in cluster.ref_indices]
                     est = build_prebuilt_locus(
                         self.cfg, self.read_len, self.insert_dist,
@@ -952,12 +954,10 @@ class Sample:
                     _em_add(len(pending), est)
                     pending.append((None, est))
                 elif use_fast and getattr(cluster, "flat", None) is not None:
-                    from .core.fastcluster import (flatten_contigs as _fc,
-                                                   take_flat)
-                    iso_flat = take_flat(ref_flat, cluster.ref_indices) \
+                    iso_flat = _fcl.take_flat(ref_flat, cluster.ref_indices) \
                         if ref_flat is not None and \
                         getattr(cluster, "ref_indices", None) is not None \
-                        else _fc(cluster.ref_mrnas)
+                        else _fcl.flatten_contigs(cluster.ref_mrnas)
                     native_specs.append(
                         (len(pending), (cluster.flat, cluster.flat_mass,
                                         cluster.ref_mrnas, iso_flat,

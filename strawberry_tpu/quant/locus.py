@@ -19,7 +19,7 @@ from .bins import (Coords, ExonBin, bin_under_iso, disjoint_exon_segs,
 from .em import em_init, em_run
 
 
-@dataclass
+@dataclass(slots=True)
 class Isoform:
     contig: Contig
     length: int
