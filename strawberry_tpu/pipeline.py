@@ -1071,25 +1071,41 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
         from .utils import profiling
         profiling.enable()
     PROF.start_trace()
-    # the GTF parse is pure Python and independent of the BAM header; run it
-    # on a side thread while the native decoder (which releases the GIL for
-    # the duration of the ctypes call) chews through the BAM
-    gtf_thread = gtf_box = None
+    # the GTF parse AND the ref-Contig build are independent of the main
+    # thread's decode consumption; run both on a side thread while the
+    # native decoder (which releases the GIL for the duration of the
+    # ctypes call) chews through the BAM. The Contig build needs the BAM
+    # header's name->id map, delivered via name2id_box + event once the
+    # stream opens.
+    gtf_thread = gtf_box = name2id_evt = None
+    name2id_box = {}
     if cfg.ref_gtf_filename:
         import threading
         gtf_box = {}
+        name2id_evt = threading.Event()
 
         def _read_gtf():
             try:
+                reader = None
                 try:
                     from .io.gff import parse_native
-                    gtf_box["reader"] = parse_native(cfg.ref_gtf_filename)
-                    return
+                    reader = parse_native(cfg.ref_gtf_filename)
                 except OSError:
-                    pass  # native lib unavailable
-                r = GffReader(cfg.ref_gtf_filename)
-                r.read_all()
-                gtf_box["reader"] = r
+                    r = GffReader(cfg.ref_gtf_filename)
+                    r.read_all()
+                    reader = r
+                name2id_evt.wait()
+                name2id = name2id_box.get("m")
+                if name2id is None:
+                    gtf_box["reader"] = reader  # main thread will load
+                    return
+                if isinstance(reader, GffReader):
+                    gtf_box["refs"] = (load_ref_mrnas(reader, name2id),
+                                       None)
+                else:
+                    from .io.gff import load_ref_mrnas_native
+                    gtf_box["refs"] = load_ref_mrnas_native(
+                        reader, name2id, return_flat=True)
             except Exception as e:  # surfaced on the main thread below
                 gtf_box["error"] = e
         gtf_thread = threading.Thread(target=_read_gtf, daemon=True)
@@ -1114,12 +1130,22 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
                 table = load_bam_native(bam_path, cfg)
             except Exception:
                 table = load_bam(bam_path, cfg)  # portable fallback
+    if gtf_thread is not None:
+        # release the side thread's ref build now that the header is known
+        name2id_box["m"] = {n: i
+                            for i, n in enumerate(table.ref_names)}
+        name2id_evt.set()
     sample = Sample(table, cfg, bam_path)
     if gtf_thread is not None:
         gtf_thread.join()
         if "error" in gtf_box:
             raise gtf_box["error"]
-        sample.load_ref_gtf(cfg.ref_gtf_filename, reader=gtf_box["reader"])
+        if "refs" in gtf_box:
+            refs, flat = gtf_box["refs"]
+            sample.factory.set_ref_mrnas(refs, flat=flat)
+        else:
+            sample.load_ref_gtf(cfg.ref_gtf_filename,
+                                reader=gtf_box["reader"])
     sample.long_read_sample = table.is_long_read_sample(cfg.long_read_len) \
         or cfg.long_read_sample
     if cfg.bias_correction and cfg.ref_fasta_file:
