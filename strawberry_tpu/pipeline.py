@@ -943,10 +943,25 @@ class Sample:
                     long_read_sample=self.long_read_sample)))
             _drain_ready_futures()
 
+        # vectorized finalize: skip per-locus LocusContext/Isoform churn
+        # when nothing needs the per-isoform objects until after EM (null
+        # log, default normalization) — the array math below reproduces
+        # finalize_abundances bit-for-bit (validated by the realistic
+        # byte-parity run, which takes this path)
+        vec_ok = (getattr(log, "is_null", False)
+                  and not self.cfg.effective_len_norm)
         for cluster in self.iter_clusters("refdemand", fuse_quant=fuse_quant):
             with PROF.phase("locus_context"):
                 qp = getattr(cluster, "quant_prebuilt", None)
-                if qp is not None:
+                if qp is not None and vec_ok:
+                    ids = cluster.ref_indices
+                    counts = np.trunc(qp[0])
+                    alpha = np.array(qp[1], np.float64).reshape(
+                        len(counts), len(ids))
+                    dispatcher.add(len(pending), LocusProblem(
+                        counts=counts, weights=alpha))
+                    pending.append(("vec", ids))
+                elif qp is not None:
                     exl = [rexlen[i] for i in cluster.ref_indices]
                     est = build_prebuilt_locus(
                         self.cfg, self.read_len, self.insert_dist,
@@ -994,18 +1009,86 @@ class Sample:
                          "init_failed": len(pending) - dispatcher.n_device
                          - dispatcher.n_host}
 
-        isoforms: List[Isoform] = []
+        per_entry: List[Optional[List[Isoform]]] = []
+        vec_rows: List[Tuple[int, object, object]] = []  # (entry, ids, th)
         for (cluster, est), theta in zip(pending, thetas):
+            if cluster == "vec":
+                if theta is None:
+                    per_entry.append([])
+                    continue
+                vec_rows.append((len(per_entry), est, theta))
+                per_entry.append(None)  # filled by the vector pass
+                continue
             if theta is None:
+                per_entry.append([])
                 continue  # EM init failed: no surviving bins
             est.finalize_abundances(theta, self.total_mapped_reads, log)
-            isoforms.extend(est.transcripts)
+            per_entry.append(list(est.transcripts))
             if fragfile is not None:
                 from .quant.fragcontext import print_context
                 fa = self._chrom_fasta(cluster.ref_id)
                 print_context(self, est, cluster, fragfile, fa_getter=fa,
                               bias_correction=self.cfg.bias_correction)
+        if vec_rows:
+            self._finalize_vec(vec_rows, rexlen, per_entry)
+        isoforms: List[Isoform] = []
+        for lst in per_entry:
+            isoforms.extend(lst or [])
         return isoforms
+
+    def _finalize_vec(self, vec_rows, rexlen, per_entry):
+        """Vectorized finalize_abundances over all prebuilt loci at once
+        (ref: estimate.cpp:315-355). Bit-identical to the scalar path: the
+        elementwise ops use the same operands in the same order, and the
+        per-locus FPKM sums run sequentially via the masked j-loop."""
+        refs = self.factory.ref_mrnas
+        cfg = self.cfg
+        L = np.fromiter((len(ids) for (_e, ids, _t) in vec_rows),
+                        np.int64, len(vec_rows))
+        off = np.zeros(len(vec_rows) + 1, np.int64)
+        np.cumsum(L, out=off[1:])
+        gids = np.concatenate(
+            [np.asarray(ids, np.int64) for (_e, ids, _t) in vec_rows])
+        th = np.concatenate(
+            [np.asarray(t, np.float64) for (_e, _ids, t) in vec_rows])
+        lens_v = np.asarray(rexlen, np.int64)[gids]
+        rpm = 1e6 / self.total_mapped_reads
+        kb = 1e3 / lens_v
+        fpkm = (th * rpm) * kb
+        # per-locus sequential sums (identical accumulation order)
+        acc = np.zeros(len(vec_rows), np.float64)
+        maxn = int(L.max()) if len(L) else 0
+        for j in range(maxn):
+            m = L > j
+            idx = off[:-1][m] + j
+            acc[m] = acc[m] + fpkm[idx]
+        denom = np.repeat(np.where(acc != 0.0, acc, np.nan), L)
+        frac = fpkm / denom
+        if cfg.filter_by_expression:
+            keep = ~(frac < cfg.min_isoform_frac)
+        else:
+            keep = np.ones(len(fpkm), bool)
+        gl = gids.tolist()
+        ll = lens_v.tolist()
+        fl = fpkm.tolist()
+        frl = frac.tolist()
+        kl = keep.tolist()
+        offl = off.tolist()
+        for k, (entry, _ids, _t) in enumerate(vec_rows):
+            out: List[Isoform] = []
+            for pos, p in enumerate(range(offl[k], offl[k + 1])):
+                if not kl[p]:
+                    continue
+                r = refs[gl[p]]
+                iso = Isoform(contig=r, length=ll[p],
+                              gene_str=r.parent_id, isoform_str=r.trans_id,
+                              ref_gene_id=r.ref_gene_id,
+                              ref_gene_name=r.ref_gene_name,
+                              frac=frl[p], fpkm=fl[p],
+                              frac_s=c_str(frl[p]), fpkm_s=c_str(fl[p]),
+                              id=pos)
+                out.append(iso)
+            per_entry[entry] = out
 
     def _chrom_fasta(self, ref_id: int):
         if self.fasta is None or ref_id < 0:

@@ -49,3 +49,29 @@ def test_quant_only_user_insert_size(tmp_path, reference_binary):
     outs = run_both(tmp_path, reference_binary,
                     extra_args=["-r", "-i", "250/40"], seed=5, n_frags=2500)
     assert outs["ours"] == outs["ref"]
+
+
+def test_vectorized_finalize_matches_scalar(tmp_path):
+    """The vectorized pass-2 finalize (null log) must produce the same GTF
+    as the scalar per-locus finalize (real log)."""
+    import io
+    from strawberry_tpu.sim import make_dataset
+    from strawberry_tpu.config import Config
+    from strawberry_tpu.pipeline import run_driver, _NullLog
+    d = str(tmp_path / "ds")
+    make_dataset(d, seed=41, n_frags=8000, n_chroms=2, max_isoforms=4)
+    cfg = Config(ref_gtf_filename=f"{d}/annotation.gtf",
+                 utilize_ref_models=True)
+    out_v = io.StringIO()
+    run_driver(f"{d}/sample_01.sorted.bam", cfg, out_v, _NullLog())
+
+    class RealLog:
+        def __init__(self):
+            self.buf = []
+
+        def write(self, s):
+            self.buf.append(s)
+
+    out_s = io.StringIO()
+    run_driver(f"{d}/sample_01.sorted.bam", cfg, out_s, RealLog())
+    assert out_v.getvalue() == out_s.getvalue()
