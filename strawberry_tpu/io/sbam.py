@@ -111,8 +111,10 @@ class StreamingHitTable:
         self._n_threads = n_threads
         if low_mem:
             # decode backpressure: stall ahead-of-consumer block production
-            # past ~256MB of retained SoA (2 live blocks always admitted)
-            lib.strawb_sbam_set_max_retained(h, 128 << 20)
+            # past the retained-SoA cap (2 live blocks always admitted);
+            # STRAWB_STREAM_CAP_MB overrides for experiments
+            cap_mb = int(os.environ.get("STRAWB_STREAM_CAP_MB", "128"))
+            lib.strawb_sbam_set_max_retained(h, cap_mb << 20)
         err = lib.strawb_sbam_error(h)  # blocks until header or failure
         if err:
             raise IOError(f"{path}: {err.decode()}")

@@ -77,6 +77,21 @@ def main():
         "phase_wall_s": phases,
         "native_thread_cpu_s": native,
         "targets": {},
+        "pass2_rescan_decision": {
+            "cost_s": round(native.get("scan_p2", 0)
+                            + native.get("collapse_p2", 0)
+                            + native.get("emit_p2", 0), 3),
+            "note": "pass 2 re-scans hits against the assembled gene "
+                    "spans WITH the pass-1 pairing cache reused (the "
+                    "expensive half). The remaining scan is the "
+                    "membership computation itself (~80ns/hit); the "
+                    "collapse CANNOT reuse pass-1 results byte-exactly "
+                    "because the reference re-runs std::sort per pass-2 "
+                    "cluster and the unstable tie permutation depends on "
+                    "the pass-2 formation order, which differs from any "
+                    "pass-1 order. Reusing collapsed fragments would "
+                    "change output on tie-heavy loci.",
+        },
         "chip_offload_bound": {
             "h2d_gbps": 0.02,
             "rtt_ms": 28,
