@@ -783,10 +783,60 @@ void strawb_quant_locus_pre(
         } else if (seg_lens.size() >= 5) {
           w = weight_integral_n5(seg_lens, implicit, lmin, fl_hi,
                                  read_len, Lt, pdf);
-        } else {
+        } else if (seg_lens.size() == 2) {
+          i64 s0 = seg_lens[0], s1 = seg_lens[1];
           for (i64 fl = lmin; fl <= fl_hi; ++fl) {
             double p = (fl >= 0) ? pdf[fl] : 0.0;
-            i64 eff = effective_len(seg_lens, implicit, fl, read_len);
+            i64 eff = no_gap_ef(s0, s1, 0, fl);
+            w += p * (double)eff / (double)(Lt - fl + 1);
+          }
+        } else if (seg_lens.size() == 3) {
+          i64 s0 = seg_lens[0], s1 = seg_lens[1], s2 = seg_lens[2];
+          i64 rl2 = 2 * read_len;
+          if (implicit.size() == 1) {
+            for (i64 fl = lmin; fl <= fl_hi; ++fl) {
+              double p = (fl >= 0) ? pdf[fl] : 0.0;
+              i64 eff = gap_ef(s0, s2, s1, read_len, fl - rl2);
+              w += p * (double)eff / (double)(Lt - fl + 1);
+            }
+          } else {
+            for (i64 fl = lmin; fl <= fl_hi; ++fl) {
+              double p = (fl >= 0) ? pdf[fl] : 0.0;
+              i64 eff = no_gap_ef(s0, s2, s1, fl) -
+                        gap_ef(s0, s2, s1, read_len, fl - rl2);
+              w += p * (double)eff / (double)(Lt - fl + 1);
+            }
+          }
+        } else {  // n == 4: hoist the implicit-config dispatch
+          i64 s0 = seg_lens[0], s1 = seg_lens[1], s2 = seg_lens[2],
+              s3 = seg_lens[3];
+          i64 rl = read_len, rl2 = 2 * read_len;
+          int mode = implicit.empty() ? 0
+                     : implicit.size() == 2 ? 1
+                     : implicit[0] == 1 ? 2 : 3;
+          for (i64 fl = lmin; fl <= fl_hi; ++fl) {
+            double p = (fl >= 0) ? pdf[fl] : 0.0;
+            i64 gap = fl - rl2;
+            i64 h14 = gap_ef(s0, s3, s2 + s1, rl, gap);
+            i64 eff;
+            if (mode == 1) {
+              eff = h14;
+            } else if (mode == 2) {
+              i64 h13 = gap_ef(s0, s2, s1, rl, gap);
+              i64 h134 = gap_ef(s0, s2 + s3, s1, rl, gap);
+              eff = h134 - h14 - h13;
+            } else if (mode == 3) {
+              i64 h24 = gap_ef(s3, s1, s2, rl, gap);
+              i64 h124 = gap_ef(s0 + s1, s3, s2, rl, gap);
+              eff = h124 - h14 - h24;
+            } else {
+              i64 h24 = gap_ef(s3, s1, s2, rl, gap);
+              i64 h124 = gap_ef(s0 + s1, s3, s2, rl, gap);
+              i64 h13 = gap_ef(s0, s2, s1, rl, gap);
+              i64 h134 = gap_ef(s0, s2 + s3, s1, rl, gap);
+              i64 total = no_gap_ef(s0, s3, s1 + s2, fl);
+              eff = total - (h124 - h14 - h24) - (h134 - h14 - h13) - h14;
+            }
             w += p * (double)eff / (double)(Lt - fl + 1);
           }
         }
