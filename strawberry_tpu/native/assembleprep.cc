@@ -400,11 +400,43 @@ StrawbAsm* strawb_asmprep(
   i64 L = r - l + 1;
   std::vector<float> exon_doc(L, 0.0f);
   std::vector<Intron> introns;  // encounter order
+  // open-addressing index over (l, r) — first-encounter order preserved
+  // by the vector; the linear probe replaces an O(#introns) scan per
+  // spliced feature
+  struct ISlot {
+    i64 l, r, idx;
+  };
+  size_t icap = 64;
+  std::vector<ISlot> itab(icap, {0, 0, -1});
   auto find_intron = [&](i64 il, i64 ir) -> i64 {
-    for (i64 k = 0; k < (i64)introns.size(); ++k)
-      if (introns[k].l == il && introns[k].r == ir) return k;
-    introns.push_back({il, ir});
-    return (i64)introns.size() - 1;
+    if ((introns.size() + 1) * 4 >= icap * 3) {
+      size_t nc = icap * 2;
+      std::vector<ISlot> nt(nc, {0, 0, -1});
+      for (const ISlot& s : itab)
+        if (s.idx >= 0) {
+          uint64_t hh = (uint64_t)s.l * 0x9E3779B97F4A7C15ull ^
+                        (uint64_t)s.r;
+          size_t i2 = (size_t)(hh ^ (hh >> 31)) & (nc - 1);
+          while (nt[i2].idx >= 0) i2 = (i2 + 1) & (nc - 1);
+          nt[i2] = s;
+        }
+      itab.swap(nt);
+      icap = nc;
+    }
+    uint64_t hh = (uint64_t)il * 0x9E3779B97F4A7C15ull ^ (uint64_t)ir;
+    size_t i2 = (size_t)(hh ^ (hh >> 31)) & (icap - 1);
+    for (;;) {
+      ISlot& s = itab[i2];
+      if (s.idx < 0) {
+        s.l = il;
+        s.r = ir;
+        s.idx = (i64)introns.size();
+        introns.push_back({il, ir});
+        return s.idx;
+      }
+      if (s.l == il && s.r == ir) return s.idx;
+      i2 = (i2 + 1) & (icap - 1);
+    }
   };
   for (i64 h = 0; h < nh; ++h) {
     double mass = cov_mass[h];
@@ -843,59 +875,71 @@ StrawbAsm* strawb_asmprep(
       supports[arc] = support;
     }
   }
-  // adjacency supports: ordered hit scan with early break (strawb_adj_
-  // support semantics), masses = weight_mass
-  for (size_t a = 0; a < adj_arcs.size(); ++a) {
-    double sup = 0.0;
-    i64 as = adj_s[a], ae = adj_e[a];
+  // adjacency supports: hit-major with a binary-searched boundary range
+  // per MATCH feature — each arc still accumulates masses in HIT order
+  // (bit-identical to the per-arc ordered scan it replaces; adjacency
+  // boundaries are sorted because exons are, and one hit's disjoint
+  // features can't both contain the same boundary)
+  if (!adj_arcs.empty()) {
+    std::vector<double> asup(adj_arcs.size(), 0.0);
+    const i64 d = min_dist_4_exon_edge;
     for (i64 h = 0; h < nh; ++h) {
-      i64 b = h_off[h], e = h_off[h + 1];
-      if (b == e) continue;
-      i64 mp_left = h_left[b];
-      i64 mp_right = h_left[e - 1] + h_len[e - 1] - 1;
-      if (mp_left > ae) break;
-      if (mp_right < as) continue;
-      for (i64 f = b; f < e; ++f) {
+      for (i64 f = h_off[h]; f < h_off[h + 1]; ++f) {
         if (h_code[f] != 0) continue;
         i64 fl = h_left[f], fr = fl + h_len[f] - 1;
-        if (fl <= as - min_dist_4_exon_edge &&
-            fr >= ae + min_dist_4_exon_edge)
-          sup += weight_mass[h];
+        // arcs with adj_s >= fl + d and adj_s + 1 <= fr - d; adj_s is
+        // strictly DESCENDING (ArcIt walks nodes newest-first)
+        i64 lo_b = fl + d, hi_b = fr - d - 1;
+        if (lo_b > hi_b) continue;
+        size_t i1 = (size_t)(std::lower_bound(adj_s.begin(), adj_s.end(),
+                                              hi_b, std::greater<i64>()) -
+                             adj_s.begin());
+        size_t i2 = (size_t)(std::upper_bound(adj_s.begin(), adj_s.end(),
+                                              lo_b, std::greater<i64>()) -
+                             adj_s.begin());
+        for (size_t a = i1; a < i2; ++a) asup[a] += weight_mass[h];
       }
     }
-    supports[adj_arcs[a]] = sup;
-    max_weight = std::max(max_weight, sup);
+    for (size_t a = 0; a < adj_arcs.size(); ++a) {
+      supports[adj_arcs[a]] = asup[a];
+      max_weight = std::max(max_weight, asup[a]);
+    }
   }
   std::map<i64, i64> cost_map, min_flow_map;
   for (const auto& kv : supports)
     cost_map[kv.first] = (i64)(max_weight - (double)(i64)kv.second);
 
-  // findConstraints (assembly.cpp:856-879): unique sorted >2-exon rows
+  // findConstraints (assembly.cpp:856-879): unique sorted >2-exon rows.
+  // The original scans every (seg, feat) pair; exon segs are sorted and
+  // disjoint, so each MATCH feature overlaps a contiguous index range —
+  // merge the (non-decreasing) per-feature ranges into the same sorted
+  // unique row the seg-major scan produced.
   std::vector<std::vector<i64>> constraints;
   {
-    std::vector<std::vector<i64>> uniq;
-    {
-      std::vector<std::vector<i64>> rows;
-      std::vector<i64> row;
-      for (i64 h = 0; h < nh; ++h) {
-        row.clear();
-        for (i64 s = 0; s < ne; ++s) {
-          for (i64 f = h_off[h]; f < h_off[h + 1]; ++f) {
-            if (h_code[f] != 0) continue;
-            i64 fl = h_left[f], fr = fl + h_len[f] - 1;
-            if (fl <= R->ex_r[s] && R->ex_l[s] <= fr) {
-              row.push_back(s);
-              break;
-            }
-          }
-        }
-        if (row.size() > 2) rows.push_back(row);
+    std::vector<std::vector<i64>> rows;
+    std::vector<i64> row;
+    for (i64 h = 0; h < nh; ++h) {
+      row.clear();
+      for (i64 f = h_off[h]; f < h_off[h + 1]; ++f) {
+        if (h_code[f] != 0) continue;
+        i64 fl = h_left[f], fr = fl + h_len[f] - 1;
+        // segs with ex_r >= fl and ex_l <= fr
+        size_t s1 = (size_t)(std::lower_bound(R->ex_r.begin(),
+                                              R->ex_r.end(), fl) -
+                             R->ex_r.begin());
+        size_t s2 = (size_t)(std::upper_bound(R->ex_l.begin(),
+                                              R->ex_l.end(), fr) -
+                             R->ex_l.begin());
+        size_t start = s1;
+        if (!row.empty() && (i64)s1 <= row.back())
+          start = (size_t)(row.back() + 1);  // ranges are non-decreasing
+        for (size_t s = start; s < s2; ++s) row.push_back((i64)s);
       }
-      std::sort(rows.begin(), rows.end());
-      rows.erase(std::unique(rows.begin(), rows.end()), rows.end());
-      uniq.swap(rows);
+      if (row.size() > 2) rows.push_back(row);
     }
-    constraints.swap(uniq);
+    std::sort(rows.begin(), rows.end());
+    rows.erase(std::unique(rows.begin(), rows.end()), rows.end());
+    constraints.swap(rows);
   }
 
   // subpath constraints -> path_cstrs (assembly.cpp:616-699)
