@@ -10,6 +10,6 @@ fi
 g++ -std=c++17 -O2 -g -pg -march=native -pthread \
     $SRC/profmain.cc \
     $SRC/bamdecode.cc $SRC/cluster.cc $SRC/compat.cc $SRC/quantprep.cc \
-    $SRC/mcf.cc $SRC/em.cc $SRC/assembleprep.cc $SRC/gffparse.cc \
+    $SRC/mcf.cc $SRC/em.cc $SRC/assembleprep.cc $SRC/lemonns.cc $SRC/gffparse.cc \
     -lz $EXTRA -o /tmp/strawb_prof
 echo "built /tmp/strawb_prof"
