@@ -51,13 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-tpu", action="store_true",
                    help="run host-only (skip JAX device kernels)")
     p.add_argument("--fast-em", action="store_true",
-                   help="run the EM on the TPU (f32 Pallas kernel) — "
-                        "device-validation mode: exercises the on-chip EM "
-                        "path (abundances within ~1e-6 of golden). On a "
-                        "tunneled single chip the host f64 EM is faster "
-                        "end-to-end (~5%% at 1M reads), so this is NOT a "
-                        "throughput win there; see benchmarks/"
-                        "em_crossover.json")
+                   help="run the EM on the TPU (f32 Pallas kernel); "
+                        "abundances within ~1e-6 of golden. On a tunneled "
+                        "single chip this wins narrowly at 10M-read scale "
+                        "and trails ~5%% at 1M (dispatch RTT vs a 12ms "
+                        "host EM) — see benchmarks/em_crossover.json")
     p.add_argument("--shards", type=int, default=0,
                    help="run the locus-data-parallel sharded pipeline over "
                         "N genome shards on the device mesh (0 = off)")
