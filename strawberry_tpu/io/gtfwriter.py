@@ -33,12 +33,13 @@ def print2gtf(fh: TextIO, contig: Contig, ref_name: str, fpkm: str,
     if tpm:
         attr += f'TPM "{tpm[:11]}";'
     strand = _strand_char(contig.strand)
-    fh.write(f"{ref_name}\tStrawberry\ttranscript\t{contig.left}\t"
-             f"{contig.right}\t1000\t{strand}\t.\t{attr}\n")
+    rows = [f"{ref_name}\tStrawberry\ttranscript\t{contig.left}\t"
+            f"{contig.right}\t1000\t{strand}\t.\t{attr}\n"]
     exon_num = 0
     for f in contig.feats:
         if f[0] == S_MATCH:
             exon_num += 1
-            exon_attr = attr + f' exon_id "{exon_num}";'
-            fh.write(f"{ref_name}\tStrawberry\texon\t{f[1]}\t"
-                     f"{f[1] + f[2] - 1}\t1000\t{strand}\t.\t{exon_attr}\n")
+            rows.append(f"{ref_name}\tStrawberry\texon\t{f[1]}\t"
+                        f"{f[1] + f[2] - 1}\t1000\t{strand}\t.\t{attr} "
+                        f'exon_id "{exon_num}";\n')
+    fh.write("".join(rows))
