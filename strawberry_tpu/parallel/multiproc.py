@@ -44,7 +44,13 @@ def _make_sample(k: int) -> Sample:
     s = Sample(sub, cfg, _WORK["bam_path"])
     s.long_read_sample = table.is_long_read_sample(cfg.long_read_len) \
         or cfg.long_read_sample
-    if cfg.ref_gtf_filename:
+    refs = _WORK.get("refs")
+    if refs is not None:
+        # annotation parsed ONCE in the parent pre-fork (copy-on-write);
+        # each worker keeps its shard's chromosomes
+        ids = set(_WORK["shards"][k])
+        s.factory.set_ref_mrnas([r for r in refs if r.ref_id in ids])
+    elif cfg.ref_gtf_filename:
         s.load_ref_gtf(cfg.ref_gtf_filename)
         ids = set(_WORK["shards"][k])
         s.factory.set_ref_mrnas(
@@ -86,7 +92,14 @@ def run_multiprocess(table: HitTable, cfg: Config, bam_path: str,
                      n_procs: int = 2) -> List[Isoform]:
     shards = split_by_chrom(table, n_procs)
     ctx = mp.get_context("fork")
-    _PARENT.update(table=table, cfg=cfg, bam_path=bam_path, shards=shards)
+    refs = None
+    if cfg.ref_gtf_filename:
+        # one parent-side parse instead of one per worker per pass
+        tmp = Sample(table, cfg, bam_path)
+        tmp.load_ref_gtf(cfg.ref_gtf_filename)
+        refs = tmp.factory.ref_mrnas
+    _PARENT.update(table=table, cfg=cfg, bam_path=bam_path, shards=shards,
+                   refs=refs)
     with ctx.Pool(n_procs, initializer=_init_worker) as pool:
         p1 = sorted(pool.map(_pass1, range(len(shards))))
 
@@ -102,12 +115,15 @@ def run_multiprocess(table: HitTable, cfg: Config, bam_path: str,
                     c.parent_id = _renumber_parent(c.parent_id, b)
                     c.trans_id = _renumber_trans(c.trans_id, b)
 
-        global_frag: List[int] = []
+        # one int32 array, unsorted: InsertSize is order-free (integer
+        # sums + bincount), and a boxed 5M-int Python list would pickle
+        # ~40x larger into each pass-2 worker
         total_mapped = 0
+        fds = []
         for _k, _a, fd, tm, _nc in p1:
-            global_frag.extend(fd)
+            fds.append(np.asarray(fd, np.int32))
             total_mapped += tm
-        global_frag.sort()
+        global_frag = np.concatenate(fds) if fds else np.zeros(0, np.int32)
 
         p2 = sorted(pool.map(
             _pass2, [(k, a, global_frag, total_mapped)
