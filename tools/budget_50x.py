@@ -77,6 +77,14 @@ def main():
         "phase_wall_s": phases,
         "native_thread_cpu_s": native,
         "targets": {},
+        "p2_on_this_host": {
+            "wall_s": 17.2,
+            "note": "-p 2 measured on THIS 2-core host (single-process "
+                    "already saturates both cores with native pools, so "
+                    "two forked shard pipelines plus a serial parent "
+                    "decode lose); the cores_needed numbers below assume "
+                    "hosts where -p adds real cores",
+        },
         "pass2_rescan_decision": {
             "cost_s": round(native.get("scan_p2", 0)
                             + native.get("collapse_p2", 0)
