@@ -359,7 +359,7 @@ static void disjoint_segs(const i64* t_off, const i8* t_code,
   std::sort(raw.begin(), raw.end());
   raw.erase(std::unique(raw.begin(), raw.end()), raw.end());
   if (raw.empty()) return;
-  i64 lo = raw[0].first, hi = 0;
+  i64 hi = 0;
   std::vector<i64> bars;
   for (auto& p : raw) {
     i64 e = p.first + p.second;  // half-open end
@@ -367,9 +367,26 @@ static void disjoint_segs(const i64* t_off, const i8* t_code,
     bars.push_back(p.first);
     bars.push_back(e);
   }
-  std::vector<i32> cov(hi - lo, 0);
-  for (auto& p : raw)
-    for (i64 q = p.first; q < p.first + p.second; ++q) cov[q - lo]++;
+  // cov[x] > 0 <=> x lies in the union of the half-open raw intervals;
+  // the per-base vector only ever answered point queries at bar
+  // positions, so merge the (sorted) intervals into maximal runs and
+  // binary-search instead of filling O(span) counters per locus
+  std::vector<std::pair<i64, i64>> runs;  // half-open [l, e)
+  for (auto& p : raw) {
+    i64 e = p.first + p.second;
+    if (!runs.empty() && p.first <= runs.back().second) {
+      if (e > runs.back().second) runs.back().second = e;
+    } else {
+      runs.push_back({p.first, e});
+    }
+  }
+  auto covered = [&](i64 x) {
+    size_t k = (size_t)(std::upper_bound(
+                            runs.begin(), runs.end(),
+                            std::make_pair(x, (i64)INT64_MAX)) -
+                        runs.begin());
+    return k > 0 && x < runs[k - 1].second;
+  };
   std::sort(bars.begin(), bars.end());
   bars.erase(std::unique(bars.begin(), bars.end()), bars.end());
   bool have_pending = false;
@@ -384,7 +401,7 @@ static void disjoint_segs(const i64* t_off, const i8* t_code,
       seg_r.push_back(b - 1);  // closed right end
       // reference reads cov[b-lo] even one-past-the-end (UB read,
       // interval.hpp:178); out-of-range == don't reopen
-      if (b - lo < (i64)cov.size() && cov[b - lo] > 0) bi--;
+      if (b < hi && covered(b)) bi--;
       have_pending = false;
     }
   }
