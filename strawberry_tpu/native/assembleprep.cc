@@ -464,15 +464,26 @@ StrawbAsm* strawb_asmprep(
       num_nt ? np_sum_f32(exon_doc.data(), L) / (double)num_nt : 0.0;
   if (avg_dep < min_depth_4_locus) return R;
 
-  // sorted-key index over alive introns (rebuilt after deletions)
+  // sorted-key index over alive introns. (l, r) keys are unique (the
+  // encounter table dedupes), so sorting ALL introns once and filtering
+  // the survivors preserves exactly the order a fresh sort of the alive
+  // subset would produce — no re-sort per filter pass.
+  std::vector<i64> intron_order;
   auto sorted_alive = [&]() {
+    if (intron_order.size() != introns.size()) {
+      intron_order.resize(introns.size());
+      for (i64 k = 0; k < (i64)introns.size(); ++k) intron_order[k] = k;
+      std::sort(intron_order.begin(), intron_order.end(),
+                [&](i64 a, i64 b) {
+                  if (introns[a].l != introns[b].l)
+                    return introns[a].l < introns[b].l;
+                  return introns[a].r < introns[b].r;
+                });
+    }
     std::vector<i64> idx;
-    for (i64 k = 0; k < (i64)introns.size(); ++k)
+    idx.reserve(introns.size());
+    for (i64 k : intron_order)
       if (introns[k].alive) idx.push_back(k);
-    std::sort(idx.begin(), idx.end(), [&](i64 a, i64 b) {
-      if (introns[a].l != introns[b].l) return introns[a].l < introns[b].l;
-      return introns[a].r < introns[b].r;
-    });
     return idx;
   };
 
@@ -848,7 +859,7 @@ StrawbAsm* strawb_asmprep(
 
   // addWeight (assembly.cpp:767-811): ArcIt order = nodes newest-first,
   // out-arcs newest-first; costs after all supports are known
-  std::map<i64, double> supports;  // arc -> support (value-only map)
+  std::vector<double> supports(g.src.size(), 0.0);  // dense per arc
   double max_weight = 0.0;
   std::vector<i64> adj_arcs, adj_s, adj_e;
   for (i64 u = (i64)g.out.size(); u-- > 0;) {
@@ -905,9 +916,10 @@ StrawbAsm* strawb_asmprep(
       max_weight = std::max(max_weight, asup[a]);
     }
   }
-  std::map<i64, i64> cost_map, min_flow_map;
-  for (const auto& kv : supports)
-    cost_map[kv.first] = (i64)(max_weight - (double)(i64)kv.second);
+  // dense per-arc cost/lower (grow as shortcut arcs are appended)
+  std::vector<i64> cost_v(g.src.size(), 0), lower_v(g.src.size(), 0);
+  for (size_t a = 0; a < supports.size(); ++a)
+    cost_v[a] = (i64)(max_weight - (double)(i64)supports[a]);
 
   // findConstraints (assembly.cpp:856-879): unique sorted >2-exon rows.
   // The original scans every (seg, feat) pair; exon segs are sorted and
@@ -935,7 +947,7 @@ StrawbAsm* strawb_asmprep(
           start = (size_t)(row.back() + 1);  // ranges are non-decreasing
         for (size_t s = start; s < s2; ++s) row.push_back((i64)s);
       }
-      if (row.size() > 2) rows.push_back(row);
+      if (row.size() > 2) rows.push_back(std::move(row));
     }
     std::sort(rows.begin(), rows.end());
     rows.erase(std::unique(rows.begin(), rows.end()), rows.end());
@@ -973,24 +985,26 @@ StrawbAsm* strawb_asmprep(
   }
 
   if (path_cstrs.empty()) {
-    for (i64 a : arcs) min_flow_map[a] = 1;
+    for (i64 a : arcs) lower_v[a] = 1;
   } else {
-    std::set<i64> one_d;
-    for (const auto& p : path_cstrs) one_d.insert(p.begin(), p.end());
+    std::vector<char> one_d(g.src.size(), 0);
+    for (const auto& p : path_cstrs)
+      for (i64 a : p) one_d[a] = 1;
     for (i64 a : arcs)
-      if (!one_d.count(a)) path_cstrs.push_back({a});
+      if (!one_d[a]) path_cstrs.push_back({a});
     for (const auto& p : path_cstrs) {
       if (p.size() > 1) {
         i64 cost = 0;
-        for (i64 a : p) cost += cost_map[a];
+        for (i64 a : p) cost += cost_v[a];
         i64 s = g.src[p[0]], t = g.dst[p.back()];
         if (g.find_arc(s, t) == -1) {
           i64 a = g.add_arc(s, t);
-          cost_map[a] = cost;
-          min_flow_map[a] = 1;
+          (void)a;  // appended consecutively: a == cost_v.size()
+          cost_v.push_back(cost);
+          lower_v.push_back(1);
         }
       } else {
-        min_flow_map[p[0]] = 1;
+        lower_v[p[0]] = 1;
       }
     }
   }
@@ -1010,8 +1024,8 @@ StrawbAsm* strawb_asmprep(
   R->arc_dst = g.dst;
   R->arc_cost.assign(g.src.size(), 0);
   R->arc_lower.assign(g.src.size(), 0);
-  for (const auto& kv : cost_map) R->arc_cost[kv.first] = kv.second;
-  for (const auto& kv : min_flow_map) R->arc_lower[kv.first] = kv.second;
+  std::copy(cost_v.begin(), cost_v.end(), R->arc_cost.begin());
+  std::copy(lower_v.begin(), lower_v.end(), R->arc_lower.begin());
   for (const auto& p : path_cstrs) {
     R->cstr_arcs.insert(R->cstr_arcs.end(), p.begin(), p.end());
     R->cstr_off.push_back((i64)R->cstr_arcs.size());
