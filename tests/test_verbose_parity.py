@@ -1,0 +1,56 @@
+"""-v stderr parity: the run-level diagnostic lines must match the
+reference binary's cerr output (Strawberry.cpp:305-356, read.cpp:248-253)
+textually — including C++ default double formatting."""
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, ".")
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = os.path.join(ROOT, ".refbuild", "strawberry")
+
+RUN_LEVEL = (
+    "Inspecting sample......",
+    "read len mode: ",
+    "Total number of mapped reads is: ",
+    "Calculated averaged fragment length is: ",
+    "Calculated fragment length sd is: ",
+    "Min fragment length is: ",
+    "Max fragment length is: ",
+    "Using empirical insert size distribution ",
+    "Using user specified insert size mean: ",
+)
+
+
+def _extract(stderr: str):
+    out = []
+    for line in stderr.splitlines():
+        if any(line.startswith(p) for p in RUN_LEVEL):
+            out.append(line)
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not built")
+def test_verbose_run_level_lines_match_reference(tmp_path):
+    from strawberry_tpu.sim import make_dataset
+    d = str(tmp_path / "ds")
+    make_dataset(d, seed=17, n_frags=6000, n_chroms=2, max_isoforms=3)
+    bam = f"{d}/sample_01.sorted.bam"
+    gtf = f"{d}/annotation.gtf"
+
+    ours = subprocess.run(
+        [sys.executable, "-m", "strawberry_tpu.cli", "-v", "-g", gtf,
+         "-o", str(tmp_path / "ours.gtf"), "-T", str(tmp_path / "ours.log"),
+         bam],
+        capture_output=True, text=True, cwd=ROOT, timeout=300)
+    assert ours.returncode == 0, ours.stderr[-2000:]
+    ref = subprocess.run(
+        [REF, "-v", "-g", gtf, "-o", str(tmp_path / "ref.gtf"),
+         "-T", str(tmp_path / "ref.log"), bam],
+        capture_output=True, text=True, timeout=300)
+    assert ref.returncode == 0, ref.stderr[-2000:]
+    assert _extract(ours.stderr) == _extract(ref.stderr)
