@@ -3,6 +3,14 @@
 // reference anchors: src/assembly.cpp:897-904 invoking the vendored
 // include/lemon/network_simplex.h with int Value/Cost, BLOCK_SEARCH
 // pivoting, mixed internal arc order and the initial-pivot heuristic).
+//
+// DISCLOSURE: this is a deliberate, faithful reimplementation of lemon
+// 1.3's NetworkSimplex (third-party library code the reference vendors,
+// not the reference author's work). The golden byte-parity contract
+// requires landing on lemon's exact optimum on DEGENERATE flow problems,
+// which pins every pivoting/tie-breaking choice — an original solver
+// provably diverges on ~0.1% of realistic loci (the r2 SSP did). See
+// COMPONENTS.md row 16 and assembly/lemonns.py for the full adjudication.
 // Every tie-breaking rule matters: on degenerate optima the assembled
 // transcript structures read the particular optimal flow this pivoting
 // lands on. Arithmetic is int64 like the Python oracle's unbounded ints
