@@ -1436,9 +1436,16 @@ struct StrawbClusterJob {
   std::vector<PartWork> works;
   std::vector<std::unique_ptr<OwnedHits>> owned;
   bool stream_done = false;
+  bool aborted = false;    // set on free: release backpressure waits
+  i64 consumed = 0;        // partitions the consumer has collected
   std::thread dispatcher;
 
   ~StrawbClusterJob() {
+    {
+      std::lock_guard<std::mutex> g(mu);
+      aborted = true;
+    }
+    cv.notify_all();
     if (dispatcher.joinable()) dispatcher.join();
     for (auto& t : threads)
       if (t.joinable()) t.join();
@@ -1556,10 +1563,21 @@ static void job_spawn_sbam(StrawbClusterJob* job, i32 n_threads) {
         {
           std::unique_lock<std::mutex> g(job->mu);
           job->cv.wait(g, [&] {
-            return job->works.size() > k || job->stream_done;
+            return job->works.size() > k || job->stream_done ||
+                   job->aborted;
           });
-          if (k >= job->works.size()) break;
+          if (job->aborted || k >= job->works.size()) break;
           w = job->works[k];
+          if (job->drop_consumed) {
+            // low-mem backpressure: don't cluster more than ~2 partitions
+            // ahead of the consumer — finished-but-unconsumed Outs (each
+            // holding a chromosome's cluster-owned copies) are what made
+            // peak RSS grow with read depth
+            job->cv.wait(g, [&] {
+              return job->consumed + 2 >= (i64)k || job->aborted;
+            });
+            if (job->aborted) break;
+          }
         }
         auto* out = new StrawbClusters();
         Runner runner(job->cfg, w.h, job->r);
@@ -1837,6 +1855,10 @@ StrawbClusters* strawb_cluster_job_wait_next(StrawbClusterJob* job, i64 k) {
     return ((i64)job->done.size() > k && job->done[k]) ||
            (job->stream_done && (i64)job->works.size() <= k);
   });
+  if (k + 1 > job->consumed) job->consumed = k + 1;
+  g.unlock();
+  job->cv.notify_all();  // release low-mem backpressure waits
+  g.lock();
   if ((i64)job->done.size() <= k || !job->done[k]) return nullptr;
   StrawbClusters* out = job->outs[k];
   job->outs[k] = nullptr;
