@@ -110,6 +110,23 @@ def main():
                     "on this link regardless of kernel speed",
         },
         "verdict": None,
+        "next_levers_measured": [
+            "Python pass-1 finish (~0.6s CPU): pack each partition's "
+            "solved transcripts + naming metadata into one decode and "
+            "build Contigs with the vectorized zip trick (as "
+            "load_ref_mrnas_native does)",
+            "annotation Contig feats are rarely touched in assembly mode "
+            "(~0.6s CPU): lazy per-transcript feature materialization "
+            "over the parse arrays",
+            "cluster scan p1+p2 (~2.4s thread-CPU at ~85ns/hit) and the "
+            "collapse sorts (~0.7s) are the largest remaining native "
+            "blocks; both are memory-bound and semantics-pinned "
+            "(unstable-sort tie permutations)",
+            "sub-chromosome decode/cluster partitioning would flatten "
+            "--low-mem peak RSS at depth (currently O(reads/chromosome): "
+            "one chromosome's block + its cluster-owned gather coexist) "
+            "and needs mate-safe split points",
+        ],
     }
     for name, rps in TARGETS.items():
         need_wall = n_reads / rps
