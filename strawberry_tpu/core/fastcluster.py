@@ -16,7 +16,7 @@ import numpy as np
 from ..config import Config
 from ..io.bamreader import HitTable
 from .cluster import Segment
-from .features import Contig
+from .features import Contig, FeatView
 
 _bound = False
 
@@ -257,9 +257,11 @@ class NativeCluster:
         return self._n_uniq
 
 
-def _pack_refs(ref_mrnas: List[Contig]):
+def _pack_refs(ref_mrnas: List[Contig], ref_flat=None):
     """Reference-transcript bounds + gene codes as flat arrays (the refs
-    half of the clusterizer's inputs)."""
+    half of the clusterizer's inputs). With ref_flat (the refs' flat RLE,
+    same order) the per-transcript bounds come from the arrays — no
+    Python feature access (and no lazy FeatView materialization)."""
     n = len(ref_mrnas)
     gene_codes: Dict[str, int] = {}
     gl: List[int] = []
@@ -275,20 +277,27 @@ def _pack_refs(ref_mrnas: List[Contig]):
             gl.append(code)
     rgene = np.asarray(gl, np.int32)
     rref = np.fromiter((r.ref_id for r in ref_mrnas), np.int32, n)
-    rleft = np.fromiter((r.feats[0][1] for r in ref_mrnas), np.int64, n)
-    rright = np.fromiter(
-        (f[1] + f[2] - 1 for f in (r.feats[-1] for r in ref_mrnas)),
-        np.int64, n)
+    if ref_flat is not None and len(ref_flat[0]) - 1 == n:
+        off, _code, left, lens = ref_flat
+        e = off[1:] - 1
+        rleft = np.ascontiguousarray(left[off[:-1]])
+        rright = np.ascontiguousarray(left[e] + lens[e] - 1)
+    else:
+        rleft = np.fromiter((r.feats[0][1] for r in ref_mrnas), np.int64, n)
+        rright = np.fromiter(
+            (f[1] + f[2] - 1 for f in (r.feats[-1] for r in ref_mrnas)),
+            np.int64, n)
     rstrand = np.fromiter((r.strand for r in ref_mrnas), np.int8, n)
     return rref, rleft, rright, rgene, rstrand
 
 
 def _pack_cluster_inputs(table: HitTable, cfg: Config,
-                         ref_mrnas: List[Contig], mode: str):
+                         ref_mrnas: List[Contig], mode: str,
+                         ref_flat=None):
     """Marshal (hits, refs, cfg) into the flat ctypes argument list shared
     by strawb_cluster_run and strawb_cluster_start. Returns (args, keep)
     where `keep` holds the numpy arrays alive for the call's duration."""
-    rref, rleft, rright, rgene, rstrand = _pack_refs(ref_mrnas)
+    rref, rleft, rright, rgene, rstrand = _pack_refs(ref_mrnas, ref_flat)
 
     t = table
 
@@ -353,7 +362,8 @@ def stream_native_clustering(table: HitTable, cfg: Config,
     if streaming:
         # hits come straight from the decode stream's chromosome blocks;
         # only the refs + cfg are marshaled here
-        rref, rleft, rright, rgene, rstrand = _pack_refs(ref_mrnas)
+        rref, rleft, rright, rgene, rstrand = _pack_refs(ref_mrnas,
+                                                         ref_flat)
         keep = [rref, rleft, rright, rgene, rstrand]
         args = [
             table.handle, len(ref_mrnas),
@@ -372,7 +382,8 @@ def stream_native_clustering(table: HitTable, cfg: Config,
                     lib.strawb_cluster_start_sbam_qfused)
         tail = [0, 1 if table.low_mem else 0]  # n_threads, drop_consumed
     else:
-        args, keep = _pack_cluster_inputs(table, cfg, ref_mrnas, mode)
+        args, keep = _pack_cluster_inputs(table, cfg, ref_mrnas, mode,
+                                          ref_flat)
         starters = (lib.strawb_cluster_start, lib.strawb_cluster_start_fused,
                     lib.strawb_cluster_start_qfused)
         tail = [0]  # n_threads
@@ -1019,10 +1030,6 @@ def native_asmprep_result_batch(pendings):
         tcode_np = alnp("tcode", txf_off[-1], np.int8)
         tleft_np = alnp("tleft", txf_off[-1], np.int64)
         tlen_np = alnp("tlen", txf_off[-1], np.int32)
-        # ONE C-level zip builds every transcript feature tuple; per-
-        # transcript feats are then plain list slices
-        all_tfeats = list(zip(tcode_np.tolist(), tleft_np.tolist(),
-                              tlen_np.tolist()))
         txf_np = np.asarray(txf_off, np.int64)
     finally:
         lib.strawb_asmb_free(h)
@@ -1032,7 +1039,10 @@ def native_asmprep_result_batch(pendings):
             out.append(None)
             continue
         if solved[k]:
-            txs = [all_tfeats[txf_off[t]:txf_off[t + 1]]
+            # lazy views: the Contig wrappers materialize tuples only if
+            # something actually reads the features (GTF output etc.)
+            txs = [FeatView(tcode_np, tleft_np, tlen_np,
+                            txf_off[t], txf_off[t + 1])
                    for t in range(tx_off[k], tx_off[k + 1])]
             g0, g1 = txf_off[tx_off[k]], txf_off[tx_off[k + 1]]
             flat = (txf_np[tx_off[k]:tx_off[k + 1] + 1] - g0,
@@ -1077,11 +1087,8 @@ def _asm_result(lib, h):
             tcode_np = alnp(lib.strawb_asm_tcode(h), nf, np.int8)
             tleft_np = alnp(lib.strawb_asm_tleft(h), nf, np.int64)
             tlen_np = alnp(lib.strawb_asm_tlen(h), nf, np.int32)
-            tcode = tcode_np.tolist()
-            tleft = tleft_np.tolist()
-            tlen = tlen_np.tolist()
-            txs = [[(tcode[f], tleft[f], tlen[f])
-                    for f in range(toff[k], toff[k + 1])]
+            txs = [FeatView(tcode_np, tleft_np, tlen_np,
+                            toff[k], toff[k + 1])
                    for k in range(int(ntx))]
             flat = (np.asarray(toff, np.int64), tcode_np, tleft_np,
                     tlen_np)
@@ -1213,6 +1220,38 @@ def native_adj_support(hit_flat, masses, arc_s, arc_e, min_dist):
         ka[6].ctypes.data_as(C.POINTER(C.c_int64)),
         min_dist, out.ctypes.data_as(C.POINTER(C.c_double)))
     return out
+
+
+def sort_contigs_flat(contigs, flat):
+    """features.sort_contigs (exact Contig::operator< order), driven by
+    the contigs' flat RLE instead of their Python feature lists — no
+    FeatView materialization. Returns (sorted contigs, matching flat)."""
+    n = len(contigs)
+    off, code, left, lens = flat
+    if n < 2:
+        return list(contigs), flat
+    ref = np.fromiter((c.ref_id for c in contigs), np.int64, n)
+    cols = [ref]
+    last = np.maximum(off[1:] - 1, 0)
+    for fi in range(4):
+        valid = off[:-1] + fi < off[1:]
+        idx = np.minimum(off[:-1] + fi, last)
+        cols.append(np.where(valid, left[idx], -1))
+        cols.append(np.where(valid, lens[idx], -1))
+    order = np.lexsort(tuple(reversed(cols)))  # stable; first col primary
+    keys = np.stack([c[order] for c in cols], axis=1)
+    run_start = np.flatnonzero(np.any(keys[1:] != keys[:-1], axis=1)) + 1
+    bounds = [0] + run_start.tolist() + [n]
+    ordl = order.tolist()
+    offl = off.tolist()
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        if b1 - b0 > 1:  # full lexicographic key only inside tied runs
+            ordl[b0:b1] = sorted(
+                ordl[b0:b1],
+                key=lambda i: list(zip(left[offl[i]:offl[i + 1]].tolist(),
+                                       lens[offl[i]:offl[i + 1]].tolist())))
+    out = [contigs[i] for i in ordl]
+    return out, take_flat(flat, ordl)
 
 
 def take_flat(flat, indices):

@@ -80,6 +80,64 @@ def merge_features(feats: Sequence[Feature]) -> List[Feature]:
     return result
 
 
+class FeatView:
+    """Lazy feature sequence over flat RLE arrays.
+
+    Quacks like the List[Feature] a Contig normally carries, but holds
+    only (array refs, o0, o1) until an element is actually read — the
+    (code, left, len) tuple list is built on first access. Annotation and
+    natively-assembled transcripts are created in bulk (10^5-10^6 feature
+    tuples); most are only ever consulted for their span (answered from
+    the arrays without materializing) or never consulted at all, so the
+    tuple build is deferred to the minority that needs it."""
+
+    __slots__ = ("_code", "_left", "_len", "_o0", "_o1", "_mat")
+
+    def __init__(self, code, left, len_, o0: int, o1: int):
+        self._code = code
+        self._left = left
+        self._len = len_
+        self._o0 = o0
+        self._o1 = o1
+        self._mat = None
+
+    def _m(self) -> List[Feature]:
+        m = self._mat
+        if m is None:
+            o0, o1 = self._o0, self._o1
+            m = self._mat = list(zip(self._code[o0:o1].tolist(),
+                                     self._left[o0:o1].tolist(),
+                                     self._len[o0:o1].tolist()))
+        return m
+
+    def __len__(self) -> int:
+        return self._o1 - self._o0
+
+    def __getitem__(self, i):
+        return self._m()[i]
+
+    def __iter__(self):
+        return iter(self._m())
+
+    def __eq__(self, other):
+        if isinstance(other, FeatView):
+            other = other._m()
+        return self._m() == other
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __repr__(self):
+        return f"FeatView({self._m()!r})"
+
+    def first_left(self) -> int:
+        return int(self._left[self._o0])
+
+    def last_right(self) -> int:
+        j = self._o1 - 1
+        return int(self._left[j]) + int(self._len[j]) - 1
+
+
 @dataclass(slots=True)
 class Contig:
     """A read, merged fragment, or transcript (ref: contig.h:143-236)."""
@@ -100,11 +158,17 @@ class Contig:
 
     @property
     def left(self) -> int:
-        return self.feats[0][1]
+        f = self.feats
+        if type(f) is FeatView and f._mat is None:
+            return f.first_left()
+        return f[0][1]
 
     @property
     def right(self) -> int:
-        return feat_right(self.feats[-1])
+        f = self.feats
+        if type(f) is FeatView and f._mat is None:
+            return f.last_right()
+        return feat_right(f[-1])
 
     def exonic_length(self) -> int:
         return sum(f[2] for f in self.feats if f[0] == S_MATCH)

@@ -375,9 +375,11 @@ def load_ref_mrnas_native(g: NativeGff, ref_name2id: Dict[str, int],
         f_code[ip] = S_INTRON
         f_left[ip] = exr[e_idx] + 1
         f_len[ip] = exl[e_idx + 1] - 1 - exr[e_idx]
-    # ONE C-level zip builds every feature tuple; per-transcript feats are
-    # then plain list slices (no per-tx tuple construction)
-    all_feats = list(zip(f_code.tolist(), f_left.tolist(), f_len.tolist()))
+    # feature tuples are NOT materialized here: each transcript gets a
+    # lazy FeatView over the shared (code, left, len) arrays, and only
+    # the minority of transcripts whose features are actually read (GTF
+    # output, tie-breaks) ever build their tuple list
+    from ..core.features import FeatView
     fo = foff.tolist()
     # per-transcript numeric sort keys ((left, len) of the first 4
     # features, -1 sentinel past the end) — the within-chromosome
@@ -406,15 +408,17 @@ def load_ref_mrnas_native(g: NativeGff, ref_name2id: Dict[str, int],
             if r1 - r0 > 1:
                 sub[r0:r1] = sorted(
                     sub[r0:r1],
-                    key=lambda t: [(f[1], f[2])
-                                   for f in all_feats[fo[t]:fo[t + 1]]])
+                    key=lambda t: list(zip(
+                        f_left[fo[t]:fo[t + 1]].tolist(),
+                        f_len[fo[t]:fo[t + 1]].tolist())))
         for t in sub:
             o0, o1 = fo[t], fo[t + 1]
             if o0 == o1:
                 continue
             chosen.append(t)
             result.append(Contig(
-                ref_id=ref_id, strand=g.strand[t], feats=all_feats[o0:o1],
+                ref_id=ref_id, strand=g.strand[t],
+                feats=FeatView(f_code, f_left, f_len, o0, o1),
                 mass=1.0, is_ref=True, contig_id=0, trans_id=g.tids[t],
                 parent_id=g.gids[t], ref_gene_id=g.gids[t],
                 ref_gene_name=g.gnames[t]))

@@ -35,6 +35,7 @@
 #include <mutex>
 
 #include "sbam.h"
+#include "perfcnt.h"
 
 #include <zlib.h>
 #if defined(__has_include)
@@ -936,21 +937,29 @@ void StrawbSbam::run() {
         if (parts.size() < TT) parts.resize(TT);
         for (size_t t = 0; t < TT; ++t) parts[t].clear();
         if (TT == 1) {
+          strawb_perf::Scope _pp(strawb_perf::kBamParse);
           decode_range(buf, offs.data(), 0, nrec, cfg, parts[0]);
         } else {
           std::vector<std::thread> pool;
           for (size_t t = 1; t < TT; ++t) {
             size_t lo = nrec * t / TT, hi = nrec * (t + 1) / TT;
             pool.emplace_back([&, lo, hi, t]() {
+              strawb_perf::Scope _pp(strawb_perf::kBamParse);
               decode_range(buf, offs.data(), lo, hi, cfg, parts[t]);
             });
           }
-          decode_range(buf, offs.data(), 0, nrec / TT, cfg, parts[0]);
+          {
+            strawb_perf::Scope _pp(strawb_perf::kBamParse);
+            decode_range(buf, offs.data(), 0, nrec / TT, cfg, parts[0]);
+          }
           for (auto& th : pool) th.join();
         }
         if (dbg) t_parse += now() - t0p;
         double t0m = dbg ? now() : 0;
-        acc.append(parts);
+        {
+          strawb_perf::Scope _pm(strawb_perf::kBamMerge);
+          acc.append(parts);
+        }
         if (dbg) t_merge += now() - t0m;
       }
       carry.assign(buf + p, buf + n);
@@ -1064,6 +1073,7 @@ void StrawbSbam::run() {
       size_t T = n_threads < 1 ? 1 : (size_t)n_threads;
       size_t TT = T < nb ? T : nb;
       auto infl = [&](size_t t0) {
+        strawb_perf::Scope _pi(strawb_perf::kInflate);
 #ifdef STRAWB_HAVE_LIBDEFLATE
         libdeflate_decompressor* d = libdeflate_alloc_decompressor();
 #endif

@@ -18,6 +18,9 @@ enum Counter {
   kCollapse2,
   kEmit2,
   kFlowNS,         // NetworkSimplex + decompose/reconstruct (lemonns)
+  kInflate,        // BGZF block inflate (decode stage-1 workers)
+  kBamParse,       // BAM record parse into SoA (decode stage-2 workers)
+  kBamMerge,       // per-chromosome accumulation/merge (decode stage 2)
   kNumCounters
 };
 

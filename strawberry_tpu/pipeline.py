@@ -10,6 +10,7 @@ assembly/device.py) while this module remains the exact host oracle.
 """
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from dataclasses import dataclass, field
@@ -87,6 +88,10 @@ class Sample:
         self._fld_specs = []  # deferred fragLenDist inputs (cluster order)
         self._fld_futures = []  # in-flight chunks (cluster order)
         self._fld_pool = None
+        # per-cluster flat RLE of the assembled transcripts, in assembly
+        # order — lets pass 2 sort + flatten the assembly from arrays
+        # (valid only while the parts cover len(self.assembly))
+        self._af_parts: List = []
 
     def _flush_fld_async(self):
         """Ship the accumulated fragLenDist specs to a side thread (the
@@ -154,7 +159,7 @@ class Sample:
         # flip with STRAWB_DEVICE_PREP=budget|all.
         return "off"
 
-    @property
+    @functools.cached_property
     def sample_name(self) -> str:
         return os.path.basename(self.bam_path).split(".")[0]
 
@@ -603,8 +608,12 @@ class Sample:
                 asmb.ref_gene_id = cluster.ref_mrnas[0].ref_gene_id
                 asmb.ref_gene_name = cluster.ref_mrnas[0].ref_gene_name
                 asmb.trans_id = f"{asmb.parent_id}.{tid}"
-            self.frag_len_dist(assembled, cluster, log,
-                               iso_flat=units[0][1].native_flat)
+            nf = units[0][1].native_flat
+            if assembled:
+                self._af_parts.append(
+                    nf if nf is not None
+                    else _fcl.flatten_contigs(assembled))
+            self.frag_len_dist(assembled, cluster, log, iso_flat=nf)
             return assembled
         flats = []
         for (_kind, task), fm in zip(units, flows):
@@ -631,6 +640,9 @@ class Sample:
                             np.concatenate([f[1] for f in flats]),
                             np.concatenate([f[2] for f in flats]),
                             np.concatenate([f[3] for f in flats]))
+        if result:
+            self._af_parts.append(iso_flat if iso_flat is not None
+                                  else _fcl.flatten_contigs(result))
         self.frag_len_dist(result, cluster, log, iso_flat=iso_flat)
         return result
 
@@ -1104,9 +1116,28 @@ class Sample:
         self.factory.reset_cursor()
         # reset_refmRNAs (alignments.cpp:1091-1101)
         if not self.cfg.no_assembly:
-            refs = sort_contigs(self.assembly)
+            flat = None
+            if self._af_parts and sum(
+                    len(p[0]) - 1 for p in self._af_parts) == len(
+                    self.assembly):
+                parts = self._af_parts
+                offs = [parts[0][0]]
+                base = int(parts[0][0][-1])
+                for p in parts[1:]:
+                    offs.append(p[0][1:] + base)
+                    base += int(p[0][-1])
+                flat = (np.concatenate(offs) if len(parts) > 1
+                        else parts[0][0],
+                        np.concatenate([p[1] for p in parts]),
+                        np.concatenate([p[2] for p in parts]),
+                        np.concatenate([p[3] for p in parts]))
+            self._af_parts = []
+            if flat is not None:
+                refs, flat = _fcl.sort_contigs_flat(self.assembly, flat)
+            else:
+                refs = sort_contigs(self.assembly)
             self.assembly = []
-            self.factory.set_ref_mrnas(refs)
+            self.factory.set_ref_mrnas(refs, flat=flat)
         else:
             self.factory.refmrna_offset = 0
             self.factory.has_load_all_refs = False
@@ -1146,9 +1177,10 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
                fragfile: Optional[TextIO] = None,
                cmdline: str = "") -> Sample:
     """driver() (Strawberry.cpp:237-371)."""
-    from .utils.malloctune import tune, cap_blas_threads
+    from .utils.malloctune import tune, cap_blas_threads, tune_gc
     tune()
     cap_blas_threads()
+    tune_gc()
     log = log or _NullLog()
     if cfg.verbose:
         from .utils import profiling
@@ -1170,25 +1202,27 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
         def _read_gtf():
             try:
                 reader = None
-                try:
-                    from .io.gff import parse_native
-                    reader = parse_native(cfg.ref_gtf_filename)
-                except OSError:
-                    r = GffReader(cfg.ref_gtf_filename)
-                    r.read_all()
-                    reader = r
+                with PROF.phase("gtf_parse"):
+                    try:
+                        from .io.gff import parse_native
+                        reader = parse_native(cfg.ref_gtf_filename)
+                    except OSError:
+                        r = GffReader(cfg.ref_gtf_filename)
+                        r.read_all()
+                        reader = r
                 name2id_evt.wait()
                 name2id = name2id_box.get("m")
                 if name2id is None:
                     gtf_box["reader"] = reader  # main thread will load
                     return
-                if isinstance(reader, GffReader):
-                    gtf_box["refs"] = (load_ref_mrnas(reader, name2id),
-                                       None)
-                else:
-                    from .io.gff import load_ref_mrnas_native
-                    gtf_box["refs"] = load_ref_mrnas_native(
-                        reader, name2id, return_flat=True)
+                with PROF.phase("gtf_ref_build"):
+                    if isinstance(reader, GffReader):
+                        gtf_box["refs"] = (load_ref_mrnas(reader, name2id),
+                                           None)
+                    else:
+                        from .io.gff import load_ref_mrnas_native
+                        gtf_box["refs"] = load_ref_mrnas_native(
+                            reader, name2id, return_flat=True)
             except Exception as e:  # surfaced on the main thread below
                 gtf_box["error"] = e
         gtf_thread = threading.Thread(target=_read_gtf, daemon=True)

@@ -172,7 +172,7 @@ class EmDispatcher:
     def add(self, idx: int, p: "LocusProblem"):
         if idx >= len(self.results):
             self.results.extend([None] * (idx + 1 - len(self.results)))
-        total = float(np.sum(p.counts))
+        total = float(p.counts.sum())
         niso = p.weights.shape[1]
         u, F = p.filtered()
         if u.size == 0:

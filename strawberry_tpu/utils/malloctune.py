@@ -55,6 +55,29 @@ def trim() -> bool:
         return False
 
 
+_gc_done = False
+
+
+def tune_gc(threshold0: int = 100_000) -> None:
+    """Raise CPython's gen-0 GC threshold and freeze the import-time heap.
+
+    The pipeline allocates millions of short-lived tuples/feature lists;
+    at the default gen-0 threshold (700) a realistic 10M-read run triggers
+    ~2.8k collections, each also walking jax's gc callback (~0.4s of pure
+    callback time, plus the collector's own scan). The pipeline's object
+    graphs are acyclic (dataclasses holding ints/arrays), so collections
+    recover nothing on the hot path — raise the threshold and park the
+    already-imported module graph in the permanent generation."""
+    global _gc_done
+    if _gc_done:
+        return
+    import gc
+    gc.collect()
+    gc.freeze()
+    gc.set_threshold(threshold0, 20, 20)
+    _gc_done = True
+
+
 _blas_done = False
 
 

@@ -15,6 +15,7 @@ class PhaseStats:
     seconds: float = 0.0
     calls: int = 0
     items: int = 0
+    cpu: float = 0.0   # thread-CPU seconds of the thread running the phase
 
 
 class Profiler:
@@ -46,12 +47,15 @@ class Profiler:
             yield
             return
         t0 = time.perf_counter()
+        c0 = time.thread_time()
         try:
             yield
         finally:
             dt = time.perf_counter() - t0
+            dc = time.thread_time() - c0
             st = self.phases.setdefault(name, PhaseStats())
             st.seconds += dt
+            st.cpu += dc
             st.calls += 1
             st.items += items
 
@@ -78,7 +82,7 @@ GLOBAL = Profiler(enabled=False)
 _NATIVE_COUNTER_NAMES = ("asm_prep", "quant_prep", "frag_len",
                          "cluster_scan", "cluster_collapse", "cluster_emit",
                          "quant_weights", "scan_p2", "collapse_p2", "emit_p2",
-                         "flow_ns")
+                         "flow_ns", "inflate", "bam_parse", "bam_merge")
 
 
 def native_counters(reset: bool = False) -> Dict[str, float]:

@@ -26,6 +26,7 @@ sys.path.insert(0, "@ROOT@")
 from strawberry_tpu.config import Config
 from strawberry_tpu.pipeline import run_driver
 class Sink:
+    is_null = True  # match bench.py scoreboard sink
     def write(self, *_a): pass
 cfg = Config(ref_gtf_filename="@GTF@", utilize_ref_models=True,
              fr_strand=True)

@@ -25,6 +25,8 @@ TARGETS = {"20x": 20 * BASELINE, "50x": 50 * BASELINE}
 
 
 class Sink:
+    is_null = True  # match bench.py's scoreboard sink
+
     def write(self, *_a):
         pass
 
@@ -59,6 +61,11 @@ def main():
 
     phases = {name: round(st.seconds, 3)
               for name, st in PROF.phases.items() if st.seconds >= 0.01}
+    # per-phase CPU of the thread that ran the phase (time.thread_time):
+    # the Python/numpy work plus any synchronous native calls issued from
+    # that thread; pool-worker CPU is in native_thread_cpu_s instead
+    phase_cpu = {name: round(st.cpu, 3)
+                 for name, st in PROF.phases.items() if st.cpu >= 0.01}
     native = {k: round(v, 3) for k, v in native_counters().items()
               if v >= 0.01}
 
@@ -75,7 +82,20 @@ def main():
         "total_cpu_s": round(total_cpu, 2),
         "cpu_bound_wall_floor_s": round(total_cpu / ncpu, 2),
         "phase_wall_s": phases,
+        "phase_thread_cpu_s": phase_cpu,
         "native_thread_cpu_s": native,
+        "cpu_accounting": {
+            "sum_phase_thread_cpu_s": round(sum(phase_cpu.values()), 2),
+            "sum_native_thread_cpu_s": round(sum(native.values()), 2),
+            "note": "total_cpu_s ~= phase thread-CPU (Python/numpy + "
+                    "synchronous native calls on the phase's thread) + "
+                    "native pool-worker CPU + unphased startup "
+                    "(imports, malloc tuning). Phases nest on the same "
+                    "thread (pass1/pass2 contain the inner phases), so "
+                    "outer entries already include inner ones — compare "
+                    "the top-level pass entries against the native "
+                    "pools, not the raw sum.",
+        },
         "targets": {},
         "p2_on_this_host": {
             "wall_s": 17.2,
