@@ -1222,6 +1222,70 @@ def native_adj_support(hit_flat, masses, arc_s, arc_e, min_dist):
     return out
 
 
+_emit_bound = False
+
+
+def native_gtf_emit_available() -> bool:
+    try:
+        from ..io.native import get_lib
+        return hasattr(get_lib(), "strawb_gtf_emit")
+    except OSError:
+        return False
+
+
+def native_gtf_emit(rows, flat, strand, chrom, chroms_blob, gene_blob,
+                    tid_blob, rgid_blob, rgname_blob,
+                    fpkm, frac, tpm) -> bytes:
+    """Format GTF transcript+exon rows for `rows` (indices into the refs
+    flat) natively; byte-twin of io/gtfwriter.print2gtf (gtfemit.cc)."""
+    global _emit_bound
+    from ..io.native import get_lib
+    lib = get_lib()
+    if not _emit_bound:
+        i64p = C.POINTER(C.c_int64)
+        lib.strawb_gtf_emit.restype = C.c_void_p
+        lib.strawb_gtf_emit.argtypes = [
+            C.c_int64, i64p,
+            i64p, C.POINTER(C.c_int8), i64p, C.POINTER(C.c_int32),
+            C.POINTER(C.c_int8), C.POINTER(C.c_int32),
+            C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p, C.c_char_p,
+            C.POINTER(C.c_double), C.POINTER(C.c_double),
+            C.POINTER(C.c_double), i64p]
+        lib.strawb_gtf_emit_free.restype = None
+        lib.strawb_gtf_emit_free.argtypes = [C.c_void_p]
+        _emit_bound = True
+    off, code, left, lens = flat
+    ka = [np.ascontiguousarray(rows, np.int64),
+          np.ascontiguousarray(off, np.int64),
+          np.ascontiguousarray(code, np.int8),
+          np.ascontiguousarray(left, np.int64),
+          np.ascontiguousarray(lens, np.int32),
+          np.ascontiguousarray(strand, np.int8),
+          np.ascontiguousarray(chrom, np.int32),
+          np.ascontiguousarray(fpkm, np.float64),
+          np.ascontiguousarray(frac, np.float64),
+          np.ascontiguousarray(tpm, np.float64)]
+    out_len = C.c_int64()
+    p = lib.strawb_gtf_emit(
+        len(ka[0]), ka[0].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[1].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[2].ctypes.data_as(C.POINTER(C.c_int8)),
+        ka[3].ctypes.data_as(C.POINTER(C.c_int64)),
+        ka[4].ctypes.data_as(C.POINTER(C.c_int32)),
+        ka[5].ctypes.data_as(C.POINTER(C.c_int8)),
+        ka[6].ctypes.data_as(C.POINTER(C.c_int32)),
+        chroms_blob.encode(), gene_blob.encode(), tid_blob.encode(),
+        rgid_blob.encode(), rgname_blob.encode(),
+        ka[7].ctypes.data_as(C.POINTER(C.c_double)),
+        ka[8].ctypes.data_as(C.POINTER(C.c_double)),
+        ka[9].ctypes.data_as(C.POINTER(C.c_double)),
+        C.byref(out_len))
+    try:
+        return C.string_at(p, out_len.value)
+    finally:
+        lib.strawb_gtf_emit_free(C.c_void_p(p))
+
+
 def sort_contigs_flat(contigs, flat):
     """features.sort_contigs (exact Contig::operator< order), driven by
     the contigs' flat RLE instead of their Python feature lists — no

@@ -92,6 +92,9 @@ class Sample:
         # order — lets pass 2 sort + flatten the assembly from arrays
         # (valid only while the parts cover len(self.assembly))
         self._af_parts: List = []
+        # (rows, fpkm, frac) kept-isoform arrays when pass 2 finalized
+        # fully vectorized and the caller wants bytes, not Isoforms
+        self._vec_emit = None
 
     def _flush_fld_async(self):
         """Ship the accumulated fragLenDist specs to a side thread (the
@@ -808,7 +811,8 @@ class Sample:
         return [], None
 
     def _quantify_batched(self, log: TextIO,
-                          fragfile: Optional[TextIO]) -> List[Isoform]:
+                          fragfile: Optional[TextIO],
+                          want_isoforms: bool = True) -> List[Isoform]:
         """Device-batched pass 2: build locus contexts on host, solve every
         locus EM as fixed-tier batched tensor programs on the TPU, then
         finalize FPKM/filters in cluster order. EM batches launch the
@@ -1023,6 +1027,7 @@ class Sample:
 
         per_entry: List[Optional[List[Isoform]]] = []
         vec_rows: List[Tuple[int, object, object]] = []  # (entry, ids, th)
+        has_nonvec = False
         for (cluster, est), theta in zip(pending, thetas):
             if cluster == "vec":
                 if theta is None:
@@ -1036,24 +1041,34 @@ class Sample:
                 continue  # EM init failed: no surviving bins
             est.finalize_abundances(theta, self.total_mapped_reads, log)
             per_entry.append(list(est.transcripts))
+            has_nonvec = has_nonvec or bool(est.transcripts)
             if fragfile is not None:
                 from .quant.fragcontext import print_context
                 fa = self._chrom_fasta(cluster.ref_id)
                 print_context(self, est, cluster, fragfile, fa_getter=fa,
                               bias_correction=self.cfg.bias_correction)
         if vec_rows:
+            if (not want_isoforms and fragfile is None and not has_nonvec
+                    and self.factory.ref_flat is not None
+                    and _fcl.native_gtf_emit_available()):
+                # bytes-only finalize: skip the Isoform objects entirely;
+                # proc_sample formats the GTF natively from the arrays
+                gids, fpkm, frac, keep, _L, _off = \
+                    self._finalize_vec_arrays(vec_rows, rexlen)
+                self._vec_emit = (gids[keep], fpkm[keep], frac[keep])
+                return []
             self._finalize_vec(vec_rows, rexlen, per_entry)
         isoforms: List[Isoform] = []
         for lst in per_entry:
             isoforms.extend(lst or [])
         return isoforms
 
-    def _finalize_vec(self, vec_rows, rexlen, per_entry):
-        """Vectorized finalize_abundances over all prebuilt loci at once
+    def _finalize_vec_arrays(self, vec_rows, rexlen):
+        """Shared array math of the vectorized finalize_abundances
         (ref: estimate.cpp:315-355). Bit-identical to the scalar path: the
         elementwise ops use the same operands in the same order, and the
-        per-locus FPKM sums run sequentially via the masked j-loop."""
-        refs = self.factory.ref_mrnas
+        per-locus FPKM sums run sequentially via the masked j-loop.
+        Returns (gids, fpkm, frac, keep, L, off) in vec_rows order."""
         cfg = self.cfg
         L = np.fromiter((len(ids) for (_e, ids, _t) in vec_rows),
                         np.int64, len(vec_rows))
@@ -1080,6 +1095,16 @@ class Sample:
             keep = ~(frac < cfg.min_isoform_frac)
         else:
             keep = np.ones(len(fpkm), bool)
+        return gids, fpkm, frac, keep, L, off
+
+    def _finalize_vec(self, vec_rows, rexlen, per_entry):
+        """Isoform-object finalize over the shared vectorized math (used
+        when a caller needs the per-isoform objects: fragment context,
+        sharded TPM merges)."""
+        refs = self.factory.ref_mrnas
+        gids, fpkm, frac, keep, L, off = self._finalize_vec_arrays(
+            vec_rows, rexlen)
+        lens_v = np.asarray(rexlen, np.int64)[gids]
         gl = gids.tolist()
         ll = lens_v.tolist()
         fl = fpkm.tolist()
@@ -1110,8 +1135,37 @@ class Sample:
             return None
         return self.fasta
 
+    def _emit_vec_native(self, out: TextIO) -> None:
+        """Format + write the whole GTF natively from the vec-finalize
+        arrays (gtfemit.cc; byte-twin of io/gtfwriter.print2gtf). Global
+        TPM uses the same naive sequential FPKM accumulation as the
+        object path (alignments.cpp:1821-1829)."""
+        rows, fpkm, frac = self._vec_emit
+        self._vec_emit = None
+        refs = self.factory.ref_mrnas
+        total_fpkm = 0.0
+        for v in fpkm.tolist():   # left-to-right, like the object loop
+            total_fpkm += v
+        if total_fpkm != 0:
+            tpm = (1e6 * fpkm) / total_fpkm
+        else:
+            tpm = np.full(len(fpkm), np.nan)
+        n = len(refs)
+        strand = np.fromiter((r.strand for r in refs), np.int8, n)
+        chrom = np.fromiter((r.ref_id for r in refs), np.int32, n)
+        blob = _fcl.native_gtf_emit(
+            rows, self.factory.ref_flat, strand, chrom,
+            "\n".join(self.table.ref_real_names),
+            "\n".join(r.parent_id for r in refs),
+            "\n".join(r.trans_id for r in refs),
+            "\n".join(r.ref_gene_id for r in refs),
+            "\n".join(r.ref_gene_name for r in refs),
+            fpkm, frac, tpm)
+        out.write(blob.decode())
+
     def proc_sample(self, out: TextIO, log: TextIO,
-                    fragfile: Optional[TextIO] = None):
+                    fragfile: Optional[TextIO] = None,
+                    want_isoforms: bool = True):
         """Pass 2 (alignments.cpp:1736-1835)."""
         self.factory.reset_cursor()
         # reset_refmRNAs (alignments.cpp:1091-1101)
@@ -1144,7 +1198,11 @@ class Sample:
 
         isoforms: List[Isoform] = []
         if self.cfg.device_batch:
-            isoforms = self._quantify_batched(log, fragfile)
+            isoforms = self._quantify_batched(log, fragfile,
+                                              want_isoforms=want_isoforms)
+            if self._vec_emit is not None:
+                self._emit_vec_native(out)
+                return []
         else:
             for cluster in self.iter_clusters("refdemand"):
                 iso, est = self.quantify_cluster(cluster, cluster.ref_mrnas,
@@ -1329,7 +1387,9 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
     with PROF.phase("pass2_quant",
                     items=0 if isinstance(table, StreamingHitTable)
                     and cfg.low_mem else len(table)):
-        sample.proc_sample(out, log, fragfile)
+        # single-process direct output: the per-isoform objects are only
+        # an intermediate for the GTF bytes — let pass 2 skip them
+        sample.proc_sample(out, log, fragfile, want_isoforms=False)
     PROF.stop_trace()
     if cfg.verbose:
         sys.stderr.write(PROF.report(total_reads=len(table)) + "\n")

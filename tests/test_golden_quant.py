@@ -75,3 +75,30 @@ def test_vectorized_finalize_matches_scalar(tmp_path):
     out_s = io.StringIO()
     run_driver(f"{d}/sample_01.sorted.bam", cfg, out_s, RealLog())
     assert out_v.getvalue() == out_s.getvalue()
+
+
+def test_native_gtf_emit_matches_object_path(tmp_path):
+    """The native bytes-only emitter (gtfemit.cc, taken when the caller
+    doesn't need Isoform objects) must match the Python print2gtf path
+    byte-for-byte, in quant-only and assembly modes."""
+    import io
+    from strawberry_tpu.sim import make_dataset
+    import strawberry_tpu.core.fastcluster as fcl
+    from strawberry_tpu.config import Config
+    from strawberry_tpu.pipeline import run_driver
+    d = str(tmp_path / "ds")
+    make_dataset(d, seed=23, n_frags=6000, n_chroms=2, max_isoforms=4)
+    for cfg in (Config(ref_gtf_filename=f"{d}/annotation.gtf",
+                       utilize_ref_models=True),
+                Config(ref_gtf_filename=f"{d}/annotation.gtf")):
+        out_n = io.StringIO()
+        run_driver(f"{d}/sample_01.sorted.bam", cfg, out_n)
+        avail = fcl.native_gtf_emit_available
+        fcl.native_gtf_emit_available = lambda: False
+        try:
+            out_p = io.StringIO()
+            run_driver(f"{d}/sample_01.sorted.bam", cfg, out_p)
+        finally:
+            fcl.native_gtf_emit_available = avail
+        assert out_n.getvalue() == out_p.getvalue()
+        assert out_n.getvalue()

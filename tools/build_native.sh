@@ -11,6 +11,6 @@ if echo '#include <libdeflate.h>' | g++ -E -x c++ - >/dev/null 2>&1; then
   EXTRA="-ldeflate"
 fi
 g++ -std=c++17 -O3 -march=native -fPIC -shared -pthread \
-    $SRC/bamdecode.cc $SRC/cluster.cc $SRC/compat.cc $SRC/quantprep.cc $SRC/mcf.cc $SRC/em.cc $SRC/assembleprep.cc $SRC/lemonns.cc $SRC/gffparse.cc \
+    $SRC/bamdecode.cc $SRC/cluster.cc $SRC/compat.cc $SRC/quantprep.cc $SRC/mcf.cc $SRC/em.cc $SRC/assembleprep.cc $SRC/lemonns.cc $SRC/gffparse.cc $SRC/gtfemit.cc \
     -lz $EXTRA -o $OUT
 echo "built $OUT"
