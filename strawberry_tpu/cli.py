@@ -51,14 +51,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-tpu", action="store_true",
                    help="run host-only (skip JAX device kernels)")
     p.add_argument("--fast-em", action="store_true",
-                   help="run the EM on the TPU (f32 Pallas kernel); "
-                        "abundances within ~1e-6 of golden. On a tunneled "
-                        "single chip this wins narrowly at 10M-read scale "
-                        "and trails ~5%% at 1M (dispatch RTT vs a 12ms "
-                        "host EM) — see benchmarks/em_crossover.json")
+                   help="offload EM to the TPU (f32 Pallas kernel; "
+                        "abundances within ~1e-6 of golden) once the run "
+                        "is big enough to amortize the dispatch RTT — "
+                        "small runs auto-degrade to the host EM, so the "
+                        "flag never loses (benchmarks/em_crossover.json)")
     p.add_argument("--shards", type=int, default=0,
-                   help="run the locus-data-parallel sharded pipeline over "
-                        "N genome shards on the device mesh (0 = off)")
+                   help="CORRECTNESS SIMULATION of the N-shard distributed "
+                        "pipeline: shards run IN SEQUENCE in this process "
+                        "to validate pod byte-parity on one host — it is "
+                        "slower than a normal run; use -p for actual "
+                        "host parallelism (0 = off)")
     return p
 
 

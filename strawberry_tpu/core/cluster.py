@@ -103,6 +103,7 @@ class HitCluster:
         self.strand_intron: Dict[int, Dict[Feature, int]] = {}
         self.segs: List[Segment] = []
         self._table: Optional[HitTable] = None
+        self.trace_only = False  # decode-trace simulation: bounds only
 
     # ---- table accessors --------------------------------------------------
     def _feats(self, i: int) -> List[Feature]:
@@ -234,6 +235,13 @@ class HitCluster:
                 self.ref_id = hit_ref
         else:
             assert self.ref_id == hit_ref
+
+        if self.trace_only:
+            # decode-trace simulation (pipeline._emit_read_diags): only
+            # the cluster-bounds evolution drives the cursor/rewind
+            # behavior; skip pairing/mass bookkeeping
+            self.hits.append(None)
+            return True
 
         singleton = (hit_partner_pos == 0 or int(t.mate_ref[i]) == -1
                      or int(t.mate_ref[i]) != hit_ref)
@@ -533,6 +541,7 @@ class ClusterFactory:
         self.cfg = cfg
         self.ref_mrnas: List[Contig] = ref_mrnas or []
         self.ref_flat = None
+        self.decode_counts = None  # per-row decode-trace accumulator (-v)
         self.refmrna_offset = 0
         self.has_load_all_refs = False
         self.cursor = 0
@@ -621,6 +630,8 @@ class ClusterFactory:
                 return cluster.size()
             i = self.cursor
             self.cursor += 1
+            if self.decode_counts is not None:
+                self.decode_counts[i] += 1
             if (int(t.ref_id[i]) > next_ref_start_ref
                     or (int(t.ref_id[i]) == next_ref_start_ref
                         and int(t.right[i]) >= next_ref_start_pos)):
@@ -653,6 +664,8 @@ class ClusterFactory:
                 break
             i = self.cursor
             self.cursor += 1
+            if self.decode_counts is not None:
+                self.decode_counts[i] += 1
             if hit_lt_cluster(t, i, cluster, cfg.max_olap_dist):
                 self.cursor -= 1
                 if self.has_load_all_refs:
@@ -682,6 +695,8 @@ class ClusterFactory:
                 break
             i = self.cursor
             self.cursor += 1
+            if self.decode_counts is not None:
+                self.decode_counts[i] += 1
             if hit_lt_cluster(t, i, cluster, 0):
                 pass
             elif hit_gt_cluster(t, i, cluster, 0):

@@ -130,6 +130,11 @@ class FeatView:
     def __repr__(self):
         return f"FeatView({self._m()!r})"
 
+    def __reduce__(self):
+        # pickle as a plain tuple list: shipping the (shared) backing
+        # arrays would be wasteful across process boundaries
+        return (list, (self._m(),))
+
     def first_left(self) -> int:
         return int(self._left[self._o0])
 

@@ -107,6 +107,11 @@ class HitTable:
     ref_lens: List[int] = field(default_factory=list)
     read_len_hist: Dict[int, int] = field(default_factory=dict)
     paired_end: bool = False
+    # -v per-read diagnostics in file order: (accepted-rows-before, kind,
+    # read name) with kind 0 = "has unmapped pair" (read.cpp:611-614) and
+    # 1 = "has multiple hits" (read.cpp:679-684); the driver replays them
+    # per streaming pass like the reference's re-decoding cerr output
+    diag_events: Optional[list] = None
 
     def __len__(self):
         return len(self.ref_id)
@@ -183,6 +188,7 @@ def load_bam(path: str, config: Optional[Config] = None) -> HitTable:
     feat_len: List[int] = []
     read_len_hist: Dict[int, int] = {}
     paired_end = False
+    diag_events: List[tuple] = []
     n_hist = 0
     fr, rf = cfg.fr_strand, cfg.rf_strand
 
@@ -324,15 +330,15 @@ def load_bam(path: str, config: Optional[Config] = None) -> HitTable:
                     else STRAND_PLUS
 
         if (flag & 0x1) and mtid != tid and (flag & 0x8) and cfg.verbose:
-            # read.cpp:611-614 cerr diagnostic
-            sys.stderr.write(f"read {qname.decode(errors='replace')} "
-                             "has unmapped pair\n")
+            # read.cpp:611-614 cerr diagnostic; replayed per pass by the
+            # driver (the reference decodes — and prints — per pass)
+            diag_events.append((len(ref_ids), 0,
+                                qname.decode(errors="replace")))
         if cfg.use_only_unique_hits and (nh > 1 or (flag & 0x100)):
             if cfg.verbose:
                 # read.cpp:679-684 cerr diagnostic
-                sys.stderr.write(f"Ignoring read "
-                                 f"{qname.decode(errors='replace')} "
-                                 "has multiple hits\n")
+                diag_events.append((len(ref_ids), 1,
+                                    qname.decode(errors="replace")))
             continue
 
         # genomic features (readhit_2_genomicFeats, contig.cpp:12-52)
@@ -398,4 +404,5 @@ def load_bam(path: str, config: Optional[Config] = None) -> HitTable:
         ref_lens=list(ref_lens),
         read_len_hist=read_len_hist,
         paired_end=paired_end,
+        diag_events=diag_events or None,
     )

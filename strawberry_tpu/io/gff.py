@@ -341,7 +341,7 @@ def parse_native(path: str) -> NativeGff:
 
 
 def load_ref_mrnas_native(g: NativeGff, ref_name2id: Dict[str, int],
-                          return_flat: bool = False):
+                          return_flat: bool = False, only_ids=None):
     """load_ref_mrnas over the native parse result. The exon/intron RLE
     interleave is built with numpy in one shot; Python only zips per-
     transcript slices into feature tuples."""
@@ -395,6 +395,8 @@ def load_ref_mrnas_native(g: NativeGff, ref_name2id: Dict[str, int],
     chosen: List[int] = []  # tx indices in result order (for the flat)
     for b in order:
         ref_id = ref_name2id.get(g.chroms[b], -1)
+        if only_ids is not None and ref_id not in only_ids:
+            continue  # shard worker: build only the owned chromosomes
         b0, b1 = g.block_tx[b], g.block_tx[b + 1]
         if b0 == b1:
             continue

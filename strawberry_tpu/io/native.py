@@ -42,16 +42,19 @@ def get_lib():
     for name, restype in [
         ("num_hits", C.c_int64), ("num_feats", C.c_int64),
         ("paired", C.c_int32), ("num_refs", C.c_int32),
-        ("hist_size", C.c_int32),
+        ("hist_size", C.c_int32), ("diag_n", C.c_int64),
     ]:
         fn = getattr(lib, f"strawb_bam_{name}")
         fn.restype = restype
         fn.argtypes = [C.c_void_p]
     lib.strawb_bam_ref_names.restype = C.c_char_p
     lib.strawb_bam_ref_names.argtypes = [C.c_void_p]
+    lib.strawb_bam_diag_names.restype = C.c_char_p
+    lib.strawb_bam_diag_names.argtypes = [C.c_void_p]
     for name, ct in [
         ("ref_lens", C.c_int32), ("hist_len", C.c_int32),
         ("hist_count", C.c_int32), ("ref_id", C.c_int32),
+        ("diag_kinds", C.c_int8), ("diag_rows", C.c_int64),
         ("left", C.c_int64), ("right", C.c_int64), ("strand", C.c_int8),
         ("flag", C.c_uint16), ("mate_ref", C.c_int32),
         ("mate_pos", C.c_int64), ("nh", C.c_int32),
@@ -289,4 +292,19 @@ def load_bam_native(path: str, config: Optional[Config] = None,
                       np.int32).tolist(),
         read_len_hist=hist,
         paired_end=bool(lib.strawb_bam_paired(h)),
+        diag_events=_fetch_diag(
+            lib.strawb_bam_diag_n(h), lib.strawb_bam_diag_kinds(h),
+            lib.strawb_bam_diag_rows(h), lib.strawb_bam_diag_names(h)),
     )
+
+
+def _fetch_diag(n, kinds_p, rows_p, names_p):
+    """Decode the native -v per-read diagnostic arrays into the
+    HitTable.diag_events [(row, kind, name), ...] form (file order)."""
+    n = int(n)
+    if n == 0:
+        return None
+    kinds = _arr(kinds_p, n, np.int8).tolist()
+    rows = _arr(rows_p, n, np.int64).tolist()
+    names = names_p.decode(errors="replace").split("\n")[:n]
+    return list(zip(rows, kinds, names))

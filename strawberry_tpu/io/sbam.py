@@ -40,10 +40,16 @@ def _bind(lib):
     lib.strawb_sbam_error.argtypes = [C.c_void_p]
     lib.strawb_sbam_ref_names.restype = C.c_char_p
     lib.strawb_sbam_ref_names.argtypes = [C.c_void_p]
+    lib.strawb_sbam_diag_names.restype = C.c_char_p
+    lib.strawb_sbam_diag_names.argtypes = [C.c_void_p]
+    for name, ct in [("diag_kinds", C.c_int8), ("diag_rows", C.c_int64)]:
+        fn = getattr(lib, f"strawb_sbam_{name}")
+        fn.restype = C.POINTER(ct)
+        fn.argtypes = [C.c_void_p]
     for name, restype in [
         ("num_refs", C.c_int32), ("hist_size", C.c_int32),
         ("paired", C.c_int32), ("num_hits", C.c_int64),
-        ("num_blocks", C.c_int64),
+        ("num_blocks", C.c_int64), ("diag_n", C.c_int64),
     ]:
         fn = getattr(lib, f"strawb_sbam_{name}")
         fn.restype = restype
@@ -163,6 +169,19 @@ class StreamingHitTable:
     def __len__(self):
         """Total accepted hits; blocks until EOF."""
         return int(self._lib.strawb_sbam_num_hits(self.handle))
+
+    @property
+    def diag_events(self):
+        """-v per-read diagnostics [(row, kind, name), ...] in file order
+        (native capture, STRAWB_VERBOSE=1). Call after the stream drained
+        — __len__ blocks until EOF first."""
+        lib, h = self._lib, self.handle
+        len(self)  # barrier: events are complete at EOF
+        from .native import _fetch_diag
+        return _fetch_diag(lib.strawb_sbam_diag_n(h),
+                           lib.strawb_sbam_diag_kinds(h),
+                           lib.strawb_sbam_diag_rows(h),
+                           lib.strawb_sbam_diag_names(h))
 
     # -- blocks ------------------------------------------------------------
     def num_blocks(self) -> int:

@@ -168,7 +168,14 @@ struct Config {
   int32_t rf_strand = 0;
   int32_t max_read_num_4_rl = 50000;
   int32_t min_map_qual = 0;  // -q: warning-only (src/read.cpp:525-527)
+  // -v: capture the per-read cerr diagnostics (read.cpp:611-614,679-684)
+  // as ordered events; set from STRAWB_VERBOSE by the open entry points
+  int32_t verbose = 0;
 };
+
+static int32_t env_verbose() {
+  return getenv("STRAWB_VERBOSE") != nullptr ? 1 : 0;
+}
 
 struct Result {
   // per accepted hit
@@ -189,6 +196,10 @@ struct Result {
   std::vector<int32_t> ref_len;
   // read-length histogram over first max_read_num_4_rl accepted hits
   std::vector<int32_t> hist_len, hist_count;
+  // -v per-read diagnostics (kind, accepted-rows-before, names blob)
+  std::vector<int8_t> diag_kind;
+  std::vector<int64_t> diag_row;
+  std::string diag_names;
   int32_t paired_end = 0;
   std::string error;
 };
@@ -227,6 +238,12 @@ struct Partial {
   std::vector<int64_t> feat_left;
   std::vector<int32_t> feat_len;
   std::vector<int32_t> seqlens;  // accepted-hit seq lens (capped at max_hist)
+  // -v per-read diagnostic events in record order: kind (0 = unmapped
+  // pair, 1 = multi-hit reject), accepted rows in THIS partial before the
+  // event, '\n'-joined read names
+  std::vector<int8_t> ev_kind;
+  std::vector<int64_t> ev_row;
+  std::string ev_names;
   int32_t paired_end = 0;
 
   void clear() {  // keep capacity (streaming windows reuse the buffers)
@@ -234,6 +251,7 @@ struct Partial {
     flag.clear(); mate_ref.clear(); mate_pos.clear(); nh.clear();
     read_id.clear(); cigar_hash.clear(); nfeat.clear(); feat_code.clear();
     feat_left.clear(); feat_len.clear(); seqlens.clear();
+    ev_kind.clear(); ev_row.clear(); ev_names.clear();
     paired_end = 0;
   }
 };
@@ -420,7 +438,20 @@ static void decode_range(const uint8_t* buf, const size_t* offs,
       else strand = key ? 2 : 1;
     }
 
+    if (cfg.verbose && (flag & 0x1) && mtid != tid && (flag & 0x8)) {
+      // read.cpp:611-614: paired, mate on another target, mate unmapped
+      R.ev_kind.push_back(0);
+      R.ev_row.push_back((int64_t)R.ref_id.size());
+      R.ev_names.append(qname);
+      R.ev_names.push_back('\n');
+    }
     if (cfg.use_only_unique_hits && (nh > 1 || (flag & 0x100))) {
+      if (cfg.verbose) {  // read.cpp:679-684
+        R.ev_kind.push_back(1);
+        R.ev_row.push_back((int64_t)R.ref_id.size());
+        R.ev_names.append(qname);
+        R.ev_names.push_back('\n');
+      }
       R.feat_code.resize(nf0);  // roll back the directly-emitted features
       R.feat_left.resize(nf0);
       R.feat_len.resize(nf0);
@@ -515,6 +546,17 @@ static bool decode_records(const uint8_t* buf, size_t n, const Config& cfg,
 
   // merge (chunk order == file order)
   for (auto& p : parts) R.paired_end |= p.paired_end;
+  {
+    int64_t row_base = 0;
+    for (auto& p : parts) {
+      for (size_t e = 0; e < p.ev_kind.size(); ++e) {
+        R.diag_kind.push_back(p.ev_kind[e]);
+        R.diag_row.push_back(row_base + p.ev_row[e]);
+      }
+      R.diag_names += p.ev_names;
+      row_base += (int64_t)p.ref_id.size();
+    }
+  }
   std::vector<int32_t> hist;
   int n_hist = 0;
   for (auto& p : parts) {
@@ -655,6 +697,10 @@ struct StrawbSbam {
   bool ended = false;
   int32_t paired = 0;
   int64_t total_hits = 0;
+  // -v per-read diagnostic events, file order (read after EOF)
+  std::vector<int8_t> diag_kind;
+  std::vector<int64_t> diag_row;
+  std::string diag_names;
   std::string error;
 
   std::thread driver;
@@ -693,6 +739,7 @@ struct SbamAccum {
   SbamBlock cur;
   std::vector<int32_t> hist;  // dense seqlen histogram (first 50k accepted)
   int64_t n_hist = 0;
+  int64_t rows_total = 0;  // accepted rows accumulated (event row base)
   bool hist_done = false;
 
   explicit SbamAccum(StrawbSbam* s) : S(s) {}
@@ -741,6 +788,15 @@ struct SbamAccum {
   void append(std::vector<Partial>& parts) {
     for (auto& p : parts) {
       S->paired |= p.paired_end;
+      if (!p.ev_kind.empty()) {
+        std::lock_guard<std::mutex> g(S->mu);
+        for (size_t e = 0; e < p.ev_kind.size(); ++e) {
+          S->diag_kind.push_back(p.ev_kind[e]);
+          S->diag_row.push_back(rows_total + p.ev_row[e]);
+        }
+        S->diag_names += p.ev_names;
+      }
+      rows_total += (int64_t)p.ref_id.size();
       size_t n = p.ref_id.size();
       size_t i = 0, fcur = 0;
       while (i < n) {
@@ -1148,9 +1204,25 @@ StrawbSbam* strawb_sbam_open(const char* path, int32_t max_intron,
   S->cfg.rf_strand = rf;
   S->cfg.max_read_num_4_rl = max_hist;
   S->cfg.min_map_qual = min_mapq;
+  S->cfg.verbose = env_verbose();
   S->n_threads = n_threads;
   S->driver = std::thread([S]() { S->run(); });
   return S;
+}
+
+// ---- -v per-read diagnostics (valid after the stream ends) ----
+int64_t strawb_sbam_diag_n(StrawbSbam* S) {
+  std::lock_guard<std::mutex> g(S->mu);
+  return (int64_t)S->diag_kind.size();
+}
+const int8_t* strawb_sbam_diag_kinds(StrawbSbam* S) {
+  return S->diag_kind.data();
+}
+const int64_t* strawb_sbam_diag_rows(StrawbSbam* S) {
+  return S->diag_row.data();
+}
+const char* strawb_sbam_diag_names(StrawbSbam* S) {
+  return S->diag_names.c_str();
 }
 
 void strawb_sbam_free(StrawbSbam* S) { delete S; }
@@ -1352,6 +1424,7 @@ StrawbBam* strawb_bam_load(const char* path, int32_t max_intron,
   cfg.rf_strand = rf;
   cfg.max_read_num_4_rl = max_hist;
   cfg.min_map_qual = min_mapq;
+  cfg.verbose = env_verbose();
   decode_records(buf.data(), buf.size(), cfg, h->r, n_threads);
   if (dbg)
     fprintf(stderr, "[native] bam_load read=%.3fs inflate=%.3fs parse=%.3fs\n",
@@ -1366,6 +1439,18 @@ const char* strawb_bam_error(StrawbBam* h) {
 int64_t strawb_bam_num_hits(StrawbBam* h) { return (int64_t)h->r.ref_id.size(); }
 int64_t strawb_bam_num_feats(StrawbBam* h) { return (int64_t)h->r.feat_code.size(); }
 int32_t strawb_bam_paired(StrawbBam* h) { return h->r.paired_end; }
+int64_t strawb_bam_diag_n(StrawbBam* h) {
+  return (int64_t)h->r.diag_kind.size();
+}
+const int8_t* strawb_bam_diag_kinds(StrawbBam* h) {
+  return h->r.diag_kind.data();
+}
+const int64_t* strawb_bam_diag_rows(StrawbBam* h) {
+  return h->r.diag_row.data();
+}
+const char* strawb_bam_diag_names(StrawbBam* h) {
+  return h->r.diag_names.c_str();
+}
 int32_t strawb_bam_num_refs(StrawbBam* h) { return (int32_t)h->r.ref_len.size(); }
 const char* strawb_bam_ref_names(StrawbBam* h) { return h->r.names_blob.c_str(); }
 const int32_t* strawb_bam_ref_lens(StrawbBam* h) { return h->r.ref_len.data(); }
@@ -1415,6 +1500,8 @@ struct StrawbSpan {
   std::vector<int32_t> ref_len;
   uint64_t header_end = 0;         // global offset of the first record
   uint64_t end_off = 0;            // result of strawb_span_end
+  std::vector<size_t> scan_offs;   // record starts found by span_end
+  uint64_t scan_start = ~0ull;     // the start that scan_offs covers
   Result R;
   std::vector<int32_t> seq_lens;   // ordered accepted seq lens (capped)
   std::string error;
@@ -1630,6 +1717,12 @@ int64_t strawb_span_end(StrawbSpan* S, int64_t start) {
   uint64_t owned_end = S->ucum[S->b1];
   uint64_t total = S->ucum.back();
   uint64_t pos = (uint64_t)start;
+  // the scan doubles as span_parse's record index (the offsets are
+  // exactly the records this span parses), so parse skips its own pass
+  S->scan_offs.clear();
+  if (owned_end > pos)
+    S->scan_offs.reserve((size_t)((owned_end - pos) / 64));
+  S->scan_start = pos;
   while (pos < owned_end) {
     if (pos + 4 > total) {
       S->error = "truncated BAM record";
@@ -1642,6 +1735,7 @@ int64_t strawb_span_end(StrawbSpan* S, int64_t start) {
       S->error = "malformed BAM record";
       return -1;
     }
+    S->scan_offs.push_back((size_t)(pos - S->base));
     pos += 4 + (uint64_t)bs;
   }
   S->end_off = pos;
@@ -1653,6 +1747,26 @@ int64_t strawb_span_end(StrawbSpan* S, int64_t start) {
 int32_t strawb_span_parse(StrawbSpan* S, int64_t start, int64_t end) {
   // ensure the tail record (starting just before `end`) is fully inflated
   std::vector<size_t> offs;
+  if (S->scan_start == (uint64_t)start && S->end_off == (uint64_t)end &&
+      !S->scan_offs.empty()) {
+    // reuse strawb_span_end's scan; just inflate the tail record's body
+    offs.swap(S->scan_offs);
+    size_t lp = offs.back();
+    while (lp + 4 > S->buf.size())
+      if (!S->extend_to(S->binf1 + 4)) return 0;
+    uint64_t rec_end =
+        S->base + lp + 4 + (uint64_t)rd_i32(S->buf.data() + lp);
+    while (rec_end > S->base + S->buf.size()) {
+      if (S->binf1 >= S->blocks.size()) {
+        S->error = "truncated BAM record";
+        return 0;
+      }
+      if (!S->extend_to(S->binf1 + 4)) return 0;
+    }
+  } else if (S->scan_start == (uint64_t)start && S->scan_offs.empty() &&
+             S->end_off == (uint64_t)end) {
+    // empty span scanned by span_end: nothing to parse
+  } else {
   uint64_t pos = (uint64_t)start;
   while (pos < (uint64_t)end) {
     while (pos + 4 > S->base + S->buf.size()) {
@@ -1670,9 +1784,17 @@ int32_t strawb_span_parse(StrawbSpan* S, int64_t start, int64_t end) {
     offs.push_back((size_t)(pos - S->base));
     pos = rec_end;
   }
+  }
   size_t nrec = offs.size();
   size_t T = (size_t)S->n_threads;
   if (nrec < 4096) T = 1;
+  const bool dbg = getenv("STRAWB_NATIVE_DEBUG") != nullptr;
+  auto now = [] {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  };
+  double t_scan0 = dbg ? now() : 0;
   std::vector<Partial> parts(T);
   if (T <= 1) {
     decode_range(S->buf.data(), offs.data(), 0, nrec, S->cfg, parts[0]);
@@ -1686,6 +1808,7 @@ int32_t strawb_span_parse(StrawbSpan* S, int64_t start, int64_t end) {
     }
     for (auto& th : pool) th.join();
   }
+  double t_dec = dbg ? now() - t_scan0 : 0;
   Result& R = S->R;
   for (auto& p : parts) R.paired_end |= p.paired_end;
   // ordered seq lens (first max_read_num_4_rl accepted in span order) so
@@ -1724,6 +1847,9 @@ int32_t strawb_span_parse(StrawbSpan* S, int64_t start, int64_t end) {
   // the compressed file copy and inflate buffer are no longer needed
   std::vector<uint8_t>().swap(S->raw);
   std::vector<uint8_t>().swap(S->buf);
+  if (dbg)
+    fprintf(stderr, "[span] nrec=%zu decode=%.3f concat=%.3f\n", nrec,
+            t_dec, now() - t_scan0 - t_dec);
   return 1;
 }
 

@@ -95,6 +95,8 @@ class Sample:
         # (rows, fpkm, frac) kept-isoform arrays when pass 2 finalized
         # fully vectorized and the caller wants bytes, not Isoforms
         self._vec_emit = None
+        # decode-captured -v per-read events for the pass-2 replay
+        self._read_diags = None
 
     def _flush_fld_async(self):
         """Ship the accumulated fragLenDist specs to a side thread (the
@@ -1135,17 +1137,13 @@ class Sample:
             return None
         return self.fasta
 
-    def _emit_vec_native(self, out: TextIO) -> None:
-        """Format + write the whole GTF natively from the vec-finalize
-        arrays (gtfemit.cc; byte-twin of io/gtfwriter.print2gtf). Global
-        TPM uses the same naive sequential FPKM accumulation as the
-        object path (alignments.cpp:1821-1829)."""
+    def vec_emit_render(self, total_fpkm: float) -> bytes:
+        """Render the deferred vec-finalize arrays to GTF bytes with the
+        given global FPKM total (sharded runs reduce the total across
+        shards first; single-process passes its own sequential sum)."""
         rows, fpkm, frac = self._vec_emit
         self._vec_emit = None
         refs = self.factory.ref_mrnas
-        total_fpkm = 0.0
-        for v in fpkm.tolist():   # left-to-right, like the object loop
-            total_fpkm += v
         if total_fpkm != 0:
             tpm = (1e6 * fpkm) / total_fpkm
         else:
@@ -1161,12 +1159,26 @@ class Sample:
             "\n".join(r.ref_gene_id for r in refs),
             "\n".join(r.ref_gene_name for r in refs),
             fpkm, frac, tpm)
-        out.write(blob.decode())
+        return blob
+
+    def _emit_vec_native(self, out: TextIO) -> None:
+        """Format + write the whole GTF natively from the vec-finalize
+        arrays (gtfemit.cc; byte-twin of io/gtfwriter.print2gtf). Global
+        TPM uses the same naive sequential FPKM accumulation as the
+        object path (alignments.cpp:1821-1829)."""
+        total_fpkm = 0.0
+        for v in self._vec_emit[1].tolist():  # left-to-right, like the
+            total_fpkm += v                   # object loop
+        out.write(self.vec_emit_render(total_fpkm).decode())
 
     def proc_sample(self, out: TextIO, log: TextIO,
                     fragfile: Optional[TextIO] = None,
-                    want_isoforms: bool = True):
-        """Pass 2 (alignments.cpp:1736-1835)."""
+                    want_isoforms: bool = True,
+                    defer_vec_emit: bool = False):
+        """Pass 2 (alignments.cpp:1736-1835). With defer_vec_emit, a
+        fully-vectorized finalize leaves its arrays in self._vec_emit for
+        the caller to render (sharded runs reduce the FPKM total first);
+        otherwise the GTF is written to `out` here."""
         self.factory.reset_cursor()
         # reset_refmRNAs (alignments.cpp:1091-1101)
         if not self.cfg.no_assembly:
@@ -1195,12 +1207,22 @@ class Sample:
         else:
             self.factory.refmrna_offset = 0
             self.factory.has_load_all_refs = False
+        if self._read_diags:
+            # pass-2 re-decode diagnostics (the reference streams the BAM
+            # again through getHitFromBuf during procSample)
+            c2, ex2 = _decode_pass_counts(self.table, self.cfg,
+                                          self.factory.ref_mrnas,
+                                          "refdemand")
+            _emit_read_diags(self._read_diags, counts=c2, exhausted=ex2)
+            self._read_diags = None
 
         isoforms: List[Isoform] = []
         if self.cfg.device_batch:
             isoforms = self._quantify_batched(log, fragfile,
                                               want_isoforms=want_isoforms)
             if self._vec_emit is not None:
+                if defer_vec_emit:
+                    return []  # caller renders via vec_emit_render
                 self._emit_vec_native(out)
                 return []
         else:
@@ -1230,6 +1252,108 @@ class Sample:
         return isoforms
 
 
+def _trace_columns(table):
+    """Random-access column table for the decode-trace simulation (a
+    plain HitTable passes through; a drained streaming table concatenates
+    its blocks; a low-mem stream has dropped them -> None)."""
+    from .io.sbam import StreamingHitTable
+    if not isinstance(table, StreamingHitTable):
+        return table
+    if table.low_mem:
+        return None
+    try:
+        nb = table.num_blocks()
+        tabs = [table.block_table(k) for k in range(nb)]
+    except Exception:
+        return None
+    from .io.bamreader import HitTable
+    n = sum(len(tt) for tt in tabs)
+
+    def cat(attr, dtype):
+        if not tabs:
+            return np.zeros(0, dtype)
+        return np.concatenate([getattr(tt, attr) for tt in tabs])
+
+    return HitTable(
+        ref_id=cat("ref_id", np.int32), left=cat("left", np.int64),
+        right=cat("right", np.int64), strand=cat("strand", np.int8),
+        flag=cat("flag", np.uint16), mate_ref=cat("mate_ref", np.int32),
+        mate_pos=cat("mate_pos", np.int64), nh=cat("nh", np.int32),
+        read_id=cat("read_id", np.uint64),
+        cigar_hash=cat("cigar_hash", np.uint64),
+        feat_off=np.zeros(n + 1, np.int64),  # feats unused by the trace
+        feat_code=np.zeros(0, np.int8), feat_left=np.zeros(0, np.int64),
+        feat_len=np.zeros(0, np.int32), ref_names=table.ref_names,
+        ref_real_names=table.ref_real_names, ref_lens=table.ref_lens,
+        read_len_hist={}, paired_end=True)
+
+
+def _decode_pass_counts(table, cfg: Config, refs, mode: str):
+    """Simulate one reference pass's record cursor (the oracle cluster
+    iterators carry the exact rewind semantics of nextCluster_refGuide /
+    nextClusterRefDemand, alignments.cpp:1103-1286) and return
+    (per-accepted-row decode counts, cursor-exhausted flag). A hit that
+    starts the next cluster is decoded again after its rewind, so its -v
+    diagnostics print once per decode — the counts reproduce that
+    multiplicity. None = simulation unavailable (low-mem stream)."""
+    from dataclasses import replace as _dc_replace
+    from .core.cluster import ClusterFactory, HitCluster
+    t = _trace_columns(table)
+    if t is None:
+        return None, True
+    if mode == "refdemand" and not refs:
+        return np.zeros(len(t), np.int32), False
+    qcfg = _dc_replace(cfg, verbose=False)  # no duplicate bounds cerr
+    f = ClusterFactory(t, qcfg)
+    f.set_ref_mrnas(list(refs))
+    counts = np.zeros(len(t), np.int32)
+    f.decode_counts = counts
+    while True:
+        c = HitCluster(qcfg)
+        c.trace_only = True
+        rc = (f.next_cluster_refguide(c) if mode == "refguide"
+              else f.next_cluster_ref_demand(c))
+        if rc == -1:
+            break
+    return counts, f.cursor >= len(t)
+
+
+def _emit_read_diags(events, cap: Optional[int] = None,
+                     counts=None, exhausted: bool = True) -> None:
+    """Replay the decode-captured per-read -v diagnostics to stderr
+    (read.cpp:611-614,679-684). With `cap`, only events seen before the
+    cap-th accepted hit — the reference's inspect_read_len window (a
+    linear scan: every line once). With `counts` (from
+    _decode_pass_counts), accepted-row events repeat once per decode and
+    consumed rejects print iff the pass's cursor reached them."""
+    if not events:
+        return
+    lines = []
+    n_ev = len(events)
+    nrows = len(counts) if counts is not None else 0
+    for j, (row, kind, name) in enumerate(events):
+        if cap is not None and row >= cap:
+            break
+        line = (f"read {name} has unmapped pair\n" if kind == 0
+                else f"Ignoring read {name} has multiple hits\n")
+        if counts is None:
+            lines.append(line)
+            continue
+        on_reject = kind == 1 or (j + 1 < n_ev and events[j + 1][0] == row
+                                  and events[j + 1][1] == 1
+                                  and events[j + 1][2] == name)
+        if not on_reject:
+            mult = int(counts[row]) if row < nrows else 0
+        elif row < nrows:
+            # rejected records are consumed (never rewound); they decode
+            # once iff the pass read up to the next accepted row
+            mult = 1 if counts[row] > 0 else 0
+        else:
+            mult = 1 if exhausted else 0  # trailing rejects after EOF hunt
+        lines.extend([line] * mult)
+    sys.stderr.write("".join(lines))
+
+
 def run_driver(bam_path: str, cfg: Config, out: TextIO,
                log: Optional[TextIO] = None,
                fragfile: Optional[TextIO] = None,
@@ -1243,7 +1367,28 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
     if cfg.verbose:
         from .utils import profiling
         profiling.enable()
+        # native decoders capture the per-read cerr diagnostics
+        # (read.cpp:611-614,679-684) when this is set; replayed below
+        os.environ["STRAWB_VERBOSE"] = "1"
     PROF.start_trace()
+    if (cfg.num_threads > 1 and not cfg.no_quant and fragfile is None
+            and not cfg.bias_correction):
+        # -p N: forked shard workers, each inflating only its own BGZF
+        # block span (no parent-side decode). Falls back to the COW-table
+        # variant below when the native span decoder is unavailable.
+        try:
+            from .io.native import get_lib
+            get_lib()
+            from .parallel.multiproc import run_multiprocess_ranged
+            with PROF.phase("multiprocess_pipeline"):
+                nrows = run_multiprocess_ranged(
+                    bam_path, cfg, out, n_procs=cfg.num_threads)
+            PROF.stop_trace()
+            if cfg.verbose:
+                sys.stderr.write(PROF.report(total_reads=nrows) + "\n")
+            return None
+        except OSError:
+            pass
     # the GTF parse AND the ref-Contig build are independent of the main
     # thread's decode consumption; run both on a side thread while the
     # native decoder (which releases the GIL for the duration of the
@@ -1350,6 +1495,27 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
             sample.pre_process(log)
         else:
             sample.assemble_sample(log)
+
+    read_diags = None
+    if cfg.verbose:
+        # the reference decodes the BAM once for inspect_read_len (the
+        # first max_read_num_4_rl accepted hits) and once per pass, and
+        # getHitFromBuf prints its per-read diagnostics on every decode
+        # (read.cpp:611-614,679-684); we decode once and replay the
+        # captured events with the same per-pass multiplicity. Captured
+        # here, after pass 1 drained the stream (a reopened low-mem
+        # stream would block on its own EOF otherwise).
+        try:
+            read_diags = table.diag_events
+        except Exception:
+            read_diags = None
+        _emit_read_diags(read_diags, cap=cfg.max_read_num_4_rl)  # inspect
+        if read_diags:
+            c1, ex1 = _decode_pass_counts(
+                table, cfg, sample.factory.ref_mrnas,
+                "refdemand" if cfg.no_assembly else "refguide")
+            _emit_read_diags(read_diags, counts=c1, exhausted=ex1)  # pass 1
+        sample._read_diags = read_diags  # pass-2 replay (proc_sample)
 
     if cfg.no_quant:
         for iso in sample.assembly:

@@ -153,6 +153,15 @@ class EmDispatcher:
         self.force_host = bool(os.environ.get("STRAWB_FORCE_HOST")) or (
             not self.use_pallas
             and not os.environ.get("STRAWB_DEVICE_EM"))
+        # --fast-em auto-routing: the chip only wins once enough tier
+        # batches pipeline to amortize the per-dispatch RTT (~28ms on the
+        # tunneled link vs a 12ms whole-run host EM at 1M-read scale —
+        # benchmarks/em_crossover.json). The first N problems stay on
+        # host, so small runs degrade to exactly the default path and the
+        # flag never loses; large runs still ship the bulk to the chip.
+        self.device_after = int(os.environ.get("STRAWB_FASTEM_AFTER",
+                                               "4000"))
+        self.n_seen = 0
         # per-tier fill state: list of (idx, u, F, total, niso)
         self._fills: List[List[tuple]] = [[] for _ in _TIERS]
         self._host_items: List[tuple] = []
@@ -178,7 +187,9 @@ class EmDispatcher:
         if u.size == 0:
             return  # init failure -> results[idx] stays None
         item = (idx, u, F, total, niso)
-        if not self.force_host:
+        self.n_seen += 1
+        if not self.force_host and (not self.use_pallas
+                                    or self.n_seen > self.device_after):
             for t, (rb, cb, bb) in enumerate(_TIERS):
                 if F.shape[0] <= rb and niso <= cb:
                     self._fills[t].append(item)

@@ -207,6 +207,7 @@ def simulate_reads(rng: random.Random, txs: Sequence[SimTranscript],
                    read_len_range: Optional[Tuple[int, int]] = None,
                    protocol: Optional[str] = None,
                    multimap_frac: float = 0.0,
+                   unmapped_mate_frac: float = 0.0,
                    indel_rate: float = 0.0,
                    clip_rate: float = 0.0,
                    mapq_range: Optional[Tuple[int, int]] = None
@@ -298,6 +299,22 @@ def simulate_reads(rng: random.Random, txs: Sequence[SimTranscript],
             rl = min(t.length, rng.randint(*read_len_range))
             emit_single(t, qname, rl, 1, False)
             continue
+        if paired and unmapped_mate_frac \
+                and rng.random() < unmapped_mate_frac \
+                and t.length >= read_len:
+            # R1 mapped, mate unmapped: '*' RNEXT (mtid -1) + flag 0x8 —
+            # the read.cpp:611-614 verbose diagnostic; still accepted as
+            # a singleton hit
+            s = rng.randrange(0, t.length - read_len + 1)
+            pos0, cig = t.cigar_for(s, read_len)
+            r1_rev = _pair_orientation(protocol, t.strand)
+            rec = BamRecord(qname=qname,
+                            flag=0x1 | 0x40 | 0x8 | (0x10 if r1_rev else 0),
+                            ref_id=-1, pos=pos0, mapq=mapq(), cigar=cig,
+                            seq="A" * qlen_of(cig), next_ref_id=-1,
+                            next_pos=-1, tags=tags_for(t, 1))
+            records.append((t.chrom, rec))
+            continue
         if paired:
             fl = int(rng.gauss(frag_mean, frag_sd))
             fl = max(read_len + 10, min(fl, t.length))
@@ -374,6 +391,7 @@ def make_dataset(outdir: str, seed: int = 42, n_genes_hint: int = 10,
                  read_len_range: Optional[Tuple[int, int]] = None,
                  annotation_format: str = "gtf",
                  protocol: Optional[str] = None, multimap_frac: float = 0.0,
+                 unmapped_mate_frac: float = 0.0,
                  indel_rate: float = 0.0, clip_rate: float = 0.0,
                  mapq_range: Optional[Tuple[int, int]] = None,
                  exon_range: Optional[Tuple[int, int]] = None,
@@ -400,7 +418,9 @@ def make_dataset(outdir: str, seed: int = 42, n_genes_hint: int = 10,
     recs = simulate_reads(rng, txs, abund, n_frags, read_len=read_len,
                           paired=paired, with_xs=with_xs,
                           read_len_range=read_len_range, protocol=protocol,
-                          multimap_frac=multimap_frac, indel_rate=indel_rate,
+                          multimap_frac=multimap_frac,
+                          unmapped_mate_frac=unmapped_mate_frac,
+                          indel_rate=indel_rate,
                           clip_rate=clip_rate, mapq_range=mapq_range)
     bam = os.path.join(outdir, "sample_01.sorted.bam")
     write_bam(bam, chroms, recs)

@@ -54,3 +54,44 @@ def test_verbose_run_level_lines_match_reference(tmp_path):
         capture_output=True, text=True, timeout=300)
     assert ref.returncode == 0, ref.stderr[-2000:]
     assert _extract(ours.stderr) == _extract(ref.stderr)
+
+
+_PER_READ = re.compile(
+    r"^(read \S+ has unmapped pair|Ignoring read \S+ has multiple hits)$")
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not built")
+@pytest.mark.parametrize("mode", [[], ["-r"], None])
+def test_verbose_per_read_lines_match_reference(tmp_path, mode):
+    """The per-read cerr diagnostics (read.cpp:611-614,679-684) must match
+    the reference's EXACT line sequence — including the reference's
+    re-decode multiplicity (inspect_read_len window, then once per decode
+    per pass, where cluster-boundary rewinds re-decode a hit). Dataset
+    carries both event classes: unmapped mates and NH=2 multimappers
+    rejected under the default unique-hits mode. mode None = ab initio
+    (no -g)."""
+    from strawberry_tpu.sim import make_dataset
+    d = str(tmp_path / "ds")
+    make_dataset(d, seed=31, n_frags=3000, n_chroms=2, max_isoforms=3,
+                 multimap_frac=0.05, unmapped_mate_frac=0.05)
+    bam = f"{d}/sample_01.sorted.bam"
+    gtf = f"{d}/annotation.gtf"
+    args = [] if mode is None else ["-g", gtf, *mode]
+
+    def per_read(err):
+        return [l for l in err.splitlines() if _PER_READ.match(l)]
+
+    ours = subprocess.run(
+        [sys.executable, "-m", "strawberry_tpu.cli", "-v", *args,
+         "-o", str(tmp_path / "ours.gtf"), "-T", str(tmp_path / "ours.log"),
+         bam],
+        capture_output=True, text=True, cwd=ROOT, timeout=300)
+    assert ours.returncode == 0, ours.stderr[-2000:]
+    ref = subprocess.run(
+        [REF, "-v", *args, "-o", str(tmp_path / "ref.gtf"),
+         "-T", str(tmp_path / "ref.log"), bam],
+        capture_output=True, text=True, timeout=300)
+    assert ref.returncode == 0, ref.stderr[-2000:]
+    a, b = per_read(ours.stderr), per_read(ref.stderr)
+    assert a, "dataset produced no per-read diagnostics"
+    assert a == b
