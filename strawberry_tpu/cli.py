@@ -44,10 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--fragment-context", default="")
     p.add_argument("-e", "--filter-low-expression", type=float, default=None)
     p.add_argument("--low-mem", action="store_true",
-                   help="bounded-memory streaming: decoded chromosome "
-                        "blocks are dropped as consumed and pass 2 "
-                        "re-decodes the BAM (peak RSS O(decode window), "
-                        "not O(file))")
+                   help="bounded-memory streaming: decoded blocks (split "
+                        "below chromosome granularity at cluster-safe "
+                        "boundaries, STRAWB_SPLIT_MB) are dropped as "
+                        "consumed and pass 2 re-decodes the BAM — peak "
+                        "RSS O(decode window), even on deep "
+                        "single-chromosome inputs")
     p.add_argument("--no-tpu", action="store_true",
                    help="run host-only (skip JAX device kernels)")
     p.add_argument("--fast-em", action="store_true",

@@ -19,6 +19,7 @@ from .bamreader import HitTable
 _LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native", "libstrawberry_host.so")
 _lib = None
+_lib_lock = __import__("threading").Lock()
 
 
 def _build():
@@ -29,9 +30,25 @@ def _build():
 
 
 def get_lib():
+    # Thread-safe singleton: the GTF side thread and the stream open race
+    # here at startup. Two CDLL instances would each carry their OWN
+    # function-pointer caches, while the module-level "_bound" flags of
+    # the per-area binders (sbam, cluster, …) are process-global — the
+    # loser's instance would be consulted with DEFAULT (32-bit int)
+    # restypes, truncating returned handles (observed: rare segfault in
+    # strawb_sbam_set_max_retained on a truncated strawb_sbam_open
+    # result).
     global _lib
     if _lib is not None:
         return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        return _load_lib_locked()
+
+
+def _load_lib_locked():
+    global _lib
     if not os.path.exists(_LIB_PATH):
         _build()
     lib = C.CDLL(_LIB_PATH)

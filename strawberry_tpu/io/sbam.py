@@ -80,6 +80,12 @@ def _bind(lib):
     lib.strawb_sbam_drop_block.argtypes = [C.c_void_p, C.c_int64]
     lib.strawb_sbam_set_max_retained.restype = None
     lib.strawb_sbam_set_max_retained.argtypes = [C.c_void_p, C.c_int64]
+    lib.strawb_sbam_start.restype = None
+    lib.strawb_sbam_start.argtypes = [C.c_void_p]
+    lib.strawb_sbam_set_split.restype = None
+    lib.strawb_sbam_set_split.argtypes = [
+        C.c_void_p, C.c_int64, C.c_int64, C.c_int64,
+        C.POINTER(C.c_int32), C.POINTER(C.c_int64), C.POINTER(C.c_int64)]
     _bound = True
     return lib
 
@@ -93,7 +99,8 @@ class StreamingHitTable:
     """
 
     def __init__(self, path: str, cfg: Optional[Config] = None,
-                 n_threads: int = 0, low_mem: bool = False):
+                 n_threads: int = 0, low_mem: bool = False,
+                 split_barriers=None, defer_start: bool = False):
         import os
         cfg = cfg or Config()
         lib = _bind(get_lib())
@@ -121,9 +128,11 @@ class StreamingHitTable:
             # STRAWB_STREAM_CAP_MB overrides for experiments
             cap_mb = int(os.environ.get("STRAWB_STREAM_CAP_MB", "128"))
             lib.strawb_sbam_set_max_retained(h, cap_mb << 20)
-        err = lib.strawb_sbam_error(h)  # blocks until header or failure
+        err = lib.strawb_sbam_error(h)  # header is pre-parsed in open
         if err:
             raise IOError(f"{path}: {err.decode()}")
+        self._split_barriers = split_barriers
+        self._started = False
         names = lib.strawb_sbam_ref_names(h).decode().split("\n")[:-1]
         self.ref_real_names: List[str] = names
         self.ref_names: List[str] = [x.lower() for x in names]
@@ -131,6 +140,39 @@ class StreamingHitTable:
             lib.strawb_sbam_ref_lens(h), lib.strawb_sbam_num_refs(h),
             np.int32).tolist()
         self._hist: Optional[Dict[int, int]] = None
+        if not defer_start:
+            self.start(split_barriers)
+
+    def start(self, split_barriers=None) -> None:
+        """Begin record decoding. In low-mem mode this first configures
+        sub-chromosome block splitting (barriers = padded merged
+        annotation-gene intervals as (chrom i32, left i64, right i64)
+        arrays; None = no annotation), so deep single-chromosome inputs
+        stay O(window) instead of O(reads/chromosome)."""
+        if self._started:
+            return
+        self._started = True
+        if split_barriers is not None:
+            self._split_barriers = split_barriers
+        if self.low_mem:
+            import os
+            tgt_mb = int(os.environ.get("STRAWB_SPLIT_MB", "32"))
+            if tgt_mb > 0:
+                b = self._split_barriers
+                if b is None:
+                    bc = np.zeros(0, np.int32)
+                    bl = np.zeros(0, np.int64)
+                    br = np.zeros(0, np.int64)
+                else:
+                    bc = np.ascontiguousarray(b[0], np.int32)
+                    bl = np.ascontiguousarray(b[1], np.int64)
+                    br = np.ascontiguousarray(b[2], np.int64)
+                self._lib.strawb_sbam_set_split(
+                    self.handle, tgt_mb << 20, self._cfg.max_olap_dist,
+                    len(bc), bc.ctypes.data_as(C.POINTER(C.c_int32)),
+                    bl.ctypes.data_as(C.POINTER(C.c_int64)),
+                    br.ctypes.data_as(C.POINTER(C.c_int64)))
+        self._lib.strawb_sbam_start(self.handle)
 
     # -- stream-point accessors ------------------------------------------
     @property
@@ -243,12 +285,15 @@ class StreamingHitTable:
     def reopen(self) -> "StreamingHitTable":
         """Low-memory pass 2: re-decode the file as a fresh stream (the
         reference's bgzf_seek rewind, src/read.cpp:428-478, re-reads the
-        file the same way)."""
+        file the same way). Carries the split barriers so pass-2 blocks
+        cut at the same cluster-safe boundaries."""
         return StreamingHitTable(self.path, self._cfg, self._n_threads,
-                                 self.low_mem)
+                                 self.low_mem,
+                                 split_barriers=self._split_barriers)
 
 
 def open_bam_stream(path: str, config: Optional[Config] = None,
-                    n_threads: int = 0,
-                    low_mem: bool = False) -> StreamingHitTable:
-    return StreamingHitTable(path, config, n_threads, low_mem)
+                    n_threads: int = 0, low_mem: bool = False,
+                    defer_start: bool = False) -> StreamingHitTable:
+    return StreamingHitTable(path, config, n_threads, low_mem,
+                             defer_start=defer_start)

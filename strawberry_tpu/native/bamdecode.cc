@@ -18,6 +18,7 @@
 //
 // Build: tools/build_native.sh -> strawberry_tpu/native/libstrawberry_host.so
 
+#include <algorithm>
 #include <chrono>
 #include <deque>
 #include <memory>
@@ -651,6 +652,10 @@ static bool bgzf_index_prefix(const uint8_t* data, size_t n,
 // One finalized per-chromosome SoA block of the stream.
 struct SbamBlock {
   int32_t chrom = -1;
+  // sub-chromosome splitting: the genomic position where this block's
+  // range begins (0 = start of chromosome). Refs with padded right end
+  // before the NEXT block's cut belong to this block.
+  int64_t cut = 0;
   std::vector<int32_t> ref_id;
   std::vector<int64_t> left, right;
   std::vector<int8_t> strand;
@@ -692,6 +697,14 @@ struct StrawbSbam {
   // before finalizing a new block while over the cap (consumers drop
   // consumed blocks, releasing it). 0 = unbounded (default).
   int64_t max_retained = 0;
+  // sub-chromosome block splitting (low-mem): finalize the accumulating
+  // block once it holds >= split_target bytes AND the incoming record
+  // starts a provably new cluster: left > (chromosome running max of
+  // right/mate_pos) + split_pad, outside every padded annotation-gene
+  // barrier. 0 = whole-chromosome blocks (default).
+  int64_t split_target = 0;
+  int64_t split_pad = 0;
+  std::vector<std::vector<std::pair<int64_t, int64_t>>> split_barriers;
   int64_t retained = 0;
   int64_t n_live = 0;
   bool ended = false;
@@ -740,7 +753,35 @@ struct SbamAccum {
   std::vector<int32_t> hist;  // dense seqlen histogram (first 50k accepted)
   int64_t n_hist = 0;
   int64_t rows_total = 0;  // accepted rows accumulated (event row base)
+  // sub-chromosome split state: running max of right / applicable mate
+  // end over the current chromosome (cluster bounds can't extend past it)
+  int64_t chrom_P = 0;
   bool hist_done = false;
+
+  // A split between the previous activity (ending <= P) and the record
+  // at `pos` needs a CUT position that cleanly separates the annotation:
+  //   * a padded gene interval spanning the whole gap (start <= P AND
+  //     end >= pos) could collect hits on BOTH sides -> veto (-1);
+  //   * a fresh interval containing pos (start in (P, pos]) has all its
+  //     hits at/after pos -> cut at its padded start, so the whole gene
+  //     (and its gene-mates in the merged interval) assign to the next
+  //     block;
+  //   * otherwise cut exactly at pos.
+  // Intervals are merged+sorted, so only the first with end >= pos
+  // matters (earlier ones end inside the gap; they and their genes stay
+  // in the finishing block).
+  int64_t split_cut(int32_t c, int64_t P, int64_t pos) const {
+    if ((size_t)c >= S->split_barriers.size()) return pos;
+    const auto& v = S->split_barriers[c];
+    auto it = std::lower_bound(
+        v.begin(), v.end(), pos,
+        [](const std::pair<int64_t, int64_t>& iv, int64_t p) {
+          return iv.second < p;
+        });
+    if (it == v.end() || it->first > pos) return pos;
+    if (it->first <= P) return -1;  // interval spans the gap: veto
+    return it->first;
+  }
 
   explicit SbamAccum(StrawbSbam* s) : S(s) {}
 
@@ -769,11 +810,14 @@ struct SbamAccum {
     std::swap(*blk, cur);
     int64_t sz = bytes_of(*blk);
     std::unique_lock<std::mutex> g(S->mu);
-    // low-mem backpressure: wait for consumers to drop earlier blocks
-    // (always admit 2 live blocks so progress is guaranteed)
+    // low-mem backpressure: wait for consumers to drop earlier blocks.
+    // Always admit 4 live blocks: the sub-chromosome dispatcher needs one
+    // block of lookahead (ref assignment + linked-gene merge) before it
+    // hands block k to a consumer, so a 2-block minimum could deadlock
+    // (consumer waits on k+1, decoder waits on k's drop).
     if (S->max_retained > 0)
       S->cv.wait(g, [&] {
-        return S->n_live < 2 || S->retained + sz <= S->max_retained;
+        return S->n_live < 4 || S->retained + sz <= S->max_retained;
       });
     S->retained += sz;
     S->n_live++;
@@ -807,6 +851,7 @@ struct SbamAccum {
         if (cur.chrom != c) {
           size_t ln = cur.ref_id.size(), lf = cur.feat_code.size();
           finalize_block();
+          chrom_P = 0;
           cur.chrom = c;
           cur.feat_off.assign(1, 0);
           if (ln) {  // expect the next chrom to be of similar size: one
@@ -829,24 +874,69 @@ struct SbamAccum {
         auto app = [](auto& dst, const auto& src, size_t lo, size_t hi) {
           dst.insert(dst.end(), src.begin() + lo, src.begin() + hi);
         };
-        app(cur.ref_id, p.ref_id, i, j);
-        app(cur.left, p.left, i, j);
-        app(cur.right, p.right, i, j);
-        app(cur.strand, p.strand, i, j);
-        app(cur.flag, p.flag, i, j);
-        app(cur.mate_ref, p.mate_ref, i, j);
-        app(cur.mate_pos, p.mate_pos, i, j);
-        app(cur.nh, p.nh, i, j);
-        app(cur.read_id, p.read_id, i, j);
-        app(cur.cigar_hash, p.cigar_hash, i, j);
-        int64_t base = cur.feat_off.back();
-        for (size_t k = i; k < j; ++k) {
-          base += p.nfeat[k];
-          cur.feat_off.push_back(base);
+        auto append_slice = [&](size_t lo, size_t hi, size_t f0,
+                                int64_t nfs) {
+          app(cur.ref_id, p.ref_id, lo, hi);
+          app(cur.left, p.left, lo, hi);
+          app(cur.right, p.right, lo, hi);
+          app(cur.strand, p.strand, lo, hi);
+          app(cur.flag, p.flag, lo, hi);
+          app(cur.mate_ref, p.mate_ref, lo, hi);
+          app(cur.mate_pos, p.mate_pos, lo, hi);
+          app(cur.nh, p.nh, lo, hi);
+          app(cur.read_id, p.read_id, lo, hi);
+          app(cur.cigar_hash, p.cigar_hash, lo, hi);
+          int64_t base = cur.feat_off.back();
+          for (size_t k = lo; k < hi; ++k) {
+            base += p.nfeat[k];
+            cur.feat_off.push_back(base);
+          }
+          app(cur.feat_code, p.feat_code, f0, f0 + (size_t)nfs);
+          app(cur.feat_left, p.feat_left, f0, f0 + (size_t)nfs);
+          app(cur.feat_len, p.feat_len, f0, f0 + (size_t)nfs);
+        };
+        if (S->split_target > 0) {
+          // low-mem sub-chromosome splitting: cut on provably
+          // cluster-safe boundaries once the block is big enough. A hit
+          // at left > chrom_P + pad starts a new cluster in every mode
+          // (hit_gt_cluster; denovo partner extension bounded by
+          // chrom_P's mate term), and the padded annotation-gene
+          // barriers keep reference clusters whole.
+          size_t lo = i;
+          size_t f0 = fcur;
+          int64_t nfs = 0;
+          int64_t bytes0 = (int64_t)cur.ref_id.size() * 63 +
+                           (int64_t)cur.feat_code.size() * 13;
+          for (size_t k = i; k < j; ++k) {
+            int64_t cutv;
+            if (bytes0 + (int64_t)(k - lo) * 63 + nfs * 13 >=
+                    S->split_target &&
+                (bytes0 > 0 || k > lo) &&  // never cut an empty block
+                p.left[k] > chrom_P + S->split_pad &&
+                (cutv = split_cut(c, chrom_P, p.left[k])) >= 0) {
+              append_slice(lo, k, f0, nfs);
+              f0 += (size_t)nfs;
+              nfs = 0;
+              lo = k;
+              finalize_block();
+              cur.chrom = c;
+              cur.cut = cutv;
+              cur.feat_off.assign(1, 0);
+              bytes0 = 0;
+            }
+            int64_t r = p.right[k];
+            if (p.mate_ref[k] == c &&
+                p.mate_pos[k] - p.left[k] <
+                    (int64_t)S->cfg.max_intron_length &&
+                p.mate_pos[k] > r)
+              r = p.mate_pos[k];  // denovo partner extension bound
+            if (r > chrom_P) chrom_P = r;
+            nfs += p.nfeat[k];
+          }
+          append_slice(lo, j, f0, nfs);
+        } else {
+          append_slice(i, j, fcur, nf);
         }
-        app(cur.feat_code, p.feat_code, fcur, fcur + (size_t)nf);
-        app(cur.feat_left, p.feat_left, fcur, fcur + (size_t)nf);
-        app(cur.feat_len, p.feat_len, fcur, fcur + (size_t)nf);
         fcur += (size_t)nf;
         i = j;
       }
@@ -1206,9 +1296,89 @@ StrawbSbam* strawb_sbam_open(const char* path, int32_t max_intron,
   S->cfg.min_map_qual = min_mapq;
   S->cfg.verbose = env_verbose();
   S->n_threads = n_threads;
-  S->driver = std::thread([S]() { S->run(); });
+  // synchronous header pre-parse: callers can consult the reference
+  // table (and configure sub-chromosome splitting from annotation spans)
+  // BEFORE any record decoding starts (strawb_sbam_start)
+  {
+    FILE* f = fopen(path, "rb");
+    if (!f) {
+      S->fail("cannot open BAM");
+      return S;
+    }
+    std::vector<uint8_t> comp, hb;
+    bool eof = false;
+    while (true) {
+      size_t old = comp.size();
+      comp.resize(old + (256u << 10));
+      size_t got = fread(comp.data() + old, 1, 256u << 10, f);
+      comp.resize(old + got);
+      if (got < (256u << 10)) eof = true;
+      std::vector<BlockRef> blocks;
+      size_t consumed = 0, total_out = 0;
+      if (!bgzf_index_prefix(comp.data(), comp.size(), blocks, consumed,
+                             total_out)) {
+        S->fail("malformed BGZF stream");
+        break;
+      }
+      hb.assign(total_out, 0);
+      bool iok = true;
+      for (const BlockRef& b : blocks)
+        if (!inflate_block(comp.data() + b.comp_off, b.comp_len,
+                           hb.data() + b.out_off, b.isize))
+          iok = false;
+      if (!iok) {
+        S->fail("BGZF inflate failed");
+        break;
+      }
+      size_t hpos = 0;
+      int rc = try_parse_header(hb.data(), hb.size(), hpos, S->names_blob,
+                                S->ref_len);
+      if (rc < 0) {
+        S->fail("not a BAM file");
+        break;
+      }
+      if (rc == 1) {
+        std::lock_guard<std::mutex> g(S->mu);
+        S->header_ready = true;
+        break;
+      }
+      if (eof) {
+        S->fail(hb.empty() ? "empty BAM" : "truncated BAM header");
+        break;
+      }
+    }
+    fclose(f);
+  }
   return S;
 }
+
+// start the background decode (separate from open so split barriers can
+// be configured in between)
+void strawb_sbam_start(StrawbSbam* S) {
+  if (!S->driver.joinable() && S->error.empty())
+    S->driver = std::thread([S]() { S->run(); });
+}
+
+// low-memory sub-chromosome splitting: finalize blocks at >= target bytes
+// on provably cluster-safe boundaries. pad = kMaxOlapDist; the barriers
+// are padded merged annotation-gene intervals per chromosome (a split
+// inside one could attach an annotation cluster's hits to two blocks).
+void strawb_sbam_set_split(StrawbSbam* S, int64_t target_bytes, int64_t pad,
+                           int64_t n, const int32_t* bchrom,
+                           const int64_t* bleft, const int64_t* bright) {
+  S->split_target = target_bytes;
+  S->split_pad = pad;
+  S->split_barriers.assign(S->ref_len.size(), {});
+  for (int64_t i = 0; i < n; ++i)
+    if (bchrom[i] >= 0 && (size_t)bchrom[i] < S->split_barriers.size())
+      S->split_barriers[bchrom[i]].emplace_back(bleft[i], bright[i]);
+}
+
+int32_t strawb_sbam_split_enabled(StrawbSbam* S) {
+  return S->split_target > 0 ? 1 : 0;
+}
+
+int64_t strawb_sbam_split_pad(StrawbSbam* S) { return S->split_pad; }
 
 // ---- -v per-read diagnostics (valid after the stream ends) ----
 int64_t strawb_sbam_diag_n(StrawbSbam* S) {
@@ -1308,6 +1478,10 @@ int32_t strawb_sbam_wait_block(StrawbSbam* S, int64_t k) {
 static SbamBlock* sblk(StrawbSbam* S, int64_t k) {
   std::lock_guard<std::mutex> g(S->mu);
   return S->blocks[k].get();
+}
+
+int64_t strawb_sbam_block_cut(StrawbSbam* S, int64_t k) {
+  return sblk(S, k)->cut;
 }
 
 int32_t strawb_sbam_block_chrom(StrawbSbam* S, int64_t k) {

@@ -1479,11 +1479,29 @@ static void sbam_dispatch(StrawbClusterJob* job) {
   StrawbSbam* S = job->sbam;
   const RefsIn& r = job->r;
   i64 rcur = 0, kblk = 0;
+  const bool sub_chrom = strawb_sbam_split_enabled(S) != 0;
+  const i64 spad = strawb_sbam_split_pad(S);
   while (strawb_sbam_wait_block(S, kblk) == 1) {
     std::vector<i64> blks{kblk};
     i32 chrom = strawb_sbam_block_chrom(S, kblk);
     i64 r0 = rcur, re = rcur;
-    while (re < r.n && r.ref_id[re] <= chrom) re++;
+    if (!sub_chrom) {
+      while (re < r.n && r.ref_id[re] <= chrom) re++;
+    } else {
+      // sub-chromosome blocks (low-mem splitting): refs of this
+      // chromosome distribute across its blocks by the recorded cut
+      // positions — a ref belongs here unless the NEXT block continues
+      // the chromosome and the ref's padded span reaches its cut (the
+      // decoder places cuts so no gene's cluster straddles one)
+      while (re < r.n && r.ref_id[re] < chrom) re++;
+      i64 next_cut = -1;
+      if (strawb_sbam_wait_block(S, kblk + 1) == 1 &&
+          strawb_sbam_block_chrom(S, kblk + 1) == chrom)
+        next_cut = strawb_sbam_block_cut(S, kblk + 1);
+      while (re < r.n && r.ref_id[re] == chrom &&
+             (next_cut < 0 || r.right[re] + spad < next_cut))
+        re++;
+    }
     // chain-merge linked-gene partitions (compute_parts' merge loop)
     while (re > r0 && re < r.n && r.gene[re - 1] != -1 &&
            r.gene[re - 1] == r.gene[re]) {
@@ -1493,7 +1511,18 @@ static void sbam_dispatch(StrawbClusterJob* job) {
       kblk++;
       blks.push_back(kblk);
       chrom = c2;
-      while (re < r.n && r.ref_id[re] <= chrom) re++;
+      if (!sub_chrom) {
+        while (re < r.n && r.ref_id[re] <= chrom) re++;
+      } else {
+        while (re < r.n && r.ref_id[re] < chrom) re++;
+        i64 nc = -1;
+        if (strawb_sbam_wait_block(S, kblk + 1) == 1 &&
+            strawb_sbam_block_chrom(S, kblk + 1) == chrom)
+          nc = strawb_sbam_block_cut(S, kblk + 1);
+        while (re < r.n && r.ref_id[re] == chrom &&
+               (nc < 0 || r.right[re] + spad < nc))
+          re++;
+      }
     }
     rcur = re;
     PartWork w;

@@ -128,4 +128,66 @@ void strawb_em_batch(i64 n, const i64* u_off, const i64* F_off,
   for (auto& th : ts) th.join();
 }
 
+// Raw-slice variant for the fully-vectorized pass-2 finalize: takes the
+// quant-prep partition slices directly (un-truncated counts + flat
+// alpha) and performs the Python-side per-locus preamble here — count
+// truncation (np.trunc), total = numpy-pairwise sum of the truncated
+// counts, the >1e-5 any-weight row filter, theta0 = total/niso, and the
+// init-failure rule (no surviving rows -> status 0, EmSolver::init
+// returning false, estimate.cpp:374-391).
+//   bin_off:   (n+1) row offsets into counts_flat
+//   alpha_off: (n+1) element offsets into alpha_flat (row-major nb x nc)
+//   th_off:    (n+1) offsets into theta_out
+void strawb_em_batch_raw(i64 n, const i64* bin_off, const i64* niso,
+                         const double* counts_flat,
+                         const double* alpha_flat, const i64* alpha_off,
+                         const i64* th_off, double* theta_out,
+                         uint8_t* status, i64 n_threads) {
+  auto work = [&](i64 k0, i64 k1) {
+    std::vector<double> tc, u, F;
+    for (i64 k = k0; k < k1; ++k) {
+      i64 nb = bin_off[k + 1] - bin_off[k];
+      i64 nc = niso[k];
+      const double* cnt = counts_flat + bin_off[k];
+      const double* al = alpha_flat + alpha_off[k];
+      tc.resize(nb);
+      for (i64 i = 0; i < nb; ++i) tc[i] = std::trunc(cnt[i]);
+      double total = np_pairwise_sum(tc.data(), nb);
+      u.clear();
+      F.clear();
+      for (i64 i = 0; i < nb; ++i) {
+        bool keep = false;
+        for (i64 j = 0; j < nc; ++j)
+          if (al[i * nc + j] > 1e-5) {
+            keep = true;
+            break;
+          }
+        if (!keep) continue;
+        u.push_back(tc[i]);
+        F.insert(F.end(), al + i * nc, al + (i + 1) * nc);
+      }
+      if (u.empty()) {
+        status[k] = 0;
+        for (i64 j = 0; j < nc; ++j) theta_out[th_off[k] + j] = 0.0;
+        continue;
+      }
+      status[k] = 1;
+      em_one((i64)u.size(), nc, u.data(), F.data(), total / (double)nc,
+             theta_out + th_off[k]);
+    }
+  };
+  if (n_threads <= 1 || n < 4) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  i64 per = (n + n_threads - 1) / n_threads;
+  for (i64 t = 0; t < n_threads; ++t) {
+    i64 a = t * per, b = a + per < n ? a + per : n;
+    if (a >= b) break;
+    ts.emplace_back(work, a, b);
+  }
+  for (auto& th : ts) th.join();
+}
+
 }  // extern "C"

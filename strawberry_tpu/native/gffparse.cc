@@ -45,10 +45,22 @@ enum FeatType {
   FEAT_GENE
 };
 
-static std::string lower(const std::string& s) {
-  std::string r = s;
-  for (char& c : r) c = (char)std::tolower((unsigned char)c);
-  return r;
+static const unsigned char* lower_tbl() {
+  static unsigned char t[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i)
+      t[i] = (unsigned char)std::tolower(i);
+    init = true;
+  }
+  return t;
+}
+
+static void lower_into(std::string_view s, std::string& out) {
+  const unsigned char* t = lower_tbl();
+  out.resize(s.size());
+  for (size_t i = 0; i < s.size(); ++i)
+    out[i] = (char)t[(unsigned char)s[i]];
 }
 
 static bool contains(const std::string& hay, const char* needle) {
@@ -203,6 +215,8 @@ StrawbGff* strawb_gff_parse(const char* path) {
   Block* cur = nullptr;
   std::string prev_chrom = "\x01\x01";  // sentinel: no chrom yet
   std::vector<std::string_view> t;
+  // per-line scratch buffers, hoisted (allocation-free steady state)
+  std::string chrom, ft, info, info_l;
   size_t lp = 0;
   while (lp <= raw.size()) {
     size_t le = raw.find('\n', lp);
@@ -232,16 +246,14 @@ StrawbGff* strawb_gff_parse(const char* path) {
       }
     }
     if (t.size() < 9) continue;
-    std::string chrom(t[0]);
-    for (char& c : chrom) c = (char)std::tolower((unsigned char)c);
+    lower_into(t[0], chrom);
     i64 start = parse_coord(t[3]);
     i64 end = parse_coord(t[4]);
     if (start == 0 || end == 0) continue;
     if (end < start) std::swap(start, end);
     if (t[5] != ".") continue;  // numeric-score drop quirk
     int8_t strand = t[6] == "+" ? 1 : t[6] == "-" ? 2 : 0;
-    std::string ft(t[2]);
-    for (char& c : ft) c = (char)std::tolower((unsigned char)c);
+    lower_into(t[2], ft);
     int feat_type;
     if (contains(ft, "utr")) feat_type = FEAT_UTR;
     else if (contains(ft, "exon")) feat_type = FEAT_EXON;
@@ -261,8 +273,8 @@ StrawbGff* strawb_gff_parse(const char* path) {
         kName = "name=", kGeneName = "gene_name=", kGenename = "genename=",
         kGeneSym = "gene_sym=", kGeneEq = "gene=", kGeneId = "gene_id",
         kGeneNameA = "gene_name", kTranscriptId = "transcript_id";
-    std::string info(t[8]);
-    std::string info_l = lower(info);
+    info.assign(t[8]);
+    lower_into(t[8], info_l);
     std::string ID = extract_attr(info, info_l, kId);
     std::string parent = extract_attr(info, info_l, kParent);
     bool is_gff3 = !ID.empty() || !parent.empty();

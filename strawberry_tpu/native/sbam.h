@@ -20,6 +20,26 @@ StrawbSbam* strawb_sbam_open(const char* path, int32_t max_intron,
                              int32_t min_intron, int32_t unique_only,
                              int32_t fr, int32_t rf, int32_t max_hist,
                              int32_t min_mapq, int32_t n_threads);
+// open parses the header synchronously but does NOT start record
+// decoding; configure splitting (below) in between, then call start.
+void strawb_sbam_start(StrawbSbam*);
+// low-mem sub-chromosome block splitting: finalize blocks >= target
+// bytes at cluster-safe boundaries (record left > chromosome running
+// max(right, applicable mate end) + pad, outside the padded merged
+// annotation-gene barrier intervals). 0 = whole-chromosome blocks.
+void strawb_sbam_set_split(StrawbSbam*, int64_t target_bytes, int64_t pad,
+                           int64_t n, const int32_t* bchrom,
+                           const int64_t* bleft, const int64_t* bright);
+int32_t strawb_sbam_split_enabled(StrawbSbam*);
+int64_t strawb_sbam_split_pad(StrawbSbam*);
+// position where block k's range begins (0 = chromosome start); refs
+// whose padded right end lies before the NEXT block's cut belong to k
+int64_t strawb_sbam_block_cut(StrawbSbam*, int64_t k);
+// -v per-read diagnostics captured during decode (valid after EOF)
+int64_t strawb_sbam_diag_n(StrawbSbam*);
+const int8_t* strawb_sbam_diag_kinds(StrawbSbam*);
+const int64_t* strawb_sbam_diag_rows(StrawbSbam*);
+const char* strawb_sbam_diag_names(StrawbSbam*);
 void strawb_sbam_free(StrawbSbam*);
 // blocks until the header is parsed or the pipeline fails; NULL = no error
 const char* strawb_sbam_error(StrawbSbam*);

@@ -128,6 +128,9 @@ def run_sharded(table: HitTable, cfg: Config, bam_path: str, out: TextIO,
             s.load_ref_gtf(cfg.ref_gtf_filename)
             s.factory.set_ref_mrnas(
                 [r for r in s.factory.ref_mrnas if r.ref_id in ref_ids])
+        if cfg.bias_correction and cfg.ref_fasta_file:
+            from ..io.fasta import FastaInterface
+            s.fasta = FastaInterface(cfg.ref_fasta_file)
         samples.append(s)
 
     # ---- pass 1 per shard -------------------------------------------------
@@ -418,6 +421,12 @@ def run_distributed(bam_path: str, cfg: Config, out: TextIO,
         ids = set(mine)
         s.factory.set_ref_mrnas(
             [r for r in s.factory.ref_mrnas if r.ref_id in ids])
+    if cfg.bias_correction and cfg.ref_fasta_file:
+        from ..io.fasta import FastaInterface
+        s.fasta = FastaInterface(cfg.ref_fasta_file)
+    if fragfile is not None:
+        from ..quant.fragcontext import FRAG_HEADER
+        fragfile.write("\t".join(FRAG_HEADER) + "\n")
 
     # ---- pass 1 on this shard ---------------------------------------------
     if cfg.no_assembly:

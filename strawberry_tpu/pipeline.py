@@ -968,10 +968,35 @@ class Sample:
         # byte-parity run, which takes this path)
         vec_ok = (getattr(log, "is_null", False)
                   and not self.cfg.effective_len_norm)
+        # raw-slice host EM: the whole per-locus preamble (trunc, total,
+        # row filter, theta0) runs inside one chunked native call instead
+        # of 18k+ small numpy ops on the stream's critical path
+        from .quant.device import host_em_raw_available, host_em_batch_raw
+        use_raw = dispatcher.force_host and host_em_raw_available()
+        raw_pend: List[tuple] = []   # (pending idx, counts, alpha, niso)
+        raw_done: List[tuple] = []   # (idxs, theta_flat, th_off, status)
+
+        def _flush_raw():
+            if not raw_pend:
+                return
+            idxs = [r[0] for r in raw_pend]
+            with PROF.phase("host_em", items=len(raw_pend)):
+                th, to, st = host_em_batch_raw(
+                    [r[1] for r in raw_pend], [r[2] for r in raw_pend],
+                    [r[3] for r in raw_pend])
+            raw_done.append((idxs, th, to, st))
+            raw_pend.clear()   # releases the partition pool views
+
         for cluster in self.iter_clusters("refdemand", fuse_quant=fuse_quant):
             with PROF.phase("locus_context"):
                 qp = getattr(cluster, "quant_prebuilt", None)
-                if qp is not None and vec_ok:
+                if qp is not None and vec_ok and use_raw:
+                    ids = cluster.ref_indices
+                    raw_pend.append((len(pending), qp[0], qp[1], len(ids)))
+                    pending.append(("vec", ids))
+                    if len(raw_pend) >= 2048:
+                        _flush_raw()
+                elif qp is not None and vec_ok:
                     ids = cluster.ref_indices
                     counts = np.trunc(qp[0])
                     alpha = np.array(qp[1], np.float64).reshape(
@@ -1019,13 +1044,20 @@ class Sample:
         if dev_pool is not None:
             dev_pool.shutdown(wait=False)
 
+        _flush_raw()
         with PROF.phase("em_finish", items=len(pending)):
             thetas = dispatcher.finish()
             thetas.extend([None] * (len(pending) - len(thetas)))
+        n_raw_ok = 0
+        for idxs, th, to, st in raw_done:
+            for m, idx in enumerate(idxs):
+                if st[m]:
+                    thetas[idx] = th[to[m]:to[m + 1]]
+                    n_raw_ok += 1
         self.em_stats = {"device": dispatcher.n_device,
-                         "host": dispatcher.n_host,
+                         "host": dispatcher.n_host + n_raw_ok,
                          "init_failed": len(pending) - dispatcher.n_device
-                         - dispatcher.n_host}
+                         - dispatcher.n_host - n_raw_ok}
 
         per_entry: List[Optional[List[Isoform]]] = []
         vec_rows: List[Tuple[int, object, object]] = []  # (entry, ids, th)
@@ -1252,6 +1284,46 @@ class Sample:
         return isoforms
 
 
+def _gene_barriers(refs, flat=None, pad: int = 50):
+    """Padded merged annotation-transcript intervals per chromosome —
+    the no-split zones for low-mem sub-chromosome block cutting (a split
+    inside one could scatter an annotation cluster's hits across two
+    decode blocks). Returns (chrom i32, left i64, right i64) arrays,
+    sorted and non-overlapping within each chromosome."""
+    n = len(refs)
+    if n == 0:
+        return None
+    rref = np.fromiter((r.ref_id for r in refs), np.int64, n)
+    if flat is not None and len(flat[0]) - 1 == n:
+        off, _code, left, lens = flat
+        e = off[1:] - 1
+        rleft = left[off[:-1]].astype(np.int64)
+        rright = (left[e] + lens[e] - 1).astype(np.int64)
+    else:
+        rleft = np.fromiter((r.left for r in refs), np.int64, n)
+        rright = np.fromiter((r.right for r in refs), np.int64, n)
+    rleft = np.maximum(rleft - pad, 0)
+    rright = rright + pad
+    # per-chromosome interval merge via a chrom-offset key (refs are
+    # sorted by (ref_id, left))
+    SHIFT = 44
+    kl = (rref << SHIFT) + rleft
+    kr = (rref << SHIFT) + rright
+    order = np.argsort(kl, kind="stable")  # defensive: -1 ref_ids first
+    kl, kr = kl[order], kr[order]
+    runmax = np.maximum.accumulate(kr)
+    new = np.ones(n, bool)
+    new[1:] = kl[1:] > runmax[:-1]
+    starts = np.flatnonzero(new)
+    gl = kl[starts]
+    gr = np.maximum.reduceat(kr, starts)
+    mask = (1 << SHIFT) - 1
+    keep = (gl >> SHIFT) >= 0  # drop unmatched (-1) chromosomes
+    gl, gr = gl[keep], gr[keep]
+    return ((gl >> SHIFT).astype(np.int32),
+            (gl & mask).astype(np.int64), (gr & mask).astype(np.int64))
+
+
 def _trace_columns(table):
     """Random-access column table for the decode-trace simulation (a
     plain HitTable passes through; a drained streaming table concatenates
@@ -1440,7 +1512,8 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
         try:
             from .io.sbam import open_bam_stream
             with PROF.phase("bam_open_stream"):
-                table = open_bam_stream(bam_path, cfg, low_mem=cfg.low_mem)
+                table = open_bam_stream(bam_path, cfg, low_mem=cfg.low_mem,
+                                        defer_start=True)
         except OSError:
             table = None  # native lib unavailable
     if table is None:
@@ -1455,6 +1528,17 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
         name2id_box["m"] = {n: i
                             for i, n in enumerate(table.ref_names)}
         name2id_evt.set()
+    from .io.sbam import StreamingHitTable as _SHT
+    if isinstance(table, _SHT) and not table._started:
+        barriers = None
+        if cfg.low_mem and gtf_thread is not None:
+            # sub-chromosome block splits must respect annotation gene
+            # spans; low-mem serializes the GTF ref build before decode
+            gtf_thread.join()
+            if "refs" in gtf_box:
+                barriers = _gene_barriers(*gtf_box["refs"],
+                                          pad=cfg.max_olap_dist)
+        table.start(barriers)
     sample = Sample(table, cfg, bam_path)
     if gtf_thread is not None:
         gtf_thread.join()

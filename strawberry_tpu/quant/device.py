@@ -307,6 +307,67 @@ def _get_native_em():
     return _native_em
 
 
+_native_em_raw = None
+
+
+def _get_native_em_raw():
+    global _native_em_raw
+    if _native_em_raw is None:
+        try:
+            import ctypes as C
+            from ..io.native import get_lib
+            lib = get_lib()
+            P64 = C.POINTER(C.c_int64)
+            PD = C.POINTER(C.c_double)
+            PU8 = C.POINTER(C.c_uint8)
+            lib.strawb_em_batch_raw.restype = None
+            lib.strawb_em_batch_raw.argtypes = [
+                C.c_int64, P64, P64, PD, PD, P64, P64, PD, PU8, C.c_int64]
+            _native_em_raw = lib.strawb_em_batch_raw
+        except Exception:
+            _native_em_raw = False
+    return _native_em_raw
+
+
+def host_em_raw_available() -> bool:
+    return bool(_get_native_em_raw())
+
+
+def host_em_batch_raw(counts_list, alpha_list, niso_list):
+    """Solve raw quant-prep locus slices in one native call (em.cc
+    strawb_em_batch_raw): trunc + pairwise total + row filter + theta0 +
+    EM, per locus. Returns (theta_flat, th_off, status) — status 0 =
+    init failure (results None upstream)."""
+    import ctypes as C
+    import os
+    fn = _get_native_em_raw()
+    n = len(counts_list)
+    nb = np.fromiter((len(c) for c in counts_list), np.int64, n)
+    niso = np.fromiter(niso_list, np.int64, n)
+    bin_off = np.zeros(n + 1, np.int64)
+    np.cumsum(nb, out=bin_off[1:])
+    alpha_off = np.zeros(n + 1, np.int64)
+    np.cumsum(nb * niso, out=alpha_off[1:])
+    th_off = np.zeros(n + 1, np.int64)
+    np.cumsum(niso, out=th_off[1:])
+    counts_flat = np.ascontiguousarray(
+        np.concatenate(counts_list) if n else np.zeros(0))
+    alpha_flat = np.ascontiguousarray(
+        np.concatenate(alpha_list) if n else np.zeros(0))
+    theta = np.zeros(max(int(th_off[-1]), 1), np.float64)
+    status = np.zeros(max(n, 1), np.uint8)
+
+    def p(a, ct):
+        return a.ctypes.data_as(C.POINTER(ct))
+
+    fn(n, p(bin_off, C.c_int64), p(niso, C.c_int64),
+       p(counts_flat, C.c_double), p(alpha_flat, C.c_double),
+       p(alpha_off, C.c_int64), p(th_off, C.c_int64),
+       p(theta, C.c_double), p(status, C.c_uint8),
+       min(4, os.cpu_count() or 1))
+    return theta, th_off, status
+
+
 def _host_em_batch(items, results):
     """Solve host-routed EM problems in one native batch call (em.cc);
     per-problem numpy oracle fallback."""

@@ -53,3 +53,30 @@ def test_checkpoint_then_resume_golden(tmp_path, reference_binary):
     assert outs["ours"]["ckpt"] == outs["ref"]["ckpt"]
     assert outs["ours"]["final"] == outs["ref"]["final"]
     assert outs["ref"]["final"]
+
+
+def test_lowmem_subchromosome_splits_byte_identical(tmp_path, monkeypatch):
+    """Forced sub-chromosome block splitting (--low-mem) must not change a
+    single output byte on a deep single-chromosome dataset — splits land
+    only on provably cluster-safe boundaries (gap > max_olap_dist past the
+    running right/mate max, outside padded annotation gene spans)."""
+    import io
+    from strawberry_tpu.sim import make_dataset
+    from strawberry_tpu.config import Config
+    from strawberry_tpu.pipeline import run_driver
+    monkeypatch.setenv("STRAWB_SPLIT_MB", "1")
+    monkeypatch.setenv("STRAWB_STREAM_CAP_MB", "8")
+    d = str(tmp_path / "ds")
+    make_dataset(d, seed=71, n_frags=30_000, n_chroms=1,
+                 chrom_len=1_500_000, n_genes_hint=30, max_isoforms=4)
+    bam, gtf = f"{d}/sample_01.sorted.bam", f"{d}/annotation.gtf"
+    for kw in (dict(ref_gtf_filename=gtf, utilize_ref_models=True,
+                    no_assembly=True),
+               dict(ref_gtf_filename=gtf, utilize_ref_models=True),
+               dict()):
+        o1 = io.StringIO()
+        run_driver(bam, Config(low_mem=True, **kw), o1)
+        o2 = io.StringIO()
+        run_driver(bam, Config(**kw), o2)
+        assert o1.getvalue() == o2.getvalue()
+        assert o1.getvalue()
