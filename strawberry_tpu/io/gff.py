@@ -381,12 +381,13 @@ def load_ref_mrnas_native(g: NativeGff, ref_name2id: Dict[str, int],
     # output, tie-breaks) ever build their tuple list
     from ..core.features import FeatView
     fo = foff.tolist()
-    # per-transcript numeric sort keys ((left, len) of the first 4
+    # per-transcript numeric sort keys ((left, len) of the first 8
     # features, -1 sentinel past the end) — the within-chromosome
     # Contig::operator< order computed entirely in numpy; only still-tied
-    # runs fall back to the full lexicographic comparison
+    # runs fall back to the full lexicographic comparison (isoform-dense
+    # annotations tie heavily on the first exon+intron pairs)
     cols = []
-    for j in range(4):
+    for j in range(8):
         validj = foff[:-1] + j < foff[1:]
         idx = np.minimum(foff[:-1] + j, np.maximum(foff[1:] - 1, 0))
         cols.append(np.where(validj, f_left[idx], -1))

@@ -165,16 +165,23 @@ struct Block {
     gene_by_id[g.gene_id] = genes.size();
     genes.push_back(std::move(g));
   }
-  Tx* find_rna(const std::string& tid, int8_t strand) {
-    auto it = rna_by_key.find(tid + '\x01' + (char)('0' + strand));
+  static void rna_key(const std::string& tid, int8_t strand,
+                      std::string& kbuf) {
+    kbuf.assign(tid);
+    kbuf.push_back('\x01');
+    kbuf.push_back((char)('0' + strand));
+  }
+  Tx* find_rna(const std::string& tid, int8_t strand, std::string& kbuf) {
+    rna_key(tid, strand, kbuf);
+    auto it = rna_by_key.find(kbuf);
     if (it == rna_by_key.end()) return nullptr;
     return &(*it->second.first)[it->second.second];
   }
-  Tx* add_rna(Tx t) {
+  Tx* add_rna(Tx t, std::string& kbuf) {
     std::vector<Tx>* lst = t.strand == 1 ? &fwd : t.strand == 2 ? &rev : &uns;
-    std::string key = t.trans_id + '\x01' + (char)('0' + t.strand);
+    rna_key(t.trans_id, t.strand, kbuf);
     lst->push_back(std::move(t));
-    rna_by_key[key] = {lst, lst->size() - 1};
+    rna_by_key[kbuf] = {lst, lst->size() - 1};
     return &lst->back();
   }
 };
@@ -216,7 +223,7 @@ StrawbGff* strawb_gff_parse(const char* path) {
   std::string prev_chrom = "\x01\x01";  // sentinel: no chrom yet
   std::vector<std::string_view> t;
   // per-line scratch buffers, hoisted (allocation-free steady state)
-  std::string chrom, ft, info, info_l;
+  std::string chrom, ft, info, info_l, kbuf;
   size_t lp = 0;
   while (lp <= raw.size()) {
     size_t le = raw.find('\n', lp);
@@ -275,8 +282,13 @@ StrawbGff* strawb_gff_parse(const char* path) {
         kGeneNameA = "gene_name", kTranscriptId = "transcript_id";
     info.assign(t[8]);
     lower_into(t[8], info_l);
-    std::string ID = extract_attr(info, info_l, kId);
-    std::string parent = extract_attr(info, info_l, kParent);
+    // "id=" / "parent=" need an '=' somewhere; GTF attr strings have
+    // none, so one memchr replaces two failing scans per line
+    bool has_eq = memchr(info.data(), '=', info.size()) != nullptr;
+    std::string ID = has_eq ? extract_attr(info, info_l, kId)
+                            : std::string();
+    std::string parent = has_eq ? extract_attr(info, info_l, kParent)
+                                : std::string();
     bool is_gff3 = !ID.empty() || !parent.empty();
     std::string name, gene_id, gene_name, transcript_id;
     if (is_gff3) {
@@ -321,11 +333,11 @@ StrawbGff* strawb_gff_parse(const char* path) {
       tx.gene_id = gene->gene_id;
       tx.gene_name = gene->gene_name;
       tx.strand = strand;
-      cur->add_rna(std::move(tx));
+      cur->add_rna(std::move(tx), kbuf);
     } else if (feat_type == FEAT_EXON) {
       std::string par = !parent.empty() ? parent : transcript_id;
       if (par.empty()) continue;
-      Tx* mrna = cur->find_rna(par, strand);
+      Tx* mrna = cur->find_rna(par, strand, kbuf);
       if (!mrna) {
         Gene* gene = cur->find_gene(gene_id);
         if (!gene) {
@@ -338,7 +350,7 @@ StrawbGff* strawb_gff_parse(const char* path) {
         tx.gene_id = gene->gene_id;
         tx.gene_name = gene->gene_name;
         tx.strand = strand;
-        mrna = cur->add_rna(std::move(tx));
+        mrna = cur->add_rna(std::move(tx), kbuf);
       }
       mrna->exl.push_back(start);
       mrna->exr.push_back(end);

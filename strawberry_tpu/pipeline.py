@@ -974,18 +974,27 @@ class Sample:
         from .quant.device import host_em_raw_available, host_em_batch_raw
         use_raw = dispatcher.force_host and host_em_raw_available()
         raw_pend: List[tuple] = []   # (pending idx, counts, alpha, niso)
-        raw_done: List[tuple] = []   # (idxs, theta_flat, th_off, status)
+        raw_futs: List[tuple] = []   # (idxs, future)
+        raw_pool = None
 
         def _flush_raw():
+            # each chunk ships to a side thread (the native call releases
+            # the GIL) so the EM overlaps the cluster stream; the chunk
+            # list keeps the partition pool views alive only until then
+            nonlocal raw_pool
             if not raw_pend:
                 return
+            if raw_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                raw_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="em-raw")
             idxs = [r[0] for r in raw_pend]
-            with PROF.phase("host_em", items=len(raw_pend)):
-                th, to, st = host_em_batch_raw(
-                    [r[1] for r in raw_pend], [r[2] for r in raw_pend],
-                    [r[3] for r in raw_pend])
-            raw_done.append((idxs, th, to, st))
-            raw_pend.clear()   # releases the partition pool views
+            cs = [r[1] for r in raw_pend]
+            als = [r[2] for r in raw_pend]
+            ns = [r[3] for r in raw_pend]
+            raw_futs.append((idxs, raw_pool.submit(
+                host_em_batch_raw, cs, als, ns)))
+            raw_pend.clear()
 
         for cluster in self.iter_clusters("refdemand", fuse_quant=fuse_quant):
             with PROF.phase("locus_context"):
@@ -1049,6 +1058,10 @@ class Sample:
             thetas = dispatcher.finish()
             thetas.extend([None] * (len(pending) - len(thetas)))
         n_raw_ok = 0
+        with PROF.phase("host_em", items=sum(len(i) for i, _f in raw_futs)):
+            raw_done = [(idxs, *f.result()) for idxs, f in raw_futs]
+        if raw_pool is not None:
+            raw_pool.shutdown(wait=False)
         for idxs, th, to, st in raw_done:
             for m, idx in enumerate(idxs):
                 if st[m]:

@@ -98,12 +98,14 @@ def main():
         },
         "targets": {},
         "p2_on_this_host": {
-            "wall_s": 17.2,
-            "note": "-p 2 measured on THIS 2-core host (single-process "
-                    "already saturates both cores with native pools, so "
-                    "two forked shard pipelines plus a serial parent "
-                    "decode lose); the cores_needed numbers below assume "
-                    "hosts where -p adds real cores",
+            "wall_s": 13.0,
+            "note": "-p 2 best-of-3 on THIS 2-core host with the r5 "
+                    "ranged shard workers (each inflates only its own "
+                    "BGZF span; no parent decode). The single process "
+                    "still wins here because it already saturates both "
+                    "cores with intra-process overlap — "
+                    "benchmarks/p_scaling.json itemizes the per-worker "
+                    "costs and where -p takes over (>=4 cores)",
         },
         "pass2_rescan_decision": {
             "cost_s": round(native.get("scan_p2", 0)
@@ -130,22 +132,32 @@ def main():
                     "on this link regardless of kernel speed",
         },
         "verdict": None,
+        "r5_deltas": [
+            "lazy FeatView contigs + flat-driven ref pack/sort (r4 lever "
+            "2, done)", "native GTF emission (gtfemit.cc) replacing 50k "
+            "Isoform objects + Python f-strings",
+            "raw-slice native EM (em.cc strawb_em_batch_raw) replacing "
+            "the per-locus Python preamble, chunked on a side thread",
+            "allocation-light GTF C parse (lowercase table, hoisted "
+            "buffers, keyed map buffers)",
+            "gen-0 GC threshold + frozen import heap (2.8k collections "
+            "-> ~0)",
+            "decode inflate/parse/merge now carry perf counters — the "
+            "r4 'unitemized ~6.7s' was largely this trio plus the "
+            "gtf thread, both now itemized above",
+        ],
         "next_levers_measured": [
-            "Python pass-1 finish (~0.6s CPU): pack each partition's "
-            "solved transcripts + naming metadata into one decode and "
-            "build Contigs with the vectorized zip trick (as "
-            "load_ref_mrnas_native does)",
-            "annotation Contig feats are rarely touched in assembly mode "
-            "(~0.6s CPU): lazy per-transcript feature materialization "
-            "over the parse arrays",
-            "cluster scan p1+p2 (~2.4s thread-CPU at ~85ns/hit) and the "
-            "collapse sorts (~0.7s) are the largest remaining native "
-            "blocks; both are memory-bound and semantics-pinned "
-            "(unstable-sort tie permutations)",
-            "sub-chromosome decode/cluster partitioning would flatten "
-            "--low-mem peak RSS at depth (currently O(reads/chromosome): "
-            "one chromosome's block + its cluster-owned gather coexist) "
-            "and needs mate-safe split points",
+            "the decode trio (inflate ~1.0 + parse ~0.7 + merge "
+            "~0.5-0.7s CPU) is the largest remaining native block; "
+            "inflate is libdeflate at ~1GB/s/thread (at spec), merge is "
+            "memory-bound copy (exact-size block assembly would shave "
+            "~0.2s and its contention tail)",
+            "cluster scan p1+p2 (~2.3s thread-CPU at ~85ns/hit) and the "
+            "collapse sorts (~0.6s) remain memory-bound and "
+            "semantics-pinned (unstable-sort tie permutations)",
+            "asm_prep (~1.4s) + quant_prep (~1.6s) pools: round-4 "
+            "optimized; remaining cost is the per-locus coverage fill "
+            "and the fl-sum weight loop, both already vectorized",
         ],
     }
     for name, rps in TARGETS.items():
