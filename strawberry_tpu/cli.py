@@ -157,11 +157,18 @@ def main(argv=None) -> int:
                 from .io.bamreader import load_bam
                 from .parallel.distributed import run_sharded
                 from .parallel.mesh import make_mesh
+                if cfg.verbose:
+                    os.environ["STRAWB_VERBOSE"] = "1"  # decode diag capture
                 try:
                     from .io.native import load_bam_native
                     table = load_bam_native(args.bam, cfg)
                 except Exception:
                     table = load_bam(args.bam, cfg)
+                if cfg.verbose:
+                    # decode-time per-read cerr lines (read.cpp:611-684),
+                    # one print per record as the single decode sees them
+                    from .pipeline import _emit_read_diags
+                    _emit_read_diags(getattr(table, "diag_events", None))
                 run_sharded(table, cfg, args.bam, out, log,
                             n_shards=args.shards, mesh=make_mesh(mdl=1))
             else:

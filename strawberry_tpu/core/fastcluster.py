@@ -1318,6 +1318,23 @@ def sort_contigs_flat(contigs, flat):
     return out, take_flat(flat, ordl)
 
 
+def concat_flat_parts(parts):
+    """Concatenate flat RLE (off, code, left, len) tuples in order,
+    rebasing the offset arrays by the running totals. A single part
+    passes through as-is (keeps views)."""
+    if len(parts) == 1:
+        return parts[0]
+    offs = [np.asarray(parts[0][0])]
+    base = int(parts[0][0][-1])
+    for p in parts[1:]:
+        offs.append(np.asarray(p[0][1:]) + base)
+        base += int(p[0][-1])
+    return (np.concatenate(offs),
+            np.concatenate([np.asarray(p[1]) for p in parts]),
+            np.concatenate([np.asarray(p[2]) for p in parts]),
+            np.concatenate([np.asarray(p[3]) for p in parts]))
+
+
 def take_flat(flat, indices):
     """Subset a flat RLE tuple by contig indices (pure numpy)."""
     off, code, left, ln = flat

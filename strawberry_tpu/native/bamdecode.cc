@@ -779,7 +779,11 @@ struct SbamAccum {
           return iv.second < p;
         });
     if (it == v.end() || it->first > pos) return pos;
-    if (it->first <= P) return -1;  // interval spans the gap: veto
+    // veto when the interval spans the gap OR starts within pad of the
+    // previous activity: the dispatcher assigns refs by
+    // `right + pad < cut`, so a cut at <= P + pad would push refs whose
+    // hits ended at P into the NEXT block
+    if (it->first <= P + S->split_pad) return -1;
     return it->first;
   }
 
@@ -1306,6 +1310,7 @@ StrawbSbam* strawb_sbam_open(const char* path, int32_t max_intron,
       return S;
     }
     std::vector<uint8_t> comp, hb;
+    size_t comp_done = 0;  // compressed bytes already indexed+inflated
     bool eof = false;
     while (true) {
       size_t old = comp.size();
@@ -1313,23 +1318,29 @@ StrawbSbam* strawb_sbam_open(const char* path, int32_t max_intron,
       size_t got = fread(comp.data() + old, 1, 256u << 10, f);
       comp.resize(old + got);
       if (got < (256u << 10)) eof = true;
+      // incremental: index+inflate only the not-yet-consumed tail (a
+      // multi-MB header — e.g. 100k @SQ contigs — stays one pass)
       std::vector<BlockRef> blocks;
       size_t consumed = 0, total_out = 0;
-      if (!bgzf_index_prefix(comp.data(), comp.size(), blocks, consumed,
+      if (!bgzf_index_prefix(comp.data() + comp_done,
+                             comp.size() - comp_done, blocks, consumed,
                              total_out)) {
         S->fail("malformed BGZF stream");
         break;
       }
-      hb.assign(total_out, 0);
+      size_t hb0 = hb.size();
+      hb.resize(hb0 + total_out);
       bool iok = true;
       for (const BlockRef& b : blocks)
-        if (!inflate_block(comp.data() + b.comp_off, b.comp_len,
-                           hb.data() + b.out_off, b.isize))
+        if (!inflate_block(comp.data() + comp_done + b.comp_off,
+                           b.comp_len, hb.data() + hb0 + b.out_off,
+                           b.isize))
           iok = false;
       if (!iok) {
         S->fail("BGZF inflate failed");
         break;
       }
+      comp_done += consumed;
       size_t hpos = 0;
       int rc = try_parse_header(hb.data(), hb.size(), hpos, S->names_blob,
                                 S->ref_len);

@@ -391,6 +391,19 @@ def run_multiprocess_ranged(bam_path: str, cfg: Config, out: TextIO,
                         for k in range(n_procs)]
             conns[q].send((parts_in, hist, any_paired))
         del outs
+        if cfg.verbose:
+            # run-level cerr parity (Strawberry.cpp:305-310) from the
+            # parent's global statistics (a shard may own no chromosomes;
+            # per-read diagnostics remain single-process scope — the
+            # reference's own -p interleaves threads' cerr output
+            # nondeterministically)
+            import sys
+            best_count = mode = 0
+            for ln, c in hist.items():
+                if c > best_count:
+                    best_count, mode = c, ln
+            sys.stderr.write("Inspecting sample......\n"
+                             f"read len mode: {mode}\n")
 
         # between-pass reduction: cluster-numbering scan + frag-dist /
         # total-mapped-reads all-reduce (ref: alignments.cpp:1372,1401)
@@ -399,6 +412,29 @@ def run_multiprocess_ranged(bam_path: str, cfg: Config, out: TextIO,
         total_mapped = sum(p[3] for p in p1)
         global_frag = np.concatenate([p[2] for p in p1]) \
             if p1 else np.zeros(0, np.int32)
+        if cfg.verbose:
+            # Strawberry.cpp:329-356 insert-size selection diagnostics
+            import sys
+            from ..core.insert_size import InsertSize, NotEnoughReads
+            sys.stderr.write("Total number of mapped reads is: "
+                             f"{total_mapped}\n")
+            mean, sd = cfg.insert_size_mean, cfg.insert_size_sd
+            if not any_paired:
+                mean, sd = cfg.single_end_default_insert
+            n_long = sum(1 for ln in hist if ln > cfg.long_read_len)
+            if not (n_long > 10 or cfg.long_read_sample):
+                if mean != 0 and sd != 0:
+                    from ..pipeline import _g
+                    sys.stderr.write(
+                        f"Using user specified insert size mean: {_g(mean)}"
+                        f" and standard deviation: {_g(sd)}\n")
+                else:
+                    try:
+                        InsertSize(frag_lens=global_frag, verbose=True)
+                        sys.stderr.write(
+                            "Using empirical insert size distribution \n")
+                    except NotEnoughReads:
+                        pass  # workers surface the real failure
         base = 0
         for k in range(n_procs):
             conns[k].send((base, global_frag, total_mapped))

@@ -633,18 +633,7 @@ class Sample:
             result.extend(assembled)
         iso_flat = None
         if result and all(f is not None for f in flats):
-            if len(flats) == 1:
-                iso_flat = flats[0]
-            else:
-                offs = [flats[0][0]]
-                base = int(flats[0][0][-1])
-                for f in flats[1:]:
-                    offs.append(f[0][1:] + base)
-                    base += int(f[0][-1])
-                iso_flat = (np.concatenate(offs),
-                            np.concatenate([f[1] for f in flats]),
-                            np.concatenate([f[2] for f in flats]),
-                            np.concatenate([f[3] for f in flats]))
+            iso_flat = _fcl.concat_flat_parts(flats)
         if result:
             self._af_parts.append(iso_flat if iso_flat is not None
                                   else _fcl.flatten_contigs(result))
@@ -1231,17 +1220,7 @@ class Sample:
             if self._af_parts and sum(
                     len(p[0]) - 1 for p in self._af_parts) == len(
                     self.assembly):
-                parts = self._af_parts
-                offs = [parts[0][0]]
-                base = int(parts[0][0][-1])
-                for p in parts[1:]:
-                    offs.append(p[0][1:] + base)
-                    base += int(p[0][-1])
-                flat = (np.concatenate(offs) if len(parts) > 1
-                        else parts[0][0],
-                        np.concatenate([p[1] for p in parts]),
-                        np.concatenate([p[2] for p in parts]),
-                        np.concatenate([p[3] for p in parts]))
+                flat = _fcl.concat_flat_parts(self._af_parts)
             self._af_parts = []
             if flat is not None:
                 refs, flat = _fcl.sort_contigs_flat(self.assembly, flat)
@@ -1298,11 +1277,15 @@ class Sample:
 
 
 def _gene_barriers(refs, flat=None, pad: int = 50):
-    """Padded merged annotation-transcript intervals per chromosome —
-    the no-split zones for low-mem sub-chromosome block cutting (a split
+    """Padded merged annotation-GENE intervals per chromosome — the
+    no-split zones for low-mem sub-chromosome block cutting (a split
     inside one could scatter an annotation cluster's hits across two
-    decode blocks). Returns (chrom i32, left i64, right i64) arrays,
-    sorted and non-overlapping within each chromosome."""
+    decode blocks). Spans are per GENE (parent_id), not per transcript:
+    a gene with disjoint transcripts must stay in one block, or the
+    dispatcher's linked-gene chain-merge would have to hold an unbounded
+    run of sub-chromosome blocks (a deadlock against the low-mem
+    retained-bytes cap). Returns (chrom i32, left i64, right i64)
+    arrays, sorted and non-overlapping within each chromosome."""
     n = len(refs)
     if n == 0:
         return None
@@ -1315,6 +1298,28 @@ def _gene_barriers(refs, flat=None, pad: int = 50):
     else:
         rleft = np.fromiter((r.left for r in refs), np.int64, n)
         rright = np.fromiter((r.right for r in refs), np.int64, n)
+    # widen each transcript to its gene's full span
+    spans: dict = {}
+    rr = rref.tolist()
+    rl = rleft.tolist()
+    rrt = rright.tolist()
+    for i, r in enumerate(refs):
+        key = (rr[i], r.parent_id)
+        s = spans.get(key)
+        if s is None:
+            spans[key] = [rl[i], rrt[i]]
+        else:
+            if rl[i] < s[0]:
+                s[0] = rl[i]
+            if rrt[i] > s[1]:
+                s[1] = rrt[i]
+    gl_ = spans
+    for i, r in enumerate(refs):
+        s = gl_[(rr[i], r.parent_id)]
+        rl[i] = s[0]
+        rrt[i] = s[1]
+    rleft = np.asarray(rl, np.int64)
+    rright = np.asarray(rrt, np.int64)
     rleft = np.maximum(rleft - pad, 0)
     rright = rright + pad
     # per-chromosome interval merge via a chrom-offset key (refs are
@@ -1442,8 +1447,10 @@ def _emit_read_diags(events, cap: Optional[int] = None,
 def run_driver(bam_path: str, cfg: Config, out: TextIO,
                log: Optional[TextIO] = None,
                fragfile: Optional[TextIO] = None,
-               cmdline: str = "") -> Sample:
-    """driver() (Strawberry.cpp:237-371)."""
+               cmdline: str = "") -> Optional[Sample]:
+    """driver() (Strawberry.cpp:237-371). Returns the Sample, except on
+    the forked -p path (the work lives in the shard workers; the parent
+    has no table) where it returns None."""
     from .utils.malloctune import tune, cap_blas_threads, tune_gc
     tune()
     cap_blas_threads()

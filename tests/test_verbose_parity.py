@@ -56,6 +56,31 @@ def test_verbose_run_level_lines_match_reference(tmp_path):
     assert _extract(ours.stderr) == _extract(ref.stderr)
 
 
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not built")
+def test_verbose_run_level_lines_match_reference_mp(tmp_path):
+    """-p N keeps run-level -v parity (the parent prints them from the
+    reduced global statistics; per-read lines stay single-process scope
+    since the reference's own -p interleaves threads' cerr output
+    nondeterministically)."""
+    from strawberry_tpu.sim import make_dataset
+    d = str(tmp_path / "ds")
+    make_dataset(d, seed=18, n_frags=5000, n_chroms=3, max_isoforms=3)
+    bam = f"{d}/sample_01.sorted.bam"
+    gtf = f"{d}/annotation.gtf"
+    ours = subprocess.run(
+        [sys.executable, "-m", "strawberry_tpu.cli", "-v", "-p", "2",
+         "-g", gtf, "-o", str(tmp_path / "ours.gtf"),
+         "-T", str(tmp_path / "ours.log"), bam],
+        capture_output=True, text=True, cwd=ROOT, timeout=300)
+    assert ours.returncode == 0, ours.stderr[-2000:]
+    ref = subprocess.run(
+        [REF, "-v", "-p", "2", "-g", gtf, "-o", str(tmp_path / "ref.gtf"),
+         "-T", str(tmp_path / "ref.log"), bam],
+        capture_output=True, text=True, timeout=300)
+    assert ref.returncode == 0, ref.stderr[-2000:]
+    assert _extract(ours.stderr) == _extract(ref.stderr)
+
+
 _PER_READ = re.compile(
     r"^(read \S+ has unmapped pair|Ignoring read \S+ has multiple hits)$")
 
