@@ -169,9 +169,12 @@ def main():
         "easy_10m": easy,
         "reads_per_sec_1m": round(len(s1.table) / dt1, 1),
         "fast_em_reads_per_sec_1m": round(len(fs.table) / fdt, 1),
-        "fast_em_mode": "wins narrowly at 10M-read scale, trails at 1M "
-                        "(tunnel dispatch RTT vs ~12ms host EM; see "
-                        "README + benchmarks/em_crossover.json)",
+        "fast_em_mode": "auto-routes by scale: below the measured "
+                        "crossover (~4k locus EMs) everything stays on "
+                        "host (1M = the default path, device_frac 0); at "
+                        "10M-read scale the bulk ships to the chip and "
+                        "wins narrowly (bench_10m.json; "
+                        "benchmarks/em_crossover.json)",
         "fast_em_device_frac": round(fem.get("device", 0) / max(
             1, fem.get("device", 0) + fem.get("host", 0)), 4),
         "fast_em_tpm_p99_rel_err": round(tpm_p99, 8),

@@ -1462,6 +1462,8 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
         # native decoders capture the per-read cerr diagnostics
         # (read.cpp:611-614,679-684) when this is set; replayed below
         os.environ["STRAWB_VERBOSE"] = "1"
+    else:
+        os.environ.pop("STRAWB_VERBOSE", None)
     PROF.start_trace()
     if (cfg.num_threads > 1 and not cfg.no_quant and fragfile is None
             and not cfg.bias_correction):
