@@ -701,7 +701,11 @@ struct StrawbSbam {
   // block once it holds >= split_target bytes AND the incoming record
   // starts a provably new cluster: left > (chromosome running max of
   // right/mate_pos) + split_pad, outside every padded annotation-gene
-  // barrier. 0 = whole-chromosome blocks (default).
+  // barrier. 0 = whole-chromosome blocks (default). This is the
+  // O(locus)-bounded working set of the reference's seek/rewind
+  // streaming (src/read.cpp:428-478, alignments.cpp:1736-1743) recast
+  // for block-tensor decode: the retained window holds a bounded run of
+  // cluster-safe blocks instead of one open cluster.
   int64_t split_target = 0;
   int64_t split_pad = 0;
   std::vector<std::vector<std::pair<int64_t, int64_t>>> split_barriers;
