@@ -261,6 +261,9 @@ def _ranged_worker(k: int, n: int, bam_path: str, cfg: Config, conn,
             s.load_ref_gtf(cfg.ref_gtf_filename)
             s.factory.set_ref_mrnas(
                 [r for r in s.factory.ref_mrnas if r.ref_id in mine])
+        if cfg.bias_correction and cfg.ref_fasta_file:
+            from ..io.fasta import FastaInterface
+            s.fasta = FastaInterface(cfg.ref_fasta_file)
 
         mark("refs loaded")
         # ---- pass 1 ----
@@ -289,10 +292,17 @@ def _ranged_worker(k: int, n: int, bam_path: str, cfg: Config, conn,
         # render locally — no Isoform pickling, no parent-side printing.
         iso: List[Isoform] = []
         runnable = (s.factory.ref_mrnas if cfg.no_assembly else s.assembly)
+        fragfh = None
+        if cfg.print_frag_context:
+            # per-shard sidecar; the parent appends them in shard order
+            # (= cluster order) after the header it wrote
+            fragfh = open(f"{cfg.frag_context_out}.shard{k}", "w")
         if runnable:
             s.select_insert_size()
-            iso = s.proc_sample(io.StringIO(), _NullLog(),
+            iso = s.proc_sample(io.StringIO(), _NullLog(), fragfh,
                                 want_isoforms=False, defer_vec_emit=True)
+        if fragfh is not None:
+            fragfh.close()
         mark("pass2 done")
         if s._vec_emit is not None:
             conn.send(("fpkm", s._vec_emit[1]))
@@ -329,13 +339,14 @@ def _recv(conn, tag):
 
 
 def run_multiprocess_ranged(bam_path: str, cfg: Config, out: TextIO,
-                            n_procs: int = 2) -> int:
+                            n_procs: int = 2, fragfile=None) -> int:
     """-p N without a parent-side decode: each forked shard inflates and
     parses only its BGZF block span, runs both passes on its chromosomes,
-    and renders its own GTF byte range. The parent only relays the record
-    boundaries, the canonical chromosome split, the exchanged boundary
-    rows, the between-pass global statistics, and the global FPKM total.
-    Output is byte-identical to the single-process run
+    and renders its own GTF byte range (and its -f fragment-context rows
+    into a sidecar the parent appends in shard order). The parent only
+    relays the record boundaries, the canonical chromosome split, the
+    exchanged boundary rows, the between-pass global statistics, and the
+    global FPKM total. Output is byte-identical to the single-process run
     (tests/test_multiprocess.py). Returns the total decoded hit count."""
     import multiprocessing as mp
     from .distributed import split_counts
@@ -453,6 +464,16 @@ def run_multiprocess_ranged(bam_path: str, cfg: Config, out: TextIO,
         for k in range(n_procs):
             (blob,) = _recv(conns[k], "p2")
             out.write(blob.decode())
+        if fragfile is not None:
+            import os as _os
+            from ..quant.fragcontext import FRAG_HEADER
+            fragfile.write("\t".join(FRAG_HEADER) + "\n")
+            for k in range(n_procs):
+                side = f"{cfg.frag_context_out}.shard{k}"
+                if _os.path.exists(side):
+                    with open(side) as fh:
+                        fragfile.write(fh.read())
+                    _os.remove(side)
     finally:
         for p in procs:
             p.join(timeout=60)

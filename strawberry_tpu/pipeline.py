@@ -1465,8 +1465,7 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
     else:
         os.environ.pop("STRAWB_VERBOSE", None)
     PROF.start_trace()
-    if (cfg.num_threads > 1 and not cfg.no_quant and fragfile is None
-            and not cfg.bias_correction):
+    if cfg.num_threads > 1 and not cfg.no_quant:
         # -p N: forked shard workers, each inflating only its own BGZF
         # block span (no parent-side decode). Falls back to the COW-table
         # variant below when the native span decoder is unavailable.
@@ -1476,7 +1475,8 @@ def run_driver(bam_path: str, cfg: Config, out: TextIO,
             from .parallel.multiproc import run_multiprocess_ranged
             with PROF.phase("multiprocess_pipeline"):
                 nrows = run_multiprocess_ranged(
-                    bam_path, cfg, out, n_procs=cfg.num_threads)
+                    bam_path, cfg, out, n_procs=cfg.num_threads,
+                    fragfile=fragfile)
             PROF.stop_trace()
             if cfg.verbose:
                 sys.stderr.write(PROF.report(total_reads=nrows) + "\n")
