@@ -84,13 +84,16 @@ def run_best(bam, cfg, reps, capture_last=False):
     best = float("inf")
     sample = None
     out = None
-    for _ in range(reps):
+    for i in range(reps):
+        sample = None  # free the previous table before timing the next rep
         t0 = time.perf_counter()
         o = io.StringIO() if capture_last else Sink()
-        s = run_driver(bam, cfg, o, Sink())
+        sample = run_driver(bam, cfg, o, Sink())
         dt = time.perf_counter() - t0
         if dt < best:
-            best, sample, out = dt, s, o
+            best, out = dt, o
+    # stats (table len, em/prep counters) are rep-invariant: report the
+    # last run's sample rather than pinning an extra table in memory
     return best, sample, out
 
 
@@ -126,6 +129,8 @@ def main():
     host = em.get("host", 0) + prep.get("host_loci", 0)
     device_frac = dev / (dev + host) if (dev + host) else 0.0
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    em = dict(em)
+    sample = None  # release the realistic table before the next datasets
 
     # the easy 16-chrom set (the reference's published workload scale)
     easy = {}
@@ -139,6 +144,7 @@ def main():
                 "vs_baseline": round(len(s10.table) / dt10
                                      / BASELINE_READS_PER_SEC, 4),
                 "wall_s": round(dt10, 3)}
+        s10 = None  # release before the 1M runs
 
     # secondary: the 1M quick set, golden vs --fast-em (chip f32 Pallas EM,
     # device-validation mode) with TPM deviation

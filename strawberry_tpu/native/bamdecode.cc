@@ -670,6 +670,72 @@ struct SbamBlock {
   std::vector<int32_t> feat_len;
 };
 
+// Recycler for SbamBlock storage. Block vectors are ~GB-scale per run and
+// are allocated on the decode consumer thread but freed from the Python
+// consumer thread; with per-thread glibc arenas every run cycles the same
+// buffers through fresh 64MB heap mmaps (the kernel zero-fills each page on
+// first touch — measured ~2s of extra sys time inside the merge on repeat
+// runs). Dropped blocks park their vectors here (clear() keeps capacity)
+// and the accumulator re-adopts a shell instead of growing from empty, so
+// steady state does no large allocation at all. Low-mem runs bypass the
+// pool: their contract is to actually return memory.
+struct BlockPool {
+  std::mutex mu;
+  std::vector<SbamBlock> shells;
+  int64_t bytes = 0;
+  int64_t cap_bytes;
+  BlockPool() {
+    const char* e = getenv("STRAWB_BLOCK_POOL_MB");
+    cap_bytes = (e ? atoll(e) : 4096) * (int64_t)(1 << 20);
+  }
+  static int64_t cap_of(const SbamBlock& b) {
+    return (int64_t)(b.ref_id.capacity() * 63 + b.feat_off.capacity() * 8 +
+                     b.feat_code.capacity() * 13);
+  }
+  void put(SbamBlock&& b) {
+    int64_t sz = cap_of(b);
+    b.chrom = -1;
+    b.cut = 0;
+    b.ref_id.clear();
+    b.left.clear();
+    b.right.clear();
+    b.strand.clear();
+    b.flag.clear();
+    b.mate_ref.clear();
+    b.mate_pos.clear();
+    b.nh.clear();
+    b.read_id.clear();
+    b.cigar_hash.clear();
+    b.feat_off.clear();
+    b.feat_code.clear();
+    b.feat_left.clear();
+    b.feat_len.clear();
+    std::lock_guard<std::mutex> g(mu);
+    if (bytes + sz > cap_bytes) return;  // over cap: let it free
+    bytes += sz;
+    shells.push_back(std::move(b));
+  }
+  // Adopt the largest pooled shell into `out` (largest-first keeps the
+  // biggest capacities in circulation so reserve() stays a no-op).
+  bool get(SbamBlock& out) {
+    std::lock_guard<std::mutex> g(mu);
+    if (shells.empty()) return false;
+    size_t best = 0;
+    for (size_t i = 1; i < shells.size(); ++i)
+      if (shells[i].ref_id.capacity() > shells[best].ref_id.capacity())
+        best = i;
+    bytes -= cap_of(shells[best]);
+    out = std::move(shells[best]);
+    shells.erase(shells.begin() + best);
+    return true;
+  }
+};
+
+BlockPool& block_pool() {
+  static BlockPool p;
+  return p;
+}
+
 }  // namespace
 
 extern "C" {
@@ -726,6 +792,9 @@ struct StrawbSbam {
     if (driver.joinable()) driver.join();
     for (auto& a : block_aux)
       if (a.first && a.second) a.second(a.first);
+    if (max_retained <= 0)  // park undropped block storage for the next run
+      for (auto& b : blocks)
+        if (b && !b->ref_id.empty()) block_pool().put(std::move(*b));
   }
 
   void drop_aux_locked(int64_t k) {  // caller holds mu
@@ -860,6 +929,7 @@ struct SbamAccum {
           size_t ln = cur.ref_id.size(), lf = cur.feat_code.size();
           finalize_block();
           chrom_P = 0;
+          if (S->max_retained <= 0) block_pool().get(cur);
           cur.chrom = c;
           cur.feat_off.assign(1, 0);
           if (ln) {  // expect the next chrom to be of similar size: one
@@ -1558,6 +1628,8 @@ void strawb_sbam_drop_block(StrawbSbam* S, int64_t k) {
       !S->blocks[k]->ref_id.empty()) {
     S->retained -= SbamAccum::bytes_of(*S->blocks[k]);
     S->n_live--;
+    if (S->max_retained <= 0)
+      block_pool().put(std::move(*S->blocks[k]));  // recycle the storage
     *S->blocks[k] = SbamBlock();
     S->cv.notify_all();
   }
