@@ -273,20 +273,188 @@ class NativeGff:
     structure-equal to GffReader (tests/test_native_gff.py)."""
 
     __slots__ = ("chroms", "tids", "gids", "gnames", "block_tx", "strand",
-                 "exoff", "exl", "exr")
+                 "exoff", "exl", "exr", "perm")
+
+    def __init__(self):
+        self.perm = None  # cached per-block Contig sort order (sidecar)
 
 
 _gff_bound = False
 
+_SIDECAR_VERSION = 1
 
-def parse_native(path: str) -> NativeGff:
-    """Parse a GTF/GFF3 with the native parser (same quirks as GffReader)."""
+
+def _sidecar_path(path: str) -> str:
+    return path + ".sbidx"
+
+
+def _feature_interleave(g: "NativeGff"):
+    """Exon/intron RLE interleave in one numpy shot -> (foff, f_code,
+    f_left, f_len, fcnt); foff is the per-transcript feature offset."""
+    import numpy as np
+    ntx = len(g.exoff) - 1
+    exoff, exl, exr = g.exoff, g.exl, g.exr
+    k = np.diff(exoff)
+    fcnt = np.maximum(2 * k - 1, 0)
+    foff = np.zeros(ntx + 1, np.int64)
+    np.cumsum(fcnt, out=foff[1:])
+    total = int(foff[-1])
+    f_code = np.zeros(total, np.int64)
+    f_left = np.zeros(total, np.int64)
+    f_len = np.zeros(total, np.int64)
+    if total:
+        tx_of_e = np.repeat(np.arange(ntx), k)
+        local = np.arange(len(exl)) - np.repeat(exoff[:-1], k)
+        pos = foff[:-1][tx_of_e] + 2 * local
+        f_left[pos] = exl
+        f_len[pos] = exr - exl + 1
+        inner = local < (k[tx_of_e] - 1)  # exon has a following intron
+        ip = pos[inner] + 1
+        e_idx = np.flatnonzero(inner)
+        f_code[ip] = S_INTRON
+        f_left[ip] = exr[e_idx] + 1
+        f_len[ip] = exl[e_idx + 1] - 1 - exr[e_idx]
+    return foff, f_code, f_left, f_len, fcnt
+
+
+def _block_order(g: "NativeGff", foff, f_left, f_len, b0, b1,
+                 cols=None):
+    """Tie-resolved within-chromosome Contig::operator< order for the
+    transcripts of one parse block: numeric lexsort on the (left, len)
+    keys of the first 8 features, Python lexicographic fallback only on
+    still-tied runs. Returns global tx indices."""
+    import numpy as np
+    if cols is None:
+        cols = _sort_cols(g, foff, f_left, f_len)
+    fo = foff
+    bcols = [c[b0:b1] for c in cols]
+    sub = np.lexsort(tuple(reversed(bcols))) + b0  # stable
+    keys = np.stack(bcols, axis=1)[sub - b0]
+    ties = np.flatnonzero(np.any(keys[1:] != keys[:-1], axis=1)) + 1
+    bounds = [0] + ties.tolist() + [int(b1 - b0)]
+    sub = sub.tolist()
+    for r0, r1 in zip(bounds[:-1], bounds[1:]):
+        if r1 - r0 > 1:
+            sub[r0:r1] = sorted(
+                sub[r0:r1],
+                key=lambda t: list(zip(
+                    f_left[fo[t]:fo[t + 1]].tolist(),
+                    f_len[fo[t]:fo[t + 1]].tolist())))
+    return sub
+
+
+def _sort_cols(g: "NativeGff", foff, f_left, f_len):
+    """Per-transcript numeric sort keys ((left, len) of the first 8
+    features, -1 sentinel past the end)."""
+    import numpy as np
+    cols = []
+    for j in range(8):
+        validj = foff[:-1] + j < foff[1:]
+        idx = np.minimum(foff[:-1] + j, np.maximum(foff[1:] - 1, 0))
+        cols.append(np.where(validj, f_left[idx], -1))
+        cols.append(np.where(validj, f_len[idx], -1))
+    return cols
+
+
+def _blob(strings: List[str]):
+    import numpy as np
+    b = ("\n".join(strings) + "\n" if strings else "").encode()
+    return np.frombuffer(b, np.uint8)
+
+
+def _unblob(arr) -> List[str]:
+    s = arr.tobytes().decode()
+    return s.split("\n")[:-1] if s else []
+
+
+def _write_sidecar(path: str, g: "NativeGff") -> None:
+    """Persist the parsed annotation + per-block Contig sort order next to
+    the GTF (cf. samtools' .fai/.bai sidecars). Keyed on (mtime_ns, size);
+    repeat runs skip both the text parse and the within-chromosome sort.
+    Best-effort: read-only annotation directories simply stay uncached."""
+    import os
+    import tempfile
+
+    import numpy as np
+    st = os.stat(path)
+    foff, f_code, f_left, f_len, _fcnt = _feature_interleave(g)
+    cols = _sort_cols(g, foff, f_left, f_len)
+    nb = len(g.block_tx) - 1
+    perm = []
+    for b in range(nb):
+        b0, b1 = g.block_tx[b], g.block_tx[b + 1]
+        if b1 > b0:
+            perm.extend(_block_order(g, foff, f_left, f_len, b0, b1,
+                                     cols=cols))
+    meta = np.array([_SIDECAR_VERSION, st.st_mtime_ns, st.st_size], np.int64)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               suffix=".sbidx.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, meta=meta, chroms=_blob(g.chroms),
+                     tids=_blob(g.tids), gids=_blob(g.gids),
+                     gnames=_blob(g.gnames),
+                     block_tx=np.asarray(g.block_tx, np.int64),
+                     strand=np.asarray(g.strand, np.int8),
+                     exoff=g.exoff, exl=g.exl, exr=g.exr,
+                     perm=np.asarray(perm, np.int64))
+        os.replace(tmp, _sidecar_path(path))
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _load_sidecar(path: str) -> Optional["NativeGff"]:
+    import os
+
+    import numpy as np
+    sc = _sidecar_path(path)
+    try:
+        st = os.stat(path)
+        with np.load(sc, allow_pickle=False) as z:
+            meta = z["meta"]
+            if (meta[0] != _SIDECAR_VERSION or meta[1] != st.st_mtime_ns
+                    or meta[2] != st.st_size):
+                return None
+            g = NativeGff()
+            g.chroms = _unblob(z["chroms"])
+            g.tids = _unblob(z["tids"])
+            g.gids = _unblob(z["gids"])
+            g.gnames = _unblob(z["gnames"])
+            g.block_tx = z["block_tx"].tolist()
+            g.strand = z["strand"].tolist()
+            g.exoff = z["exoff"]
+            g.exl = z["exl"]
+            g.exr = z["exr"]
+            g.perm = z["perm"]
+            return g
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def parse_native(path: str, cache: Optional[bool] = None) -> NativeGff:
+    """Parse a GTF/GFF3 with the native parser (same quirks as GffReader).
+
+    Unless STRAWB_GTF_CACHE=0, the parsed arrays and the per-chromosome
+    Contig sort order are persisted to a `<path>.sbidx` sidecar (keyed on
+    mtime+size, like samtools' .fai): repeat runs and -p shard workers
+    load the flat arrays directly instead of re-parsing the text."""
     global _gff_bound
     import ctypes as C
+    import os
 
     import numpy as np
 
     from .native import get_lib
+    if cache is None:
+        cache = os.environ.get("STRAWB_GTF_CACHE", "1") != "0"
+    if cache:
+        g = _load_sidecar(path)
+        if g is not None:
+            return g
     lib = get_lib()
     if not _gff_bound:
         lib.strawb_gff_parse.restype = C.c_void_p
@@ -335,6 +503,11 @@ def parse_native(path: str) -> NativeGff:
         g.exoff = arr(lib.strawb_gff_exoff(h), ntx + 1, np.int64)
         g.exl = arr(lib.strawb_gff_exl(h), nex, np.int64)
         g.exr = arr(lib.strawb_gff_exr(h), nex, np.int64)
+        if cache:
+            try:
+                _write_sidecar(path, g)
+            except OSError:
+                pass  # read-only annotation dir: stay uncached
         return g
     finally:
         lib.strawb_gff_free(h)
@@ -353,45 +526,18 @@ def load_ref_mrnas_native(g: NativeGff, ref_name2id: Dict[str, int],
             raise RuntimeError(
                 "gff/gtf and bam have entirely different chromosome naming")
     order = sorted(range(nb), key=lambda b: ref_name2id.get(g.chroms[b], -1))
-    ntx = len(g.exoff) - 1
-    exoff, exl, exr = g.exoff, g.exl, g.exr
-    k = np.diff(exoff)
-    fcnt = np.maximum(2 * k - 1, 0)
-    foff = np.zeros(ntx + 1, np.int64)
-    np.cumsum(fcnt, out=foff[1:])
-    total = int(foff[-1])
-    f_code = np.zeros(total, np.int64)
-    f_left = np.zeros(total, np.int64)
-    f_len = np.zeros(total, np.int64)
-    if total:
-        tx_of_e = np.repeat(np.arange(ntx), k)
-        local = np.arange(len(exl)) - np.repeat(exoff[:-1], k)
-        pos = foff[:-1][tx_of_e] + 2 * local
-        f_left[pos] = exl
-        f_len[pos] = exr - exl + 1
-        inner = local < (k[tx_of_e] - 1)  # exon has a following intron
-        ip = pos[inner] + 1
-        e_idx = np.flatnonzero(inner)
-        f_code[ip] = S_INTRON
-        f_left[ip] = exr[e_idx] + 1
-        f_len[ip] = exl[e_idx + 1] - 1 - exr[e_idx]
+    foff, f_code, f_left, f_len, fcnt = _feature_interleave(g)
     # feature tuples are NOT materialized here: each transcript gets a
     # lazy FeatView over the shared (code, left, len) arrays, and only
     # the minority of transcripts whose features are actually read (GTF
     # output, tie-breaks) ever build their tuple list
     from ..core.features import FeatView
     fo = foff.tolist()
-    # per-transcript numeric sort keys ((left, len) of the first 8
-    # features, -1 sentinel past the end) — the within-chromosome
-    # Contig::operator< order computed entirely in numpy; only still-tied
-    # runs fall back to the full lexicographic comparison (isoform-dense
-    # annotations tie heavily on the first exon+intron pairs)
-    cols = []
-    for j in range(8):
-        validj = foff[:-1] + j < foff[1:]
-        idx = np.minimum(foff[:-1] + j, np.maximum(foff[1:] - 1, 0))
-        cols.append(np.where(validj, f_left[idx], -1))
-        cols.append(np.where(validj, f_len[idx], -1))
+    # within-chromosome Contig::operator< order: from the sidecar cache
+    # when present, else numpy lexsort on the first-8-feature keys with a
+    # lexicographic fallback on still-tied runs (_block_order)
+    cols = None if g.perm is not None \
+        else _sort_cols(g, foff, f_left, f_len)
     result: List[Contig] = []
     chosen: List[int] = []  # tx indices in result order (for the flat)
     for b in order:
@@ -401,30 +547,23 @@ def load_ref_mrnas_native(g: NativeGff, ref_name2id: Dict[str, int],
         b0, b1 = g.block_tx[b], g.block_tx[b + 1]
         if b0 == b1:
             continue
-        bcols = [c[b0:b1] for c in cols]
-        sub = np.lexsort(tuple(reversed(bcols))) + b0  # stable
-        keys = np.stack(bcols, axis=1)[sub - b0]
-        ties = np.flatnonzero(np.any(keys[1:] != keys[:-1], axis=1)) + 1
-        bounds = [0] + ties.tolist() + [int(b1 - b0)]
-        sub = sub.tolist()
-        for r0, r1 in zip(bounds[:-1], bounds[1:]):
-            if r1 - r0 > 1:
-                sub[r0:r1] = sorted(
-                    sub[r0:r1],
-                    key=lambda t: list(zip(
-                        f_left[fo[t]:fo[t + 1]].tolist(),
-                        f_len[fo[t]:fo[t + 1]].tolist())))
+        if g.perm is not None:
+            sub = g.perm[b0:b1].tolist()
+        else:
+            sub = _block_order(g, foff, f_left, f_len, b0, b1, cols=cols)
+        # hot loop: positional Contig/FeatView construction with locals
+        # bound once per block (117k+ transcripts on a real annotation)
+        strand, tids, gids, gnames = g.strand, g.tids, g.gids, g.gnames
+        ch_app, res_app = chosen.append, result.append
         for t in sub:
             o0, o1 = fo[t], fo[t + 1]
             if o0 == o1:
                 continue
-            chosen.append(t)
-            result.append(Contig(
-                ref_id=ref_id, strand=g.strand[t],
-                feats=FeatView(f_code, f_left, f_len, o0, o1),
-                mass=1.0, is_ref=True, contig_id=0, trans_id=g.tids[t],
-                parent_id=g.gids[t], ref_gene_id=g.gids[t],
-                ref_gene_name=g.gnames[t]))
+            ch_app(t)
+            gid = gids[t]
+            res_app(Contig(ref_id, strand[t],
+                           FeatView(f_code, f_left, f_len, o0, o1),
+                           1.0, True, 0, tids[t], gid, gid, gnames[t]))
     if not return_flat:
         return result
     # flat RLE in result order (gathered from the parse-order interleave)
