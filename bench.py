@@ -179,7 +179,7 @@ def main():
                         "crossover (~4k locus EMs) everything stays on "
                         "host (1M = the default path, device_frac 0); at "
                         "10M-read scale the bulk ships to the chip and "
-                        "wins narrowly (bench_10m.json; "
+                        "wins (3.91s vs 4.56s cold, bench_10m.json; "
                         "benchmarks/em_crossover.json)",
         "fast_em_device_frac": round(fem.get("device", 0) / max(
             1, fem.get("device", 0) + fem.get("host", 0)), 4),
