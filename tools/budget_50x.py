@@ -103,15 +103,15 @@ def main():
         },
         "targets": {},
         "p2_on_this_host": {
-            "wall_s": None,  # filled from p_scaling.json below
-            "note": "-p 2 best-of-3 on THIS 2-core host with the r5 "
-                    "ranged shard workers (each inflates only its own "
-                    "BGZF span; no parent decode; shards render their "
-                    "own GTF ranges). The single process still wins here "
-                    "because it already saturates both cores with "
-                    "intra-process overlap — benchmarks/p_scaling.json "
-                    "itemizes the per-worker costs and where -p takes "
-                    "over (>=4 cores)",
+            # filled from p_scaling.json below
+            "note": "end-to-end CLI walls, interleaved best-of-3: with "
+                    "the r5 ranged shard workers (each inflates only its "
+                    "own BGZF span; no parent decode; shards render "
+                    "their own GTF ranges and load the .sbidx sidecar) "
+                    "-p 2 matches the single process on this 2-core "
+                    "host — benchmarks/p_scaling.json itemizes the "
+                    "per-worker costs and where -p takes over (>=4 "
+                    "cores)",
         },
         "pass2_rescan_decision": {
             "cost_s": round(native.get("scan_p2", 0)
@@ -179,9 +179,9 @@ def main():
     }
     try:
         with open(os.path.join(ROOT, "benchmarks", "p_scaling.json")) as fh:
-            ps = json.load(fh)["measured_interleaved_best_of_3"]
-        out["p2_on_this_host"]["wall_s"] = ps["p2_wall_s"]
-        out["p2_on_this_host"]["single_wall_s"] = ps["single_wall_s"]
+            ps = json.load(fh)["measured_cli_end_to_end_best_of_3"]
+        out["p2_on_this_host"]["cli_single_wall_s"] = ps["single_wall_s"]
+        out["p2_on_this_host"]["cli_p2_wall_s"] = ps["p2_wall_s"]
     except (OSError, KeyError):
         pass
     for name, rps in TARGETS.items():
