@@ -48,3 +48,42 @@ def test_native_gff_quirks(tmp_path):
         [_contig_tuple(c) for c in oracle]
     assert [c.trans_id for c in native] == ["tC", "tB"]
     assert native[0].feats[0][1] == 700  # reversed exon order
+
+
+def test_gtf_sidecar_cache(tmp_path, monkeypatch):
+    """The .sbidx sidecar reproduces the fresh parse exactly (arrays, ref
+    Contig order, flat RLE), invalidates on file change, and can be
+    disabled with STRAWB_GTF_CACHE=0."""
+    import os
+
+    import numpy as np
+
+    from strawberry_tpu.io.gff import _sidecar_path
+    _bam, gtf, _txs = make_dataset(str(tmp_path), seed=34, n_frags=500,
+                                   n_chroms=3, max_isoforms=6)
+    sc = _sidecar_path(gtf)
+    if os.path.exists(sc):
+        os.unlink(sc)
+    g1 = parse_native(gtf)          # cold: parses text, writes the sidecar
+    assert os.path.exists(sc)
+    g2 = parse_native(gtf)          # warm: loads the sidecar
+    assert g2.perm is not None and g1.perm is None
+    name2id = {n: i for i, n in enumerate(sorted(set(g1.chroms)))}
+    r1, f1 = load_ref_mrnas_native(g1, name2id, return_flat=True)
+    r2, f2 = load_ref_mrnas_native(g2, name2id, return_flat=True)
+    assert [_contig_tuple(c) for c in r1] == [_contig_tuple(c) for c in r2]
+    for a, b in zip(f1, f2):
+        assert np.array_equal(a, b)
+    # invalidation: content change (different mtime/size) forces a reparse
+    with open(gtf, "a") as fh:
+        fh.write('chr1\tx\texon\t10\t90\t.\t+\t.\tgene_id "gZ"; '
+                 'transcript_id "tZ";\n')
+    g3 = parse_native(gtf)
+    assert g3.perm is None          # stale sidecar rejected, fresh parse
+    assert len(g3.strand) == len(g1.strand) + 1
+    g4 = parse_native(gtf)          # the reparse rewrote the sidecar
+    assert g4.perm is not None and len(g4.strand) == len(g3.strand)
+    # escape hatch
+    monkeypatch.setenv("STRAWB_GTF_CACHE", "0")
+    g5 = parse_native(gtf)
+    assert g5.perm is None
