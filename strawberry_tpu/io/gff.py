@@ -431,7 +431,7 @@ def _load_sidecar(path: str) -> Optional["NativeGff"]:
             g.exr = z["exr"]
             g.perm = z["perm"]
             return g
-    except (OSError, KeyError, ValueError):
+    except Exception:  # corrupt/truncated cache (BadZipFile, ...) -> reparse
         return None
 
 
