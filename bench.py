@@ -154,7 +154,9 @@ def main():
     dt1, s1, out1 = run_best(bam1, cfg1, reps=3, capture_last=True)
     fcfg = cfg1.replace(fast_em=True)
     run_driver(bam1, fcfg, Sink(), Sink())   # compiles (not cached x-proc)
-    fdt, fs, fout = run_best(bam1, fcfg, reps=2, capture_last=True)
+    # same rep count as the golden 1M run: below the crossover fast-em IS
+    # the default path, so any best-of gap between them is pure noise
+    fdt, fs, fout = run_best(bam1, fcfg, reps=3, capture_last=True)
     g, f = tpms(out1.getvalue()), tpms(fout.getvalue())
     errs = sorted(abs(f[k] - v) / max(1e-9, abs(v)) for k, v in g.items()
                   if k in f)
