@@ -118,9 +118,10 @@ def main():
         bam, gtf, extra = dataset_realistic()
     cfg = Config(ref_gtf_filename=gtf, utilize_ref_models=True, **extra)
 
-    # warm-up (JAX init, page cache; steady-state throughput is the metric)
+    # warm-up (JAX init, page cache, block-pool/sidecar warmth;
+    # steady-state throughput is the metric)
     run_driver(bam, cfg, Sink(), Sink())
-    dt, sample, _ = run_best(bam, cfg, reps=3)
+    dt, sample, _ = run_best(bam, cfg, reps=4)
     n_reads = len(sample.table)
     rps = n_reads / dt
     em = getattr(sample, "em_stats", {})
